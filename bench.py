@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized via the noop sink (computes every column,
+no driver collect) — wall-clock includes Catalyst planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from importer_spark.queries import QUERIES
+from importer_spark.session import get_spark
+
+# Queries excluded from the headline wall-clock (e.g. quadratic diagnostics
+# meant for small SFs only). Keep empty unless something genuinely can't run
+# at bench scale.
+SLOW_EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(
+        app_name="importer-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch session costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        if name in SLOW_EXCLUDE:
+            continue
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""Readers and writers (sources / sinks).
+
+Covers the reference's table semantics (SURVEY §1.4): merge/upsert by primary
+key, full replace, append, and incremental snapshot-append — implemented on
+plain parquet (Delta/Iceberg would make merge transactional; the dedup-by-key
+rewrite below is the storage-agnostic equivalent).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize_column_name(name: str) -> str:
+    """dlt-style column-name standardization (reference:
+    pipelines/quickbooks/pipeline.py:151-154): strip, '/'→'_', ' '→'_', drop '.',
+    plus lowercase + collapse repeats for a canonical snake_case form."""
+    out = name.strip().replace("/", "_").replace(" ", "_").replace(".", "")
+    out = re.sub(r"_+", "_", out)
+    return out.lower()
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[normalize_column_name(c) for c in df.columns])
+
+
+class Tables:
+    """Lazy handle on a scale-factor directory of parquet tables.
+
+    Each attribute access returns the DataFrame (cached per instance so a
+    query touching `lineitem` twice builds one scan node that Catalyst can
+    reuse). Filters/projections on these scans push down to parquet.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._dfs: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLES:
+            raise AttributeError(f"unknown table {name!r}; have {TABLES}")
+        if name not in self._dfs:
+            self._dfs[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        return self._dfs[name]
+
+
+def read_jsonl(spark: SparkSession, path: str, blank_nulls: bool = True) -> DataFrame:
+    """JSONL scan (reference S4/S5: pipelines/quickbooks/pipeline.py:374-456):
+    schema-inferred line-delimited JSON; optionally null→'' on string columns
+    to mirror dlt's string-forcing load behavior."""
+    df = spark.read.json(path)
+    if blank_nulls:
+        str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+        df = df.na.fill("", subset=str_cols)
+    return df
+
+
+def write_replace(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Full-reload semantics (reference S13 / trade_shows replace)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Append semantics (reference S6 historical export log)."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def merge_by_key(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    version_col: str | None = None,
+) -> None:
+    """Upsert-by-primary-key (reference S12: dlt write_disposition="merge",
+    pipelines/quickbooks/pipeline.py:301-347).
+
+    Storage-agnostic MERGE: union target+source, keep the winning row per key
+    (source wins; with ``version_col``, highest version wins). On Delta/Iceberg
+    this becomes a real ``MERGE INTO``; the logical semantics are identical.
+    The shuffle is keyed on the PK, so at scale the dedup window and any
+    downstream PK-join share partitioning.
+    """
+    try:
+        target = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+    src = source.withColumn("_merge_rank", F.lit(1))
+    if exists:
+        tgt = target.withColumn("_merge_rank", F.lit(2))
+        merged = src.unionByName(tgt, allowMissingColumns=True)
+    else:
+        merged = src
+    order = [F.col("_merge_rank").asc()]
+    if version_col:
+        order = [F.col(version_col).desc_nulls_last(), *order]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_merge_rank")
+    )
+    # Materialize before overwriting the path we read from.
+    out = result.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(path)
+    out.unpersist()
+
+
+def snapshot_append(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    snapshot_col: str,
+) -> None:
+    """dbt-style incremental append (reference I2:
+    int_quickbooks__inventory_history.sql:60-64): append only rows with
+    ``snapshot_col`` strictly greater than the target's current max."""
+    try:
+        target = spark.read.parquet(path)
+        high = target.agg(F.max(snapshot_col)).first()[0]
+    except Exception:
+        high = None
+    delta = source if high is None else source.filter(F.col(snapshot_col) > F.lit(high))
+    delta.write.mode("append").parquet(path)

@@ -1,0 +1,13 @@
+"""Oracle-checked query catalog.
+
+Each query is registered with the @query decorator: a Spark callable
+(spark, sf_dir) -> DataFrame plus (usually) an equivalent DuckDB-ANSI-SQL
+oracle string over the same parquet tables. The driver and tests/ compare the
+two order-insensitively at sf=0.01. Genuinely non-SQL-expressible operators
+register with oracle=None → rows-only check.
+"""
+
+from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Importing the modules populates the registry.
+from importer_spark.queries import core  # noqa: F401,E402
