@@ -50,7 +50,18 @@ class Tables:
         if name not in TABLES:
             raise AttributeError(f"unknown table {name!r}; have {TABLES}")
         if name not in self._dfs:
-            self._dfs[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            path = f"{self.sf_dir}/{name}.parquet"
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+                # rejects; read nanos as long and truncate to microseconds —
+                # the same conversion DuckDB applies when reading nanos.
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self.spark.read.parquet(path).withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = self.spark.read.parquet(path)
+            self._dfs[name] = df
         return self._dfs[name]
 
 

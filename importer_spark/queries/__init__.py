@@ -11,3 +11,4 @@ from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F40
 
 # Importing the modules populates the registry.
 from importer_spark.queries import core  # noqa: F401,E402
+from importer_spark.queries import windows  # noqa: F401,E402

@@ -1,0 +1,265 @@
+"""Window-function pack (SURVEY §2.6 W1-W10).
+
+Scale notes: all partitioned windows key on high-cardinality columns
+(user_id, custkey) so the sort happens within partitions after one shuffle.
+The two global windows (lag_growth, percent_rank) operate on post-aggregation
+outputs that are tiny by construction (months, customers) — the single
+partition is over reduced data, never over the raw fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.functions import dec, growth_pct, out_double, ratio
+from importer_spark.io import Tables
+from importer_spark.queries.registry import query
+
+_DEDUP_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("dedup_latest", oracle=_DEDUP_LATEST_SQL)
+def dedup_latest(spark, sf_dir):
+    """W1 latest-record dedup (reference: int_quickbooks__items_enriched.sql:12-27
+    row_number()=1 by snapshot recency). One shuffle on the partition key."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+_PRIORITY_DEDUP_SQL = """
+SELECT c_nationkey AS nation_key, c_mktsegment AS mktsegment,
+       c_custkey AS cust_key, c_name AS cust_name, c_acctbal AS acctbal
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_nationkey, c_mktsegment
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC
+  ) AS rn
+  FROM customer
+)
+WHERE rn = 1
+"""
+
+
+@query("priority_dedup", oracle=_PRIORITY_DEDUP_SQL)
+def priority_dedup(spark, sf_dir):
+    """W2 multi-key priority dedup with NULLS LAST (reference:
+    stg_quickbooks__customer_contacts.sql:103-113 — source priority,
+    completeness, balance DESC NULLS LAST, id tiebreak)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    return (
+        t.customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+_LAG_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT order_month, revenue,
+  LAG(revenue, 1) OVER (ORDER BY order_month) AS prev_month_revenue,
+  LAG(revenue, 4) OVER (ORDER BY order_month) AS rev_4mo_back,
+  ROUND((revenue - LAG(revenue, 1) OVER (ORDER BY order_month))
+        / NULLIF(LAG(revenue, 1) OVER (ORDER BY order_month), 0) * 100.0, 6) AS mom_growth_pct
+FROM monthly
+"""
+
+
+@query("lag_growth", oracle=_LAG_GROWTH_SQL)
+def lag_growth(spark, sf_dir):
+    """W5/W10 LAG(1)/LAG(4) + null-safe growth%% (reference:
+    fct_company_orders_time_series.sql:59-94, macros/calculate_growth_percentage.sql).
+    The global window runs over ~80 pre-aggregated month rows, not raw data."""
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"))
+    w = Window.orderBy("order_month")
+    prev = F.lag("revenue", 1).over(w)
+    return monthly.select(
+        "order_month",
+        "revenue",
+        prev.alias("prev_month_revenue"),
+        F.lag("revenue", 4).over(w).alias("rev_4mo_back"),
+        growth_pct(F.col("revenue"), prev).alias("mom_growth_pct"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+WITH cust_rev AS (
+  SELECT o_custkey AS cust_key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT cust_key, revenue,
+       ROUND(PERCENT_RANK() OVER (ORDER BY revenue ASC, cust_key ASC), 6) AS revenue_percentile
+FROM cust_rev
+"""
+
+
+@query("percent_rank_customers", oracle=_PERCENT_RANK_SQL)
+def percent_rank_customers(spark, sf_dir):
+    """W6 global percentile (reference: dim_company_health.sql:59). Runs over
+    the per-customer aggregate (~SF·1500 rows), tie-broken for determinism."""
+    t = Tables(spark, sf_dir)
+    rev = t.orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").asc(), F.col("cust_key").asc())
+    return rev.select(
+        "cust_key", "revenue", F.round(F.percent_rank().over(w), 6).alias("revenue_percentile")
+    )
+
+
+_FIRST_VALUE_SQL = """
+SELECT DISTINCT
+  c_mktsegment AS mktsegment,
+  FIRST_VALUE(c_name) OVER (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+  ) AS top_balance_customer,
+  FIRST_VALUE(c_name) OVER (
+    PARTITION BY c_mktsegment ORDER BY LENGTH(c_name) DESC, c_name ASC
+  ) AS longest_name_customer
+FROM customer
+"""
+
+
+@query("first_value_repr", oracle=_FIRST_VALUE_SQL)
+def first_value_repr(spark, sf_dir):
+    """W4 representative selection via FIRST_VALUE (reference:
+    int_quickbooks__company_consolidation.sql:30-84 — longest name / highest
+    balance as the canonical company record)."""
+    t = Tables(spark, sf_dir)
+    w_bal = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_len = Window.partitionBy("c_mktsegment").orderBy(
+        F.length("c_name").desc(), F.col("c_name").asc()
+    )
+    return (
+        t.customer.select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.first_value(F.col("c_name")).over(w_bal).alias("top_balance_customer"),
+            F.first_value(F.col("c_name")).over(w_len).alias("longest_name_customer"),
+        )
+        .distinct()
+    )
+
+
+_GROUP_SIZE_SQL = """
+SELECT
+  c_custkey AS cust_key,
+  c_nationkey AS nation_key,
+  COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_peer_count,
+  ROUND(c_acctbal / NULLIF(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+    OVER (PARTITION BY c_nationkey) AS DOUBLE), 0), 6) AS balance_share
+FROM customer
+"""
+
+
+@query("group_size_window", oracle=_GROUP_SIZE_SQL)
+def group_size_window(spark, sf_dir):
+    """W7 group metrics without collapsing (reference:
+    int_customer_person_mapping_fixed.sql:106 COUNT(*) OVER)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey")
+    return t.customer.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.count("*").over(w).alias("nation_peer_count"),
+        ratio(F.col("c_acctbal"), F.sum(dec(F.col("c_acctbal"))).over(w)).alias(
+            "balance_share"
+        ),
+    )
+
+
+_ROLLING_RANGE_SQL = """
+SELECT
+  event_id, user_id, ts,
+  COUNT(*) OVER w AS rolling_1h_count,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_1h_value
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("rolling_range_window", oracle=_ROLLING_RANGE_SQL)
+def rolling_range_window(spark, sf_dir):
+    """W8 time-RANGE frame (reference: fct_product_pricing_history.sql:118-136
+    30-day rolling cluster frequency/volume). Ordered on epoch microseconds so
+    the frame boundary is exact in both engines; at scale this is one shuffle
+    on user_id + an in-partition range scan."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("rolling_1h_count"),
+        out_double(F.sum(dec(F.col("value"))).over(w)).alias("rolling_1h_value"),
+    )
+
+
+_RUNNING_MAX_SQL = """
+SELECT
+  o_orderkey AS order_key,
+  o_custkey AS cust_key,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_totalprice AS total_price,
+  MAX(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS running_max_price
+FROM orders
+"""
+
+
+@query("running_max", oracle=_RUNNING_MAX_SQL)
+def running_max(spark, sf_dir):
+    """W9 ROWS UNBOUNDED PRECEDING running MAX (reference:
+    fct_product_pricing_history.sql:197-201 fallback retail price)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+        F.max("o_totalprice").over(w).alias("running_max_price"),
+    )
