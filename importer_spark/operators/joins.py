@@ -1,0 +1,112 @@
+"""Composite join operators vanilla Spark SQL lacks (SURVEY §2.4 J8-J10).
+
+The reference implements both patterns as correlated scalar subqueries
+(fct_product_pricing_history.sql:305-314, fct_trade_show_leads.sql:106-169) —
+one extra scan per metric. These rewrites are single-pass and shuffle once on
+the join key, which is the difference between "works" and "works at 100 TB".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent right
+    row with ``right_ts <= left_ts`` within the same ``on`` key group.
+
+    Implementation is the union-and-fill pattern (reference J8 rewritten):
+    tag both sides, union, and carry each right value forward with
+    ``last(ignorenulls=True)`` over (key, ts) order. Exactly ONE shuffle on
+    the key — no join explosion, no per-row subquery — and the in-partition
+    sort is linear. Equal timestamps match (right sorts before left at ties).
+
+    Returns the left rows with ``<col><suffix>`` columns appended (plus
+    ``<left_ts>`` preserved); right-side misses are null, like a LEFT join.
+    """
+    tag = "_asof_side"
+    ts = "_asof_ts"
+    lcols = left.columns
+    lhs = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(tag),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(tag).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col(ts),
+        F.col(tag),
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+    )
+    return filled.filter(F.col(tag) == 1).drop(tag, ts)
+
+
+def range_attribution(
+    leads: DataFrame,
+    facts: DataFrame,
+    on: list[str],
+    lead_ts: str,
+    fact_ts: str,
+    windows_days: list[int],
+    metrics: dict[str, "Callable[[Column], Column]"],
+    lead_cols: list[str] | None = None,
+) -> DataFrame:
+    """Range-window attribution: for each lead row, aggregate fact rows with
+    ``lead_ts <= fact_ts <= lead_ts + N days`` for every N in
+    ``windows_days``, in ONE pass (reference J9: the reference runs 8
+    correlated scans; this is one equi-join on ``on`` + conditional aggs).
+
+    ``metrics`` maps metric name → ``lambda cond: <aggregate Column>`` where
+    the lambda masks its input with ``F.when(cond, ...)``; each metric is
+    emitted per window as ``<name>_<N>d`` plus ``<name>_all`` for the
+    unbounded forward window. Facts outside every window contribute nothing
+    but still flow through the join — at scale, pre-filter facts to the max
+    window before calling if the fact table is much larger than the match.
+    """
+    lead_cols = lead_cols or [c for c in leads.columns if c not in on and c != lead_ts]
+    l = leads.select(*on, F.col(lead_ts).alias("_lead_ts"), *lead_cols)
+    f = facts.select(*on, F.col(fact_ts).alias("_fact_ts"), *[
+        c for c in facts.columns if c not in on and c != fact_ts
+    ])
+    joined = l.join(f, on=on, how="left").withColumn(
+        "_in_scope", F.col("_fact_ts").isNotNull() & (F.col("_fact_ts") >= F.col("_lead_ts"))
+    )
+    aggs = []
+    for name, make in metrics.items():
+        for n in windows_days:
+            cond = F.col("_in_scope") & (
+                F.col("_fact_ts") <= F.col("_lead_ts") + F.expr(f"INTERVAL {n} DAYS")
+            )
+            aggs.append(make(cond).alias(f"{name}_{n}d"))
+        aggs.append(make(F.col("_in_scope")).alias(f"{name}_all"))
+    return joined.groupBy(*on, "_lead_ts", *lead_cols).agg(*aggs).withColumnRenamed(
+        "_lead_ts", lead_ts
+    )
