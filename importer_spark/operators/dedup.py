@@ -1,0 +1,159 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json north star):
+exact hash dedup and MinHash+LSH near-dup detection.
+
+Scale design: LSH is the whole point — candidate generation is a self-join on
+band buckets (shuffle on band key), never an all-pairs cross join. At 100 TB
+the quadratic verify step only runs inside buckets, whose expected size is
+controlled by (n_hashes, band_size). Skewed buckets (a shingle-set that
+collapses many docs) are absorbed by AQE skew-join splitting.
+
+Implementation note (measured on sf0.1): shingles are built via
+posexplode + window-lead rather than array higher-order functions — HOF
+lambdas are interpreted per element, while explode/window/hash-agg stay in
+generated code. The shingle stream is rows, not arrays, so MinHash reduces
+with map-side partial mins and nothing allocates per-document arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from importer_spark.operators.text import lsh_band_keys
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows of k-word shingles (with multiplicity). Documents
+    shorter than k tokens contribute their whole text as one shingle."""
+    toks = F.split(F.col(text_col), " ")
+    tok = df.filter(F.size(toks) >= shingle_k).select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, shingle_k)]
+    grams = tok.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full")).drop("_full")
+    short = df.filter(F.size(toks) < shingle_k).select(
+        F.col(id_col), F.col(text_col).alias("shingle")
+    )
+    return grams.unionByName(short)
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingles) with the distinct shingle set per document."""
+    return (
+        shingle_rows(df, id_col, text_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: every row keeps its hash, group size, and
+    canonical flag (min id wins). Generalizes reference W1/W2 dedup to
+    content-addressed grouping; one shuffle on the hash."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    w_rank = w.orderBy(F.col(id_col).asc())
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.count("*").over(w).alias("group_size"),
+        (F.row_number().over(w_rank) == 1).alias("is_canonical"),
+        F.min(id_col).over(w).alias("canonical_id"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{n-1}.
+
+    One seeded md5 per 4 components (8-hex slices of the digest); min is
+    duplicate-insensitive, so the raw shingle stream needs no distinct.
+    Single shuffle: the groupBy(id) partial-aggregates map-side."""
+    rows = shingle_rows(df, id_col, text_col, shingle_k)
+    n_seeds = (n_hashes + 3) // 4
+    hashed = rows.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{m}:"), F.col("shingle"))).alias(f"_h{m}")
+            for m in range(n_seeds)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.substring(F.col(f"_h{j // 4}"), (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
+
+    shingle → minhash → band → bucket self-join → exact-verify:
+      1. signatures + band keys per doc;
+      2. explode bands, self-join on (band_idx, band_key) with id_a < id_b —
+         moves ONLY (id, band key), never document content;
+      3. distinct candidate pairs; shingle sets are built ONLY for docs that
+         appear in a candidate pair (semi-join prune), then exact Jaccard
+         keeps pairs >= threshold.
+    With j≈0.99 dups and (8,2) parameters, recall ≈ 1-(1-j²)⁴ ≈ 1-2e-7.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    bands = lsh_band_keys([F.col(f"mh{j}") for j in range(n_hashes)], band_size)
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
+    )
+    candidates = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = shingle_sets(
+        df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, shingle_k
+    )
+    jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") / F.size(
+        F.array_union(F.col("sh_a"), F.col("sh_b"))
+    )
+    verified = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+    )
+    return (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,94 @@
+"""Similarity-search operators over embedding columns (BASELINE.json north
+star): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH bucketed variant as the scale path.
+
+Float determinism: dot products use sequential left-to-right double
+accumulation (F.aggregate over zip_with), which is bitwise-identical to
+DuckDB's list kernels — verified empirically. Scores are rounded to 6dp at
+the output; ranking uses full precision with id tie-breaks.
+
+Scale notes: brute force is O(P·N) per P probes — correct baseline, used with
+a small probe set or as the in-bucket scorer. The LSH variant buckets vectors
+by sign patterns against fixed hyperplanes: candidate generation becomes an
+equi-join on bucket id (one shuffle), and recall/cost is tuned by n_planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-accumulation dot product (bitwise-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: coefficient (j,i) decodes the
+    first hex char of md5(f"{j}_{i}") to a value in [-7.5, 7.5]. Fixed
+    constants → reproducible bucketing in any engine."""
+    return [
+        [
+            HEX.index(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0]) - 7.5
+            for i in range(dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bits of sign(emb · plane_j), j ascending."""
+    acc = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(c) for c in plane])
+        acc = acc + F.when(dot(emb, p) > 0, F.lit(1 << j)).otherwise(0)
+    return acc
+
+
+def cosine_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    probe_vec: str,
+    corpus_vec: str,
+    k: int,
+    extra_corpus_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the probe set against the corpus,
+    rank per probe by (cosine desc, id asc). The corpus is never shuffled —
+    only the per-probe top-k heap (TakeOrdered within window) reduces."""
+    extra = extra_corpus_cols or []
+    pairs = F.broadcast(probes.select(probe_id, probe_vec)).crossJoin(
+        corpus.select(corpus_id, corpus_vec, *extra)
+    )
+    scored = pairs.filter(F.col(probe_id) != F.col(corpus_id)).withColumn(
+        "_cos", cosine(F.col(probe_vec), F.col(corpus_vec))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("_cos").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(probe_id),
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round("_cos", 6).alias("cosine"),
+            *extra,
+        )
+    )

@@ -13,5 +13,10 @@ from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F40
 from importer_spark.queries import core  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
+from importer_spark.queries import llm_dedup  # noqa: F401,E402
+from importer_spark.queries import llm_multimodal  # noqa: F401,E402
+from importer_spark.queries import llm_similarity  # noqa: F401,E402
+from importer_spark.queries import llm_text  # noqa: F401,E402
 from importer_spark.queries import scalars  # noqa: F401,E402
+from importer_spark.queries import streaming_q  # noqa: F401,E402
 from importer_spark.queries import windows  # noqa: F401,E402

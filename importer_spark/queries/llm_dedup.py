@@ -1,0 +1,89 @@
+"""Dedup queries over documents (BASELINE.json LLM-pipeline operators).
+
+The near-dup oracle is intentionally a DIFFERENT algorithm (brute-force
+all-pairs Jaccard in DuckDB) than the Spark implementation (MinHash+LSH):
+agreement proves both the candidate generation's recall and the verify step's
+precision, not just expression parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.dedup import exact_dedup, minhash_signatures, near_dup_pairs
+from importer_spark.queries.registry import query
+
+_EXACT_DEDUP_SQL = """
+SELECT
+  doc_id,
+  md5(text) AS content_hash,
+  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1 AS is_canonical,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+"""
+
+
+@query("docs_exact_dedup", oracle=_EXACT_DEDUP_SQL)
+def docs_exact_dedup(spark, sf_dir):
+    """Exact hash-groupBy dedup with canonical selection (min doc_id)."""
+    t = Tables(spark, sf_dir)
+    return exact_dedup(t.documents, "doc_id", "text")
+
+
+# Shingles in DuckDB: t[i..i+2] for i in 1..len-2 (1-based), mirroring the
+# Spark word_shingles construction exactly.
+_SHINGLE_CTE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, len(t) - 1)])
+      ELSE [array_to_string(t, ' ')]
+    END AS sh
+  FROM d
+)
+"""
+
+_MINHASH_SIG_SQL = (
+    _SHINGLE_CTE
+    + "SELECT doc_id,\n"
+    + ",\n".join(
+        "  list_aggregate(list_transform(sh, x -> substr(md5('{m}:' || x), {start}, 8)),"
+        " 'min') AS mh{j}".format(m=j // 4, start=(j % 4) * 8 + 1, j=j)
+        for j in range(8)
+    )
+    + "\nFROM s"
+)
+
+
+@query("minhash_signatures", oracle=_MINHASH_SIG_SQL)
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures (8 components over 3-word shingles) — the
+    permutation-stable sketch that powers LSH dedup."""
+    t = Tables(spark, sf_dir)
+    return minhash_signatures(t.documents, "doc_id", "text")
+
+
+_NEAR_DUP_SQL = (
+    _SHINGLE_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+"""
+)
+
+
+@query("near_dup_pairs", oracle=_NEAR_DUP_SQL)
+def near_dup_pairs_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs at Jaccard >= 0.8. Spark runs the scalable
+    banded-LSH path (no all-pairs join); the oracle brute-forces all pairs —
+    value agreement certifies LSH recall AND precision on this data."""
+    t = Tables(spark, sf_dir)
+    return near_dup_pairs(t.documents, "doc_id", "text")

@@ -1,0 +1,144 @@
+"""Similarity-search queries over the embeddings table.
+
+The ANN oracle shares the Python-generated hyperplane constants with the
+Spark side (emitted as SQL literals), so both engines compute identical
+buckets; within-bucket scoring then mirrors the brute-force formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.similarity import (
+    as_double_array,
+    cosine,
+    cosine_topk,
+    hyperplanes,
+    lsh_bucket,
+)
+from importer_spark.queries.registry import query
+
+N_PROBES = 8
+TOP_K = 5
+DIMS = 64
+N_PLANES = 4
+PLANES = hyperplanes(N_PLANES, DIMS)
+
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    list_cosine_similarity(p.emb, c.emb) AS cos
+  FROM e p JOIN e c ON p.vec_id < {N_PROBES} AND c.vec_id != p.vec_id
+)
+SELECT probe_id, neighbor_id, neighbor_label,
+  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+  ROUND(cos, 6) AS cosine
+FROM pairs
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("embedding_cosine_topk", oracle=_TOPK_SQL)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k for a probe set — the ANN exactness baseline.
+    Sequential double accumulation is bitwise-identical across engines
+    (verified), so full-precision ranking agrees."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb"), "label"
+    )
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    corpus = e.select(
+        F.col("vec_id"),
+        F.col("emb").alias("corpus_emb"),
+        F.col("label").alias("neighbor_label"),
+    )
+    out = cosine_topk(
+        probes,
+        corpus,
+        probe_id="probe_id",
+        corpus_id="vec_id",
+        probe_vec="probe_emb",
+        corpus_vec="corpus_emb",
+        k=TOP_K,
+        extra_corpus_cols=["neighbor_label"],
+    )
+    return out.select("probe_id", "neighbor_id", "neighbor_label", "rank", "cosine")
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(str(c) for c in plane) + "]::DOUBLE[]"
+
+
+def _ann_sql() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_plane_literal(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(PLANES)
+    )
+    probe_buckets = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+b AS (SELECT vec_id, emb, label, {bucket_expr} AS bucket FROM e),
+probes AS (
+  SELECT vec_id, emb, bucket, UNNEST([{probe_buckets}]) AS search_bucket
+  FROM b WHERE vec_id < {N_PROBES}
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, p.bucket, c.vec_id AS neighbor_id,
+    list_cosine_similarity(p.emb, c.emb) AS cos
+  FROM probes p JOIN b c ON p.search_bucket = c.bucket AND c.vec_id != p.vec_id
+)
+SELECT probe_id, bucket, neighbor_id,
+  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+  ROUND(cos, 6) AS cosine
+FROM pairs
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("embedding_ann_lsh", oracle=_ann_sql())
+def embedding_ann_lsh(spark, sf_dir):
+    """Approximate top-k via multi-probe random-hyperplane LSH: vectors
+    bucket by the sign pattern of the fixed hyperplane dots; each probe
+    searches its own bucket plus all Hamming-distance-1 buckets (candidate
+    set ≈ (1+n_planes)/2^n_planes of the corpus). Candidate generation is an
+    equi-join on bucket id — the 100 TB path: one shuffle, no cross join.
+    Recall vs brute force is measured in tests (these embeddings are
+    near-uniform, so recall ≈ the searched corpus fraction — the structural
+    bound, not an implementation defect)."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb"), "label"
+    ).withColumn("bucket", lsh_bucket(F.col("emb"), PLANES))
+    search_buckets = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("probe_emb"),
+            F.col("bucket"),
+            F.explode(search_buckets).alias("search_bucket"),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("corpus_emb"),
+        F.col("bucket").alias("search_bucket"),
+    )
+    pairs = probes.join(corpus, on="search_bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn("_cos", cosine(F.col("probe_emb"), F.col("corpus_emb")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "bucket", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )

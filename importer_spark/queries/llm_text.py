@@ -1,0 +1,228 @@
+"""Text-analysis queries over the documents table (BASELINE.json LLM-pipeline
+operators: language-ID, quality scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.text import (
+    LANG_PRECEDENCE,
+    STOPWORDS,
+    lang_predict,
+    lang_scores,
+    normalize_text,
+    simhash32,
+    tokens,
+)
+from importer_spark.queries.registry import query
+
+_TOKEN_STATS_SQL = r"""
+SELECT
+  doc_id,
+  length(text) AS n_chars_actual,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '\w+')) AS n_word_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+  ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        / NULLIF(len(string_split(text, ' ')), 0), 6) AS unique_ratio,
+  ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        / NULLIF(len(string_split(text, ' ')), 0), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@query("text_token_stats", oracle=_TOKEN_STATS_SQL)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace split + regex word tokens (the BPE-ish
+    pre-count every training-data pipeline needs). Narrow projection — no
+    shuffle, fully codegen'd."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return t.documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(n_uniq.cast("double") / F.nullif(n_tok, F.lit(0)), 6).alias("unique_ratio"),
+        F.round(
+            (F.length("text") - n_tok + 1).cast("double") / F.nullif(n_tok, F.lit(0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    g = "greatest({})".format(", ".join(f"score_{lang}" for lang in LANG_PRECEDENCE))
+    case = "CASE WHEN {} = 0 THEN 'unknown' {} ELSE 'unknown' END".format(
+        g,
+        " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in LANG_PRECEDENCE),
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+  score_en, score_de, score_es, score_fr, score_zh,
+  {case} AS predicted_lang,
+  ({case}) = lang AS agrees_with_label
+FROM scored
+"""
+
+
+@query("lang_id", oracle=_lang_sql())
+def lang_id(spark, sf_dir):
+    """Language-ID by stopword-hit scoring with deterministic tie precedence
+    (n-gram heuristic; SURVEY §7.4). The testdata's lang column is a label —
+    agreement is reported, not assumed."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scores = lang_scores(toks)
+    scored = t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRECEDENCE],
+    )
+    rescored = {lang: F.col(f"score_{lang}") for lang in LANG_PRECEDENCE}
+    pred = lang_predict(rescored)
+    return scored.select(
+        "*",
+        pred.alias("predicted_lang"),
+        (pred == F.col("labeled_lang")).alias("agrees_with_label"),
+    )
+
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_distinct(string_split(text, ' '))) AS n_unique,
+    length(text) AS n_chars,
+    len(list_filter(string_split(text, ' '),
+        x -> x IN ('the', 'a', 'of', 'and'))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+  ROUND(n_unique::DOUBLE / NULLIF(n_tokens, 0), 6) AS diversity,
+  ROUND(n_stopwords::DOUBLE / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
+  ROUND(
+    LEAST(100.0, n_tokens / 5.0) * 0.4
+    + (n_unique::DOUBLE / NULLIF(n_tokens, 0)) * 100.0 * 0.4
+    + LEAST(100.0, (n_chars::DOUBLE / NULLIF(n_tokens, 0)) * 10.0) * 0.2, 6)
+    AS quality_score,
+  n_tokens BETWEEN 50 AND 1000
+    AND (n_unique::DOUBLE / NULLIF(n_tokens, 0)) > 0.05 AS passes_filter
+FROM base
+"""
+
+
+@query("doc_quality_scores", oracle=_QUALITY_SQL)
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring: length / diversity / stopword-ratio composite with a
+    keep-drop gate — the standard pre-training corpus filter shape."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).alias(
+            "n_stopwords"
+        ),
+    )
+    nt = F.col("n_tokens")
+    diversity = F.col("n_unique").cast("double") / F.nullif(nt, F.lit(0))
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(diversity, 6).alias("diversity"),
+        F.round(F.col("n_stopwords").cast("double") / F.nullif(nt, F.lit(0)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.least(F.lit(100.0), nt / 5.0) * 0.4
+            + diversity * 100.0 * 0.4
+            + F.least(
+                F.lit(100.0), F.col("n_chars").cast("double") / F.nullif(nt, F.lit(0)) * 10.0
+            )
+            * 0.2,
+            6,
+        ).alias("quality_score"),
+        (nt.between(50, 1000) & (diversity > 0.05)).alias("passes_filter"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT
+  doc_id,
+  md5(text) AS content_hash,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS normalized_hash,
+  md5(substr(text, 1, 64)) AS prefix_hash,
+  substr(md5(text), 1, 8) AS short_fingerprint
+FROM documents
+"""
+
+
+@query("doc_fingerprints", oracle=_FINGERPRINT_SQL)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: full, normalized, and prefix hashes (the
+    cheap first pass before MinHash; reference X3-style normalization)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.md5(normalize_text(F.col("text"))).alias("normalized_hash"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_hash"),
+        F.substring(F.md5("text"), 1, 8).alias("short_fingerprint"),
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1) >> {sh}) & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(pos=b // 4 + 1, sh=3 - b % 4, b=b)
+        for b in range(32)
+    )
+    recombine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS m FROM documents
+),
+bits AS (
+  SELECT doc_id,
+    {sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@query("simhash_fingerprints", oracle=_simhash_sql())
+def simhash_fingerprints(spark, sf_dir):
+    """SimHash (32-bit): per-token md5 bits vote ±1, sign becomes the bit —
+    near-dup docs land within small Hamming distance. Explode + 32
+    conditional sums: one shuffle on doc_id; bit decoding via hex-char strpos
+    so the arithmetic is portable (no 64-bit overflow semantics)."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("m"))
+    bits = tok.groupBy("doc_id").agg(
+        *[F.sum(simhash32(F.col("m"), b)).alias(f"s{b}") for b in range(32)]
+    )
+    acc = F.lit(0).cast("bigint")
+    for b in range(32):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return bits.select("doc_id", acc.cast("bigint").alias("simhash"))
