@@ -11,6 +11,7 @@ from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F40
 
 # Importing the modules populates the registry.
 from importer_spark.queries import core  # noqa: F401,E402
+from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import llm_dedup  # noqa: F401,E402

@@ -1,0 +1,8 @@
+from importer_spark.sources.files import (  # noqa: F401
+    align_to_schema,
+    discover_files,
+    optional_column,
+    read_xlsx,
+    with_ingest_metadata,
+)
+from importer_spark.sources.rest import RestCursorSource  # noqa: F401

@@ -1,0 +1,161 @@
+"""Source-layer tests: discovery, metadata, schema alignment/evolution,
+header remap + id synthesis, REST cursor source, salted join, sketches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from importer_spark.io import normalize_column_name, normalize_columns
+from importer_spark.operators.skew import salted_join
+from importer_spark.sources import (
+    RestCursorSource,
+    align_to_schema,
+    discover_files,
+    with_ingest_metadata,
+)
+from importer_spark.sources.files import (
+    filename_date,
+    read_evolving_parquet,
+    remap_headers,
+    synthesize_lead_id,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filename_date_formats():
+    assert filename_date("export_01-31-2024.xlsx") == "2024-01-31"
+    assert filename_date("items-2024-02-15.jsonl") == "2024-02-15"
+    assert filename_date("seed_items.xlsx") is None
+
+
+def test_discover_files_ordering_and_latest(tmp_path):
+    for name in ["b_01-15-2024.csv", "a_2024-03-01.csv", "seed.csv"]:
+        (tmp_path / name).write_text("x")
+    found = discover_files(str(tmp_path / "*.csv"))
+    assert [f.file_date for f in found] == [None, "2024-01-15", "2024-03-01"]
+    latest = discover_files(str(tmp_path / "*.csv"), latest_only=True)
+    assert latest[0].file_date == "2024-03-01"
+
+
+def test_ingest_metadata_and_column_normalization(spark):
+    df = spark.createDataFrame([Row(**{"Total Amount": 1})])
+    named = normalize_columns(df)
+    assert named.columns == ["total_amount"]
+    out = with_ingest_metadata(
+        named, snapshot_date="2024-01-31", is_seed=True, worksheet_name="Item",
+        load_date="2024-02-01",
+    )
+    row = out.first()
+    assert (row.load_date, row.snapshot_date, row.is_seed, row.worksheet_name) == (
+        "2024-02-01", "2024-01-31", True, "Item",
+    )
+
+
+def test_normalize_column_name_rules():
+    assert normalize_column_name(" Product/Service Amount ") == "product_service_amount"
+    assert normalize_column_name("Qty.On.Hand") == "qtyonhand"
+
+
+def test_align_to_schema_pads_and_orders(spark):
+    df = spark.createDataFrame([Row(b="x", a=1)])
+    out = align_to_schema(df, {"a": "bigint", "b": "string", "c": "double"})
+    assert out.columns == ["a", "b", "c"]
+    row = out.first()
+    assert row.c is None and dict(out.dtypes)["c"] == "double"
+
+
+def test_union_after_alignment(spark):
+    inv = spark.createDataFrame([Row(order_no="I1", terms="NET30")])
+    rec = spark.createDataFrame([Row(order_no="R1", payment="card")])
+    target = {"order_no": "string", "terms": "string", "payment": "string"}
+    unioned = align_to_schema(inv, target).unionByName(align_to_schema(rec, target))
+    rows = {r.order_no: (r.terms, r.payment) for r in unioned.collect()}
+    assert rows == {"I1": ("NET30", None), "R1": (None, "card")}
+
+
+def test_remap_and_lead_id_synthesis(spark):
+    df = spark.createDataFrame(
+        [
+            Row(**{"First Name": "Ada", "Last Name": "L", "Email": "a@x.co",
+                   "Company": "X", "lead_id": ""}),
+            Row(**{"First Name": "Bo", "Last Name": "K", "Email": "b@y.co",
+                   "Company": "Y", "lead_id": "L-7"}),
+        ]
+    )
+    out = synthesize_lead_id(remap_headers(df))
+    ids = {r.email: r.lead_id for r in out.collect()}
+    assert ids["b@y.co"] == "L-7"
+    assert ids["a@x.co"].startswith("gen_") and len(ids["a@x.co"]) == 20
+    # Deterministic: same inputs → same synthetic id.
+    again = synthesize_lead_id(remap_headers(df))
+    assert {r.lead_id for r in again.collect()} == set(ids.values())
+
+
+def test_read_evolving_parquet_merges_schema(spark, tmp_path):
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([Row(id=1, name="a")]).write.parquet(p1)
+    spark.createDataFrame([Row(id=2, name="b", new_col=3.5)]).write.parquet(p2)
+    merged = read_evolving_parquet(spark, [p1, p2])
+    assert set(merged.columns) == {"id", "name", "new_col"}
+    vals = {r.id: r.new_col for r in merged.collect()}
+    assert vals[1] is None and vals[2] == 3.5
+
+
+def test_rest_cursor_source_pagination(spark):
+    data = [
+        {"id": i, "updated_at": f"2024-01-{i:02d}"} for i in range(1, 8)
+    ]
+
+    def fetch(cursor, page_size):
+        rows = [r for r in data if cursor is None or r["updated_at"] > cursor]
+        return rows[:3]
+
+    src = RestCursorSource(spark, fetch, page_size=3)
+    full = src.load()
+    assert full.count() == 7
+    incr = src.load(cursor="2024-01-05")
+    assert sorted(r.id for r in incr.collect()) == [6, 7]
+
+
+def test_read_xlsx_gated(spark, tmp_path):
+    from importer_spark.sources import read_xlsx
+
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        read_xlsx(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from importer_spark.io import Tables
+
+    t = Tables(spark, SF_DIR)
+    plain = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            t.orders,
+            t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+            on=["o_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_approx_sketch_error_bound(spark):
+    from importer_spark.queries import QUERIES
+
+    df = QUERIES["approx_distinct_sketch"](spark, SF_DIR).toPandas()
+    rel_err = (df.approx_customers - df.exact_customers).abs() / df.exact_customers
+    assert (rel_err < 0.05).all(), df
