@@ -18,6 +18,7 @@ from importer_spark.queries import llm_dedup  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
 from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
+from importer_spark.queries import marts  # noqa: F401,E402
 from importer_spark.queries import scalars  # noqa: F401,E402
 from importer_spark.queries import streaming_q  # noqa: F401,E402
 from importer_spark.queries import windows  # noqa: F401,E402

@@ -1,0 +1,111 @@
+"""Model-DAG mechanics and physical-plan audits.
+
+The plan audits assert the optimizer behaviors the 100 TB design depends on:
+filters reaching the parquet scan, dims broadcasting, codegen in the hot
+path. They check stable substrings of explain output — loose enough to
+survive Spark version churn, tight enough to catch a regression to
+shuffle-everything plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from importer_spark.plans.dag import ModelGraph
+from importer_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _explain(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_dag_topological_order_and_cache(spark):
+    g = ModelGraph()
+    calls = []
+
+    @g.model("a")
+    def a(ctx):
+        calls.append("a")
+        return ctx.spark.range(3)
+
+    @g.model("b", deps=["a"])
+    def b(ctx):
+        calls.append("b")
+        return ctx.ref("a").withColumnRenamed("id", "b_id")
+
+    @g.model("c", deps=["a", "b"])
+    def c(ctx):
+        calls.append("c")
+        return ctx.ref("b")
+
+    out = g.run(spark, SF_DIR, targets=["c"])
+    assert calls == ["a", "b", "c"]
+    # 'a' has two dependents → cached.
+    assert out["a"].is_cached
+    assert not out["c"].is_cached
+    out["a"].unpersist()
+
+
+def test_dag_cycle_detection(spark):
+    g = ModelGraph()
+
+    @g.model("x", deps=["y"])
+    def x(ctx):
+        return ctx.ref("y")
+
+    @g.model("y", deps=["x"])
+    def y(ctx):
+        return ctx.ref("x")
+
+    with pytest.raises(ValueError, match="cycle"):
+        g.run(spark, SF_DIR, targets=["x"])
+
+
+def test_dag_unknown_model(spark):
+    g = ModelGraph()
+    with pytest.raises(KeyError):
+        g.run(spark, SF_DIR, targets=["nope"])
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _explain(spark, "pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_column_pruning_on_scan(spark):
+    plan = _explain(spark, "pricing_summary")
+    # The lineitem scan must not read columns the query never touches.
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_dims_broadcast_in_star_join(spark):
+    plan = _explain(spark, "region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hot_path_is_codegen(spark):
+    df = QUERIES["orders_fact"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    # "Found N WholeStageCodegen subtrees" — the agg+join hot path compiles.
+    assert "WholeStageCodegen" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of operator must shuffle once on the key — a join-based
+    implementation would show 2+ exchanges plus a join node."""
+    plan = _explain(spark, "asof_last_view")
+    assert plan.count("Exchange") <= 2, plan  # initial + AQE read
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _explain(spark, "top_customers")
+    assert "TakeOrderedAndProject" in plan
