@@ -92,6 +92,24 @@ def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None
     w.parquet(path)
 
 
+def export_jsonl_snapshot(
+    df: DataFrame,
+    path: str,
+    snapshot_col: str,
+    after: str | None = None,
+    order_by: list[str] | None = None,
+) -> None:
+    """JSONL append sink for historical export (reference S6:
+    pipelines/quickbooks/pipeline.py:459-558 — rows past the last exported
+    snapshot, deterministically ordered, appended as line-JSON). Ordering is
+    per-file (sortWithinPartitions) — a global order would force a single
+    partition; consumers re-sort on read, as the reference's importer does."""
+    out = df if after is None else df.filter(F.col(snapshot_col) > F.lit(after))
+    if order_by:
+        out = out.sortWithinPartitions(*order_by)
+    out.write.mode("append").json(path)
+
+
 def merge_by_key(
     spark: SparkSession,
     source: DataFrame,

@@ -1,0 +1,82 @@
+"""Remaining SURVEY §2 coverage: UNION-distinct (U2), price-grid bucketing
+(F20), average order cadence (F17)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.queries.registry import query
+
+_UNION_DISTINCT_SQL = """
+SELECT value, COUNT(*) AS n_sources FROM (
+  SELECT DISTINCT c_mktsegment AS value FROM customer
+  UNION
+  SELECT DISTINCT o_orderpriority AS value FROM orders
+) GROUP BY value
+"""
+
+
+@query("union_distinct_values", oracle=_UNION_DISTINCT_SQL)
+def union_distinct_values(spark, sf_dir):
+    """U2 UNION (distinct) of two extracts (reference:
+    domain_consolidation.py:306-328 main ∪ cc domain lists)."""
+    t = Tables(spark, sf_dir)
+    segs = t.customer.select(F.col("c_mktsegment").alias("value")).distinct()
+    prios = t.orders.select(F.col("o_orderpriority").alias("value")).distinct()
+    return segs.union(prios).distinct().groupBy("value").agg(
+        F.count("*").alias("n_sources")
+    )
+
+
+_PRICE_GRID_SQL = """
+SELECT p_brand AS brand,
+       ROUND(p_retailprice / 5.0) * 5 AS price_grid,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY 1, 2
+"""
+
+
+@query("price_grid_clustering", oracle=_PRICE_GRID_SQL)
+def price_grid_clustering(spark, sf_dir):
+    """F20 $5-grid price clustering (reference:
+    fct_product_pricing_history.sql:114-133 ROUND(price/5)*5)."""
+    t = Tables(spark, sf_dir)
+    return t.part.groupBy(
+        F.col("p_brand").alias("brand"),
+        (F.round(F.col("p_retailprice") / 5.0, 0) * 5).alias("price_grid"),
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+_CADENCE_SQL = """
+SELECT o_custkey AS cust_key,
+  COUNT(*) AS n_orders,
+  strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+  ROUND(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))::DOUBLE
+        / NULLIF(COUNT(*) - 1, 0), 6) AS avg_interval_days
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("order_cadence", oracle=_CADENCE_SQL)
+def order_cadence(spark, sf_dir):
+    """F17 average order interval (last-first)/NULLIF(n-1,0) (reference:
+    dim_company_health.sql:62-66)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.count("*").alias("n_orders"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.round(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).cast("double")
+            / F.nullif(F.count("*") - 1, F.lit(0)),
+            6,
+        ).alias("avg_interval_days"),
+    )
