@@ -38,9 +38,17 @@ def main() -> None:
         shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not first-touch session costs.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM + every table's footer/schema once so per-query numbers
+    # measure the queries, not first-touch session costs.
+    from importer_spark.io import TABLES
+
+    for t in TABLES:
+        try:
+            if t == "events":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -10,6 +10,7 @@ register with oracle=None → rows-only check.
 from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Importing the modules populates the registry.
+from importer_spark.queries import consolidation  # noqa: F401,E402
 from importer_spark.queries import core  # noqa: F401,E402
 from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
