@@ -14,6 +14,7 @@ from importer_spark.queries import consolidation  # noqa: F401,E402
 from importer_spark.queries import core  # noqa: F401,E402
 from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
+from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import llm_dedup  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
