@@ -10,8 +10,22 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet path, returning None ONLY when the path does not exist.
+    Any other failure (corrupt footer, permissions, storage errors)
+    propagates — treating those as 'missing table' would make the merge/
+    append writers silently discard existing data."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in (getattr(e, "getErrorClass", lambda: "")() or str(e)):
+            return None
+        raise
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -54,11 +68,22 @@ class Tables:
             if name == "events":
                 # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
                 # rejects; read nanos as long and truncate to microseconds —
-                # the same conversion DuckDB applies when reading nanos.
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = self.spark.read.parquet(path).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                # the same conversion DuckDB applies when reading nanos. The
+                # legacy flag is restored afterwards (the read captures the
+                # schema eagerly) so the session's behavior for other parquet
+                # sources is untouched.
+                conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+                prev = self.spark.conf.get(conf_key, None)
+                self.spark.conf.set(conf_key, "true")
+                try:
+                    df = self.spark.read.parquet(path).withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                finally:
+                    if prev is None:
+                        self.spark.conf.unset(conf_key)
+                    else:
+                        self.spark.conf.set(conf_key, prev)
             else:
                 df = self.spark.read.parquet(path)
             self._dfs[name] = df
@@ -126,13 +151,9 @@ def merge_by_key(
     The shuffle is keyed on the PK, so at scale the dedup window and any
     downstream PK-join share partitioning.
     """
-    try:
-        target = spark.read.parquet(path)
-        exists = True
-    except Exception:
-        exists = False
+    target = read_parquet_if_exists(spark, path)
     src = source.withColumn("_merge_rank", F.lit(1))
-    if exists:
+    if target is not None:
         tgt = target.withColumn("_merge_rank", F.lit(2))
         merged = src.unionByName(tgt, allowMissingColumns=True)
     else:
@@ -146,11 +167,19 @@ def merge_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_merge_rank")
     )
-    # Materialize before overwriting the path we read from.
-    out = result.cache()
-    out.count()
-    out.write.mode("overwrite").parquet(path)
-    out.unpersist()
+    # Stage-then-swap: writing straight over the path we are reading would
+    # race the scan (a recomputed partition would read already-deleted
+    # files); cache() is not a durability guarantee. On Delta/Iceberg the
+    # transaction log does this; on plain parquet we write to a staging dir
+    # and rename.
+    staging = f"{path}__staging"
+    result.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.delete(hpath(path), True)
+    if not fs.rename(hpath(staging), hpath(path)):
+        raise IOError(f"merge_by_key: failed to swap staging dir into {path}")
 
 
 def snapshot_append(
@@ -162,10 +191,7 @@ def snapshot_append(
     """dbt-style incremental append (reference I2:
     int_quickbooks__inventory_history.sql:60-64): append only rows with
     ``snapshot_col`` strictly greater than the target's current max."""
-    try:
-        target = spark.read.parquet(path)
-        high = target.agg(F.max(snapshot_col)).first()[0]
-    except Exception:
-        high = None
+    target = read_parquet_if_exists(spark, path)
+    high = None if target is None else target.agg(F.max(snapshot_col)).first()[0]
     delta = source if high is None else source.filter(F.col(snapshot_col) > F.lit(high))
     delta.write.mode("append").parquet(path)

@@ -52,9 +52,13 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
     )
     unioned = lhs.unionByName(rhs)
+    # Tie-break on the carried right values so two right rows sharing
+    # (key, ts) resolve identically on every run (determinism convention);
+    # for non-orderable value types, pre-dedup the right side instead.
+    tiebreaks = [F.col(f"{c}{suffix}").asc_nulls_first() for c in right_value_cols]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(tag).asc())
+        .orderBy(F.col(ts).asc(), F.col(tag).asc(), *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -29,7 +29,18 @@ def salted_join(
 
     The salt is derived from a hash of the whole left row (deterministic,
     no rand()), so repeated runs partition identically.
+
+    Only left-preserving joins are supported: right/full outer would emit
+    each unmatched right row once per salt bucket (it is replicated), which
+    is NOT identical to the plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"across {salt_buckets} salt buckets; use one of {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     left_s = left.withColumn("_salt", salt)
     right_s = right.withColumn(

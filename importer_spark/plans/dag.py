@@ -93,6 +93,16 @@ class ModelGraph:
             ctx.outputs[name] = df
         return ctx.outputs
 
+    @staticmethod
+    def release(outputs: dict[str, DataFrame]) -> None:
+        """Unpersist any fan-out caches from a ``run`` — call when done with
+        the outputs (repeated runs otherwise accumulate orphaned cached
+        plans in executor storage). Single-target runs cache nothing (a
+        node needs ≥2 dependents within the resolved set)."""
+        for df in outputs.values():
+            if df.is_cached:
+                df.unpersist()
+
 
 # The default graph used by the mart queries.
 GRAPH = ModelGraph()

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from importer_spark.io import merge_by_key
-from importer_spark.streaming.incremental import cursor_incremental_batch
+from importer_spark.streaming.incremental import (
+    commit_cursor,
+    cursor_incremental_batch,
+    read_cursor,
+)
 
 
 @dataclass
@@ -35,19 +39,19 @@ def run_source_load(
 ) -> LoadResult:
     """Load one source table with seed/incremental semantics.
 
-    seed: full reload (drops cursor state implicitly by advancing it to max);
+    seed: full reload, cursor advanced to the batch max;
     incremental: only rows past the persisted cursor, merged by PK so
-    re-delivered rows upsert (reference I3 late-data handling).
+    re-delivered rows upsert (reference I3 late-data handling). The cursor
+    commits AFTER the warehouse write succeeds (at-least-once: a failed run
+    re-delivers, and the PK merge absorbs the duplicates).
     """
     state_path = f"{warehouse_path}__cursor"
     if mode == "seed":
         delta = source
-        # Advance the cursor so the next incremental starts from here.
-        source.agg(F.max(cursor_col).alias("cursor")).write.mode("overwrite").parquet(
-            state_path
-        )
     elif mode == "incremental":
-        delta = cursor_incremental_batch(spark, source, cursor_col, state_path)
+        delta = cursor_incremental_batch(
+            spark, source, cursor_col, state_path, auto_commit=False
+        )
     else:
         raise ValueError(f"unknown mode {mode!r}; use 'seed' or 'incremental'")
     n = delta.count()
@@ -55,5 +59,10 @@ def run_source_load(
         delta.write.mode("overwrite").parquet(warehouse_path)
     else:
         merge_by_key(spark, delta, warehouse_path, keys=keys, version_col=cursor_col)
+    # Durable write finished — now advance the watermark (never backwards).
+    new_max = source.agg(F.max(cursor_col).alias("cursor")).first()["cursor"]
+    prev = read_cursor(spark, state_path)
+    if new_max is not None and (prev is None or str(new_max) > str(prev)):
+        commit_cursor(spark, state_path, new_max)
     total = spark.read.parquet(warehouse_path).count()
     return LoadResult(mode=mode, rows_loaded=n, target_rows=total)

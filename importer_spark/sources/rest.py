@@ -39,18 +39,32 @@ class RestCursorSource:
             if not page:
                 return
             yield page
-            cursor = max(str(r[self.cursor_field]) for r in page)
+            new_cursor = max(str(r[self.cursor_field]) for r in page)
+            if new_cursor == cursor:
+                # A full page of identical cursor values cannot advance —
+                # stop instead of looping forever. Real APIs break such runs
+                # with a secondary sort key (id); inject a fetcher that
+                # paginates on (cursor, id) if your feed can produce >page_size
+                # records sharing one timestamp.
+                return
+            cursor = new_cursor
 
-    def load(self, cursor: str | None = None) -> DataFrame:
-        """Fetch all pages past ``cursor`` into one DataFrame. Driver-side
-        accumulation is bounded by page count since the cursor advances every
+    def load(self, cursor: str | None = None, empty_schema: str | None = None) -> DataFrame:
+        """Fetch all pages strictly past ``cursor`` into one DataFrame (the
+        fetcher's contract: records with cursor_field > cursor, ascending).
+        Driver-side accumulation is bounded since the cursor advances every
         page; for truly unbounded feeds, write each page to the bronze path
-        and let the file stream take over."""
+        and let the file stream take over.
+
+        ``empty_schema``: DDL schema to use when zero records arrive (the
+        record shape can't be inferred from nothing); defaults to a bare
+        cursor-only schema."""
         records: list[dict] = []
         for page in self._pages(cursor):
             records.extend(page)
         if not records:
-            return self.spark.createDataFrame([], schema="id string")
+            schema = empty_schema or f"{self.cursor_field} string, _cursor string"
+            return self.spark.createDataFrame([], schema=schema)
         df = self.spark.createDataFrame(records)
         # New cursor = max(cursor_field); caller persists it (see
         # streaming.cursor_incremental_batch for the state-table pattern).

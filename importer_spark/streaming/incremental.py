@@ -52,21 +52,51 @@ def windowed_event_counts(
     )
 
 
+def read_cursor(spark: SparkSession, state_path: str):
+    """Read the persisted high-watermark (None if no state yet). Only a
+    missing path counts as 'no state' — other read errors propagate."""
+    from importer_spark.io import read_parquet_if_exists
+
+    state = read_parquet_if_exists(spark, state_path)
+    if state is None:
+        return None
+    row = state.first()
+    return None if row is None else row["cursor"]
+
+
+def commit_cursor(spark: SparkSession, state_path: str, value) -> None:
+    """Persist the high-watermark. Call AFTER the delta has been durably
+    consumed — committing first would skip the batch on a downstream
+    failure."""
+    if value is None:
+        return  # empty batch: keep the previous watermark
+    spark.createDataFrame([(value,)], ["cursor"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+
+
 def cursor_incremental_batch(
     spark: SparkSession,
     source: DataFrame,
     cursor_col: str,
     state_path: str,
+    auto_commit: bool = True,
 ) -> DataFrame:
     """Cursor-based incremental extract (reference I1: dlt's ``updated_at``
-    high-watermark, shopify_dlt/__init__.py:69-77): return only rows past the
-    persisted cursor and advance it. State is a 1-row parquet — on a real
-    deployment, a table in the catalog."""
-    try:
-        prev = spark.read.parquet(state_path).first()["cursor"]
-    except Exception:
-        prev = None
+    high-watermark, shopify_dlt/__init__.py:69-77): rows strictly past the
+    persisted cursor. State is a 1-row parquet — on a real deployment, a
+    table in the catalog.
+
+    With ``auto_commit`` the watermark advances immediately — at-most-once
+    if the caller's downstream write then fails. For at-least-once, pass
+    ``auto_commit=False``, consume the delta durably, then call
+    ``commit_cursor(spark, state_path, delta_max)`` yourself (see
+    plans/pipeline.py::run_source_load). An empty source never regresses the
+    watermark."""
+    prev = read_cursor(spark, state_path)
     delta = source if prev is None else source.filter(F.col(cursor_col) > F.lit(prev))
-    new_cursor = source.agg(F.max(cursor_col).alias("cursor"))
-    new_cursor.write.mode("overwrite").parquet(state_path)
+    if auto_commit:
+        new_max = source.agg(F.max(cursor_col).alias("cursor")).first()["cursor"]
+        if new_max is not None and (prev is None or str(new_max) > str(prev)):
+            commit_cursor(spark, state_path, new_max)
     return delta

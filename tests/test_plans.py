@@ -47,7 +47,8 @@ def test_dag_topological_order_and_cache(spark):
     # 'a' has two dependents → cached.
     assert out["a"].is_cached
     assert not out["c"].is_cached
-    out["a"].unpersist()
+    g.release(out)
+    assert not out["a"].is_cached
 
 
 def test_dag_cycle_detection(spark):

@@ -1,0 +1,86 @@
+"""Regression tests for the round-1 code-review findings: failure paths must
+fail loudly, watermarks must never regress, salting must reject unsafe join
+types, pagination must not spin on stuck cursors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from importer_spark.io import merge_by_key, read_parquet_if_exists
+from importer_spark.operators.skew import salted_join
+from importer_spark.plans.pipeline import run_source_load
+from importer_spark.sources.rest import RestCursorSource
+from importer_spark.streaming.incremental import (
+    commit_cursor,
+    cursor_incremental_batch,
+    read_cursor,
+)
+
+
+def test_merge_raises_on_corrupt_target_instead_of_overwriting(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    merge_by_key(spark, spark.createDataFrame([Row(k=1, v="keep")]), path, keys=["k"])
+    # Corrupt a data file: now a read fails with something other than
+    # PATH_NOT_FOUND and the merge must propagate, not wipe the table.
+    parquet_files = list((tmp_path / "tbl").glob("*.parquet"))
+    assert parquet_files
+    parquet_files[0].write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        merge_by_key(spark, spark.createDataFrame([Row(k=2, v="new")]), path, keys=["k"])
+
+
+def test_read_parquet_if_exists_missing_vs_error(spark, tmp_path):
+    assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+
+
+def test_cursor_never_regresses_and_empty_batch_keeps_watermark(spark, tmp_path):
+    state = str(tmp_path / "cur")
+    commit_cursor(spark, state, "2024-05-01")
+    # Empty source: watermark unchanged, delta empty.
+    empty = spark.createDataFrame([], schema="id int, updated_at string")
+    delta = cursor_incremental_batch(spark, empty, "updated_at", state)
+    assert delta.count() == 0
+    assert read_cursor(spark, state) == "2024-05-01"
+    # Source containing only old rows: watermark unchanged.
+    old = spark.createDataFrame([Row(id=1, updated_at="2024-01-01")])
+    delta = cursor_incremental_batch(spark, old, "updated_at", state)
+    assert delta.count() == 0
+    assert read_cursor(spark, state) == "2024-05-01"
+
+
+def test_run_source_load_commits_cursor_after_write(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    src = spark.createDataFrame([Row(id=1, v="a", updated_at="2024-01-01")])
+    run_source_load(spark, src, wh, keys=["id"], cursor_col="updated_at", mode="seed")
+    # Stale re-delivery only: cursor stays at the seed max.
+    run_source_load(spark, src, wh, keys=["id"], cursor_col="updated_at", mode="incremental")
+    assert read_cursor(spark, wh + "__cursor") == "2024-01-01"
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError, match="duplicate unmatched right rows"):
+        salted_join(df, df, on=["k"], how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], how="right")
+
+
+def test_rest_source_stops_on_stuck_cursor(spark):
+    # 5 records all sharing one updated_at, page size 2: an inclusive-cursor
+    # fetcher would loop forever without the stall guard.
+    data = [{"id": i, "updated_at": "2024-01-01"} for i in range(5)]
+
+    def sticky_fetch(cursor, page_size):
+        rows = [r for r in data if cursor is None or r["updated_at"] >= cursor]
+        return rows[:page_size]
+
+    src = RestCursorSource(spark, sticky_fetch, page_size=2)
+    df = src.load()  # must terminate
+    assert df.count() <= len(data) + 2
+
+
+def test_rest_source_empty_schema(spark):
+    src = RestCursorSource(spark, lambda c, p: [], page_size=2)
+    df = src.load(empty_schema="id bigint, updated_at string, _cursor string")
+    assert df.columns == ["id", "updated_at", "_cursor"] and df.count() == 0
