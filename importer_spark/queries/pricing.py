@@ -1,0 +1,129 @@
+"""Product pricing-history composition (reference:
+fct_product_pricing_history.sql — the reference's heaviest window stack:
+observed prices, 30-day rolling clusters W8, running-max fallback W9, lag
+trend W5, retail comparison) and inventory deltas (I2/W5:
+fct_inventory_history.sql:39-47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.functions import dec, growth_pct, out_double
+from importer_spark.io import Tables
+from importer_spark.queries.core import D2
+from importer_spark.queries.registry import query
+
+_PRICING_SQL = """
+WITH obs AS (
+  SELECT l.l_partkey AS part_key,
+         l.l_orderkey, l.l_linenumber,
+         l.l_shipdate,
+         strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+         -- scale 8: cents/qty can terminate exactly at <=7dp (qty a 2^a*5^b),
+         -- and round(x,6) at an exact boundary is not engine-portable
+         ROUND(l.l_extendedprice / l.l_quantity, 8) AS obs_price,
+         p.p_retailprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT part_key, ship_date, l_orderkey AS order_key, l_linenumber AS line_number,
+  obs_price,
+  LAG(obs_price) OVER w_seq AS prev_price,
+  ROUND((obs_price - LAG(obs_price) OVER w_seq)
+        / NULLIF(LAG(obs_price) OVER w_seq, 0) * 100.0, 6) AS price_change_pct,
+  COUNT(*) OVER w_range AS obs_30d,
+  ROUND(MAX(obs_price) OVER w_run, 8) AS running_max_price,
+  ROUND(obs_price / NULLIF(p_retailprice, 0), 6) AS retail_ratio
+FROM obs
+WINDOW
+  w_seq AS (PARTITION BY part_key ORDER BY l_shipdate, l_orderkey, l_linenumber),
+  w_range AS (PARTITION BY part_key ORDER BY epoch_us(l_shipdate)
+              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW),
+  w_run AS (PARTITION BY part_key ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("product_pricing_history", oracle=_PRICING_SQL)
+def product_pricing_history(spark, sf_dir):
+    """The reference's heaviest window composition in ONE plan: per-part
+    observed prices with lag trend (W5), 30-day RANGE-frame observation
+    clusters (W8), running-max fallback price (W9), and retail comparison
+    (fct_product_pricing_history.sql:118-252). All four windows share the
+    part_key partitioning — one shuffle, one in-partition sort serves the
+    sequence windows, the range frame rides the same sort on epoch micros."""
+    t = Tables(spark, sf_dir)
+    obs = (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 8).alias("obs_price"),
+            "p_retailprice",
+        )
+    )
+    w_seq = Window.partitionBy("part_key").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w_range = (
+        Window.partitionBy("part_key")
+        .orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+        .rangeBetween(-2_592_000_000_000, 0)
+    )
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("obs_price").over(w_seq)
+    return obs.select(
+        "part_key",
+        "ship_date",
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        "obs_price",
+        prev.alias("prev_price"),
+        growth_pct(F.col("obs_price"), prev).alias("price_change_pct"),
+        F.count("*").over(w_range).alias("obs_30d"),
+        F.round(F.max("obs_price").over(w_run), 8).alias("running_max_price"),
+        F.round(F.col("obs_price") / F.nullif(F.col("p_retailprice"), F.lit(0)), 6).alias(
+            "retail_ratio"
+        ),
+    )
+
+
+_INVENTORY_SQL = f"""
+WITH monthly AS (
+  SELECT l_partkey AS part_key,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+         CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) AS units_shipped
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT part_key, ship_month, units_shipped,
+  LAG(units_shipped) OVER w AS prev_month_units,
+  ROUND(units_shipped - COALESCE(LAG(units_shipped) OVER w, 0), 6) AS units_delta,
+  ROUND((units_shipped - LAG(units_shipped) OVER w)
+        / NULLIF(LAG(units_shipped) OVER w, 0) * 100.0, 6) AS mom_change_pct
+FROM monthly
+WINDOW w AS (PARTITION BY part_key ORDER BY ship_month)
+"""
+
+
+@query("inventory_deltas", oracle=_INVENTORY_SQL)
+def inventory_deltas(spark, sf_dir):
+    """Snapshot-series deltas (reference I2/W5: inventory history keyed by
+    (item, snapshot) with lag deltas, fct_inventory_history.sql:39-47) —
+    monthly shipped units per part with month-over-month change."""
+    t = Tables(spark, sf_dir)
+    monthly = t.lineitem.groupBy(
+        F.col("l_partkey").alias("part_key"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"),
+    ).agg(out_double(F.sum(dec(F.col("l_quantity")))).alias("units_shipped"))
+    w = Window.partitionBy("part_key").orderBy("ship_month")
+    prev = F.lag("units_shipped").over(w)
+    return monthly.select(
+        "part_key",
+        "ship_month",
+        "units_shipped",
+        prev.alias("prev_month_units"),
+        F.round(F.col("units_shipped") - F.coalesce(prev, F.lit(0.0)), 6).alias("units_delta"),
+        growth_pct(F.col("units_shipped"), prev).alias("mom_change_pct"),
+    )
