@@ -20,6 +20,7 @@ from importer_spark.queries import llm_dedup  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
 from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
+from importer_spark.queries import llm_tfidf  # noqa: F401,E402
 from importer_spark.queries import marts  # noqa: F401,E402
 from importer_spark.queries import misc  # noqa: F401,E402
 from importer_spark.queries import pricing  # noqa: F401,E402
