@@ -16,10 +16,12 @@ from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
+from importer_spark.queries import joins2  # noqa: F401,E402
 from importer_spark.queries import llm_dedup  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
 from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
+from importer_spark.queries import llm_sampling  # noqa: F401,E402
 from importer_spark.queries import llm_tfidf  # noqa: F401,E402
 from importer_spark.queries import marts  # noqa: F401,E402
 from importer_spark.queries import misc  # noqa: F401,E402

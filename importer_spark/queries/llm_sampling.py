@@ -1,0 +1,191 @@
+"""Corpus curation operators: stratified sampling, PII redaction, sequence
+packing, and per-document top terms — the selection/safety/batching steps of
+a training-data pipeline (BASELINE.json LLM-pipeline operators; complements
+the dedup/quality operators in llm_dedup.py / llm_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.queries.llm_tfidf import _TFIDF_SQL, tfidf_weights
+from importer_spark.queries.registry import query
+
+# Per-language keep rates expressed as md5-hex-prefix buckets (x/16). A
+# deterministic hash gate — not rand() — so the sample is reproducible across
+# engines, runs, and retries (rand() would also break oracle parity).
+_LANG_BUCKETS = {"en": 8, "de": 4, "es": 4, "fr": 4, "zh": 2}
+_DEFAULT_BUCKETS = 1
+
+_STRAT_CASE = "CASE lang {} ELSE {} END".format(
+    " ".join(f"WHEN '{lang}' THEN {k}" for lang, k in _LANG_BUCKETS.items()),
+    _DEFAULT_BUCKETS,
+)
+
+_STRAT_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      AS bucket,
+    {_STRAT_CASE} AS keep_buckets
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+FROM g WHERE bucket < keep_buckets
+"""
+
+
+@query("stratified_sample", oracle=_STRAT_SQL)
+def stratified_sample(spark, sf_dir):
+    """Stratified downsampling by language with per-stratum rates (en 50%,
+    de/es/fr 25%, zh 12.5%) — the language-rebalancing step of corpus
+    curation. The gate is a pure column expression on a content-independent
+    hash: no shuffle, no state, embarrassingly parallel, and adding strata
+    never resamples existing ones."""
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    keep = F.lit(_DEFAULT_BUCKETS)
+    for lang, k in reversed(_LANG_BUCKETS.items()):
+        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
+    return (
+        t.documents.select("doc_id", "lang", bucket.cast("int").alias("bucket"), keep.alias("k"))
+        .filter(F.col("bucket") < F.col("k"))
+        .drop("k")
+    )
+
+
+# Synthetic contact blob: the customer table carries no phone/email columns,
+# so we derive a deterministic one per row — the REDACTION path (regex find /
+# count / replace) is the operator under test, and it sees realistic shapes.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_SQL = f"""
+WITH blob AS (
+  SELECT c_custkey,
+    lower(replace(c_name, ' ', '.')) || '@example.com contact ' ||
+    '+1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+    lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+    lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phones,
+  regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM blob
+"""
+
+
+@query("pii_redaction", oracle=_PII_SQL)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing: count + mask emails and phone numbers with global
+    regex replace (ASCII character classes only, so Java and RE2 regex
+    engines agree). Pure per-row column expressions — the 100 TB plan is a
+    map-only scan with zero shuffle."""
+    t = Tables(spark, sf_dir)
+    pad3 = lambda c: F.lpad(c.cast("string"), 3, "0")  # noqa: E731
+    contact = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com contact +1-"),
+        pad3(F.col("c_custkey") % 1000),
+        F.lit("-"),
+        pad3((F.col("c_custkey") * 7) % 1000),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+    )
+    blob = t.customer.select("c_custkey", contact.alias("contact"))
+    return blob.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(F.col("contact"), F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("contact"), F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(F.col("contact"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(before, 0) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
+@query("sequence_packing", oracle=_PACK_SQL)
+def sequence_packing(spark, sf_dir):
+    """Sequence packing: assign documents to fixed token-budget training
+    batches (2048 tokens) by running token count within each language
+    stream — the batch-construction step before tokenized examples ship to
+    trainers. Streaming-shaped (one window pass, no driver loop); packs are
+    contiguous in doc_id order so shard boundaries are reproducible. A
+    straddling doc belongs to the pack its FIRST token falls in (floor of
+    the preceding cumulative count / budget)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    toks = t.documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+_TOP_TERMS_SQL = """
+WITH base AS ({base}),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM base
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+""".format(base=_TFIDF_SQL.strip())
+
+
+@query("top_terms_per_doc", oracle=_TOP_TERMS_SQL)
+def top_terms_per_doc(spark, sf_dir):
+    """Per-document top-3 distinguishing terms: row_number over the TF-IDF
+    relation with a deterministic tie-break (score desc, term asc — scores
+    are 6dp-rounded identically in both engines, so ordering is total and
+    portable). The keyword-extraction step of corpus indexing."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tfidf_weights(spark, sf_dir)
+        .select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -110,3 +110,23 @@ def test_asof_join_single_shuffle(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _explain(spark, "top_customers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_prunes_build_side(spark):
+    """NOT EXISTS must compile to a LeftAnti join whose orders-side scan
+    reads ONLY the join key — at 100 TB the build side is a key column,
+    not the orders table."""
+    plan = _explain(spark, "customers_without_orders")
+    assert "LeftAnti" in plan, plan
+    orders_schema = [
+        seg[:200] for seg in plan.split("ReadSchema: ") if "o_custkey" in seg[:200]
+    ]
+    assert orders_schema and all("o_totalprice" not in s for s in orders_schema), plan
+
+
+def test_semi_join_pushes_fact_filter(spark):
+    """EXISTS with a predicate: the returnflag filter must reach the
+    lineitem parquet scan (build side shrinks before the join)."""
+    plan = _explain(spark, "parts_with_returns")
+    assert "LeftSemi" in plan, plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:300], plan
