@@ -25,6 +25,11 @@ TOP_K = 5
 DIMS = 64
 N_PLANES = 4
 PLANES = hyperplanes(N_PLANES, DIMS)
+# IVF: one coarse cell per N_LIST_STRIDE vectors, so nlist grows with the
+# corpus (~sqrt-ish scaling is the usual IVF sizing); each probe searches its
+# IVF_NPROBE nearest cells.
+N_LIST_STRIDE = 100
+IVF_NPROBE = 3
 
 _TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
@@ -141,4 +146,82 @@ def embedding_ann_lsh(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "bucket", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cemb FROM e WHERE vec_id % {N_LIST_STRIDE} = 0),
+nearest AS (
+  SELECT e.vec_id, e.emb, cent.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.emb, cent.cemb) DESC, cent.cell_id) AS rn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, emb, cell_id FROM nearest WHERE rn = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, emb AS pemb, cell_id
+  FROM nearest WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id,
+    list_cosine_similarity(p.pemb, a.emb) AS cos
+  FROM probe_cells p JOIN assign a
+    ON p.cell_id = a.cell_id AND a.vec_id != p.probe_id
+)
+SELECT probe_id, neighbor_id,
+  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank,
+  ROUND(cos, 6) AS cosine
+FROM pairs
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("embedding_ivf_topk", oracle=_ivf_sql())
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a coarse quantizer partitions the corpus into cells
+    (deterministic seed centroids here — real training is Lloyd iterations,
+    each one DataFrame join+agg like the assignment below); every vector is
+    assigned to its nearest cell, probes search their IVF_NPROBE nearest
+    cells only. Candidate generation is an equi-join on cell_id — the same
+    one-shuffle 100 TB shape as the LSH variant, but with data-adaptive
+    cells. The centroid table is tiny → broadcast; at production nlist
+    (tens of thousands) the assignment argmax moves to a numpy block matmul
+    (operators/similarity.py::cosine_pairs_blockwise pattern)."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") % N_LIST_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        cosine(F.col("emb"), F.col("cemb")).desc(), F.col("cell_id").asc()
+    )
+    nearest = e.crossJoin(F.broadcast(cent)).withColumn(
+        "rn", F.row_number().over(w_assign)
+    )
+    assign = nearest.filter(F.col("rn") == 1).select("vec_id", "emb", "cell_id")
+    probe_cells = nearest.filter(
+        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("pemb"),
+        "cell_id",
+    )
+    pairs = probe_cells.join(assign, "cell_id").filter(
+        F.col("probe_id") != F.col("vec_id")
+    )
+    scored = pairs.withColumn("_cos", cosine(F.col("pemb"), F.col("emb")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("_cos", 6).alias("cosine"),
+        )
     )
