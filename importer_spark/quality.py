@@ -67,3 +67,95 @@ def reconcile_counts(left: DataFrame, right: DataFrame, tolerance: int = 0) -> N
     nl, nr = left.count(), right.count()
     if abs(nl - nr) > tolerance:
         _fail("reconcile_counts", f"left={nl} right={nr} tolerance={tolerance}")
+
+
+def assert_accepted_range(
+    df: DataFrame, col: str, lo=None, hi=None, inclusive: bool = True
+) -> None:
+    """dbt_utils.accepted_range analog (reference: models/mart/mart.yml
+    accepted_range tests). NULLs count as violations (dbt pairs the test
+    with not_null; here one check suffices)."""
+    c = F.col(col)
+    ok = F.lit(True)
+    if lo is not None:
+        ok = ok & ((c >= lo) if inclusive else (c > lo))
+    if hi is not None:
+        ok = ok & ((c <= hi) if inclusive else (c < hi))
+    n = df.filter(~ok | c.isNull()).count()
+    if n:
+        _fail("accepted_range", f"{n} rows of {col} outside [{lo}, {hi}]")
+
+
+def assert_fresh(df: DataFrame, ts_col: str, max_age_hours: float, now) -> None:
+    """Freshness vs max_age_hours (reference:
+    pipelines/shared/data_quality.py freshness check; thresholds in
+    config/sources.yml). ``now`` is an explicit anchor — see session.py on
+    deterministic clocks."""
+    newest = df.agg(F.max(ts_col).alias("m")).first()["m"]
+    if newest is None:
+        _fail("freshness", f"{ts_col} has no values")
+    age_h = (now - newest).total_seconds() / 3600.0
+    if age_h > max_age_hours:
+        _fail("freshness", f"newest {ts_col}={newest} is {age_h:.1f}h old > {max_age_hours}h")
+
+
+def assert_completeness(df: DataFrame, col: str, min_ratio: float) -> None:
+    """Column completeness ratio ≥ threshold (reference:
+    pipelines/shared/data_quality.py completeness check)."""
+    row = df.agg(
+        F.count("*").alias("n"), F.count(col).alias("nn")
+    ).first()
+    ratio = (row["nn"] / row["n"]) if row["n"] else 1.0
+    if ratio < min_ratio:
+        _fail("completeness", f"{col} ratio {ratio:.4f} < {min_ratio}")
+
+
+# ---------------------------------------------------------------------------
+# Single-pass declarative suite (dbt schema-test runner shape)
+# ---------------------------------------------------------------------------
+# The reference runs ~340 schema tests, each its own SQL statement. At 100 TB
+# a test-per-scan is 340 scans of the table; compile_suite folds every
+# column-level check into ONE aggregation (one scan, one job) and returns the
+# dbt-test-run output shape: (check_name, n_violations, passed).
+
+
+def _violation_expr(check: dict):
+    kind = check["kind"]
+    if kind == "not_null":
+        return F.count(F.when(F.col(check["col"]).isNull(), 1))
+    if kind == "unique":
+        cols = check["cols"] if "cols" in check else [check["col"]]
+        # Excess duplicate rows = total − distinct keys (0 when unique).
+        return F.count(F.struct(*cols)) - F.count_distinct(F.struct(*cols))
+    if kind == "accepted_values":
+        c = F.col(check["col"])
+        return F.count(F.when(~c.isin(check["values"]) | c.isNull(), 1))
+    if kind == "accepted_range":
+        c = F.col(check["col"])
+        ok = F.lit(True)
+        if check.get("lo") is not None:
+            ok = ok & (c >= check["lo"])
+        if check.get("hi") is not None:
+            ok = ok & (c <= check["hi"])
+        return F.count(F.when(~ok | c.isNull(), 1))
+    if kind == "expression":
+        return F.count(F.when(~F.expr(check["expr"]), 1))
+    raise ValueError(f"unknown check kind {kind!r}")
+
+
+def run_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate a declarative check suite in a single aggregation pass.
+
+    Returns (check_name, n_violations, passed) — one row per check, computed
+    from one scan of ``df``. `unique` checks use COUNT DISTINCT, which
+    Catalyst plans as an expand; suites mixing several multi-column unique
+    keys on huge tables may prefer per-key `assert_unique` instead.
+    """
+    aggs = [
+        _violation_expr(c).cast("bigint").alias(c["name"]) for c in checks
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c['name']}', {c['name']}" for c in checks)
+    return wide.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)")
+    ).withColumn("passed", F.col("n_violations") == 0)
