@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 from importer_spark.io import Tables
 from importer_spark.operators.scd import scd2_apply
 from importer_spark.plans.pipeline import run_source_load
-from importer_spark.streaming.stateful import running_user_totals
+from importer_spark.streaming.stateful import (
+    running_user_totals,
+    running_user_totals_tws,
+    tws_available,
+)
 from tests.conftest import SF_DIR
 
 
@@ -51,6 +55,42 @@ def test_stateful_running_totals(spark, tmp_path):
     e = expect.set_index("user_id").sort_index()
     assert (g.n_events == e.n_events).all()
     assert (g.total_value - e.total_value).abs().max() < 0.05
+
+
+@pytest.mark.skipif(
+    not tws_available(),
+    reason="transformWithStateInPandas needs protobuf in the Python worker",
+)
+def test_tws_running_totals(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas totals equal the batch groupBy
+    (same contract as the applyInPandasWithState test above)."""
+    events = Tables(spark, SF_DIR).events
+    staged = str(tmp_path / "events")
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM user_totals_tws) WHERE rn = 1"""
+    ).toPandas()
+    expect = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+    )
+    g = got.set_index("user_id").sort_index()
+    e = expect.set_index("user_id").sort_index()
+    assert (g.n_events == e.n_events).all()
 
 
 def test_foreach_batch_sink(spark, tmp_path):
