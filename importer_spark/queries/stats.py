@@ -1,0 +1,93 @@
+"""Statistical aggregates (corr / stddev / covar / regr_slope family).
+
+Built-in streaming moment aggregates (Welford/pairwise) are
+partitioning-order-dependent in their low bits, so `F.corr` vs DuckDB `corr`
+won't hash-match. Instead: accumulate EXACT decimal power sums (order-free,
+merge-safe — the same property that makes them the right shape for a 1000-
+executor partial agg) and evaluate the closed-form moments in double with an
+identical expression tree in both engines — bitwise-equal at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.functions import dec
+from importer_spark.io import Tables
+from importer_spark.queries.registry import query
+
+# Shared closed forms (x = quantity, y = extended price), evaluated in double
+# from exact sums. Spark and DuckDB both compute left-to-right IEEE doubles,
+# so writing the SAME formula text yields the same bits.
+_FORMULAS = {
+    "mean_qty": "sx / n",
+    "stddev_qty": "sqrt((n * sxx - sx * sx) / (n * (n - 1)))",
+    "covar_qty_price": "(n * sxy - sx * sy) / (n * (n - 1))",
+    "corr_qty_price": (
+        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+    ),
+    "regr_slope": "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
+    "regr_intercept": "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+}
+
+_STATS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+    COUNT(*) AS cnt,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsyy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, cnt,
+    CAST(cnt AS DOUBLE) AS n, CAST(dsx AS DOUBLE) AS sx, CAST(dsy AS DOUBLE) AS sy,
+    CAST(dsxx AS DOUBLE) AS sxx, CAST(dsyy AS DOUBLE) AS syy, CAST(dsxy AS DOUBLE) AS sxy
+  FROM sums
+)
+SELECT l_returnflag, CAST(cnt AS BIGINT) AS n_rows,
+  {formulas}
+FROM d
+""".format(
+    formulas=",\n  ".join(
+        f"ROUND({expr}, 6) AS {name}" for name, expr in _FORMULAS.items()
+    )
+)
+
+
+@query("lineitem_stats_by_flag", oracle=_STATS_SQL)
+def lineitem_stats_by_flag(spark, sf_dir):
+    """Mean / stddev / covariance / correlation / OLS line per return flag.
+    One shuffle (the groupBy); the six power sums combine map-side, so the
+    reduce moves one small row per (flag, partition) regardless of data
+    volume — the textbook scalable-moments plan."""
+    t = Tables(spark, sf_dir)
+    x = dec(F.col("l_quantity"))
+    y = dec(F.col("l_extendedprice"))
+    sums = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(x).alias("dsx"),
+        F.sum(y).alias("dsy"),
+        F.sum(x * x).alias("dsxx"),
+        F.sum(y * y).alias("dsyy"),
+        F.sum(x * y).alias("dsxy"),
+    )
+    d = sums.select(
+        "l_returnflag",
+        "cnt",
+        F.col("cnt").cast("double").alias("n"),
+        F.col("dsx").cast("double").alias("sx"),
+        F.col("dsy").cast("double").alias("sy"),
+        F.col("dsxx").cast("double").alias("sxx"),
+        F.col("dsyy").cast("double").alias("syy"),
+        F.col("dsxy").cast("double").alias("sxy"),
+    )
+    return d.select(
+        "l_returnflag",
+        F.col("cnt").cast("bigint").alias("n_rows"),
+        *[
+            F.round(F.expr(expr), 6).alias(name)
+            for name, expr in _FORMULAS.items()
+        ],
+    )
