@@ -31,5 +31,6 @@ from importer_spark.queries import scalars  # noqa: F401,E402
 from importer_spark.queries import stats  # noqa: F401,E402
 from importer_spark.queries import sessions2  # noqa: F401,E402
 from importer_spark.queries import streaming_q  # noqa: F401,E402
+from importer_spark.queries import timeseries  # noqa: F401,E402
 from importer_spark.queries import structs  # noqa: F401,E402
 from importer_spark.queries import windows  # noqa: F401,E402
