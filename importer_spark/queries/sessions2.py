@@ -97,3 +97,57 @@ def user_event_gaps(spark, sf_dir):
         .groupBy("user_id")
         .applyInPandas(per_user, schema="user_id bigint, event_id bigint, seq int, gap_us bigint")
     )
+
+
+def _gaps_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-user sequencing over a MULTI-user frame (rows already
+    sorted by user_id, ts, event_id)."""
+    micros = pdf["ts"].astype("int64") // 1000
+    by_user = pdf.groupby("user_id", sort=False)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "seq": (by_user.cumcount() + 1).astype("int32"),
+            "gap_us": micros.groupby(pdf["user_id"].values).diff(),
+        }
+    )
+
+
+@query("user_event_gaps_streamed", oracle=_GAPS_SQL)
+def user_event_gaps_streamed(spark, sf_dir):
+    """Same result as user_event_gaps, restructured for scale: instead of
+    one pandas frame PER GROUP (applyInPandas pays Arrow + Python overhead
+    per user), repartition+sortWithinPartitions co-locates and orders the
+    groups, and mapInPandas processes whole Arrow batches, carrying the
+    trailing (possibly split) user across batch boundaries. Per-batch
+    overhead replaces per-group overhead — the difference between 10k
+    python calls and ~10 at sf0.1, and the pattern that keeps grouped
+    pandas logic viable at 100 TB group counts."""
+
+    def gaps(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # Hold back the last user: its rows may continue in the next batch.
+            last = pdf["user_id"].iloc[-1]
+            tail = pdf["user_id"] == last
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _gaps_frame(head)
+        if carry is not None and len(carry):
+            yield _gaps_frame(carry)
+
+    t = Tables(spark, sf_dir)
+    ev = (
+        t.events.select("user_id", "event_id", "ts")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+    return ev.mapInPandas(
+        gaps, schema="user_id bigint, event_id bigint, seq int, gap_us bigint"
+    )

@@ -1,0 +1,53 @@
+"""Partitioned parquet sink + partition pruning on readback.
+
+At 100 TB the difference between a pruned and unpruned scan is the whole
+job; this pins the behavior locally: a month-partitioned write must produce
+hive-style directories, and a month filter on readback must show up in the
+scan's PartitionFilters (zero data files from other months read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables, write_replace
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_and_pruned_read(spark, tmp_path):
+    orders = Tables(spark, SF_DIR).orders.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_replace(orders, path, partition_by=["order_month"])
+
+    # Hive-style layout: one directory per month.
+    dirs = [p.name for p in (tmp_path / "orders_by_month").iterdir() if p.is_dir()]
+    assert dirs and all(d.startswith("order_month=") for d in dirs)
+
+    back = spark.read.parquet(path)
+    one_month = sorted(d.split("=")[1] for d in dirs)[0]
+    q = back.filter(F.col("order_month") == one_month)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "order_month" in seg, plan
+
+    # And the pruned read returns exactly that month's rows.
+    expect = orders.filter(F.col("order_month") == one_month).count()
+    assert q.count() == expect > 0
+
+
+def test_partitioned_append_adds_partition(spark, tmp_path):
+    from importer_spark.io import write_append
+
+    df1 = spark.createDataFrame([(1, "2026-01")], "id long, m string")
+    df2 = spark.createDataFrame([(2, "2026-02")], "id long, m string")
+    path = str(tmp_path / "t")
+    write_append(df1, path, partition_by=["m"])
+    write_append(df2, path, partition_by=["m"])
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert {r["m"] for r in back.select("m").collect()} == {"2026-01", "2026-02"}
