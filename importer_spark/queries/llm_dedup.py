@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
-from importer_spark.operators.dedup import exact_dedup, minhash_signatures, near_dup_pairs
+from importer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    near_dup_pairs,
+    shingle_rows,
+)
 from importer_spark.queries.registry import query
 
 _EXACT_DEDUP_SQL = """
@@ -87,3 +92,53 @@ def near_dup_pairs_q(spark, sf_dir):
     value agreement certifies LSH recall AND precision on this data."""
     t = Tables(spark, sf_dir)
     return near_dup_pairs(t.documents, "doc_id", "text")
+
+
+_CONTAM_SQL = (
+    _SHINGLE_CTE
+    + """,
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 100 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 100 != 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+hit AS (SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (shingle) GROUP BY 1)
+SELECT t.doc_id,
+  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+  CAST(h.n_shared AS BIGINT) AS n_shared,
+  ROUND(h.n_shared::DOUBLE / t.n_shingles, 6) AS overlap_ratio,
+  h.n_shared::DOUBLE / t.n_shingles >= 0.5 AS contaminated
+FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+"""
+)
+
+
+@query("benchmark_contamination", oracle=_CONTAM_SQL)
+def benchmark_contamination(spark, sf_dir):
+    """Train/eval decontamination: flag training documents whose distinct
+    shingle sets overlap an eval/benchmark corpus (here: every 100th doc
+    plays the benchmark). The eval shingle set is benchmark-sized — tiny
+    next to the corpus — so the overlap join BROADCASTS it and the plan is
+    one map-side semi-ish join + per-doc count: no train-side self-join, no
+    cross-corpus shuffle. The standard pre-training hygiene op (report
+    per-doc overlap; drop at `contaminated`)."""
+    t = Tables(spark, sf_dir)
+    sh = shingle_rows(t.documents, "doc_id", "text").distinct()
+    is_eval = F.col("doc_id") % 100 == 0
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    tr = sh.filter(~is_eval)
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (
+        tot.join(hit, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= 0.5).alias("contaminated"),
+        )
+    )
