@@ -143,6 +143,31 @@ def _violation_expr(check: dict):
     raise ValueError(f"unknown check kind {kind!r}")
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass column profiler: (column_name, n_nulls, n_distinct,
+    min_value, max_value) for each requested column — the summary the
+    reference's runtime checks sample per table, computed in ONE scan.
+    min/max surface as strings so heterogeneous columns stack into one
+    long-form result (cast numeric columns to DECIMAL upstream if their
+    string form must be engine-portable)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
 def run_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
     """Evaluate a declarative check suite in a single aggregation pass.
 

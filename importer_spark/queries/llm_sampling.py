@@ -189,3 +189,37 @@ def top_terms_per_doc(spark, sf_dir):
         .select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+_CAP_K = 50
+
+_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= {_CAP_K}
+"""
+
+
+@query("language_capped_sample", oracle=_CAP_SQL)
+def language_capped_sample(spark, sf_dir):
+    """Per-stratum cap: at most K docs per language, selected by
+    deterministic hash order (a seeded shuffle that never resamples).
+    Complement of stratified_sample's rate gate — rates bound proportions,
+    caps bound absolute volume (the 'no language may exceed K examples'
+    curriculum rule). One window pass; at 100 TB prefer a two-phase
+    rank-within-hash-bucket if a single stratum exceeds executor memory."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= _CAP_K)
+    )

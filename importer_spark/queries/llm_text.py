@@ -226,3 +226,51 @@ def simhash_fingerprints(spark, sf_dir):
     for b in range(32):
         acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
     return bits.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+_REPETITION_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2
+      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+      ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM d
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS max_bigram_count
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n_bigrams, max_bigram_count,
+  ROUND(max_bigram_count::DOUBLE / n_bigrams, 6) AS repetition_ratio,
+  max_bigram_count::DOUBLE / n_bigrams >= 0.1 AS repetitive
+FROM agg
+"""
+
+
+@query("doc_repetition", oracle=_REPETITION_SQL)
+def doc_repetition(spark, sf_dir):
+    """Intra-document repetition (Gopher/C4-style filter rule): the most
+    frequent bigram's share of all bigrams. Built on the same
+    posexplode+lead shingle stream as MinHash (multiplicity kept), so the
+    whole computation is codegen rows — two hash aggs on doc_id, no arrays,
+    no Python."""
+    from importer_spark.operators.dedup import shingle_rows
+
+    t = Tables(spark, sf_dir)
+    grams = shingle_rows(t.documents, "doc_id", "text", shingle_k=2)
+    per = grams.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("max_bigram_count"),
+    )
+    ratio = F.col("max_bigram_count").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "max_bigram_count",
+        F.round(ratio, 6).alias("repetition_ratio"),
+        (ratio >= 0.1).alias("repetitive"),
+    )

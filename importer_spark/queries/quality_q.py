@@ -76,3 +76,96 @@ def dq_orders_suite(spark, sf_dir):
     per-test-SELECT alternative is 6 scans — the gap the reference's 340
     tests would hit at 100 TB."""
     return run_suite(Tables(spark, sf_dir).orders, _SUITE)
+
+
+_PROFILE_SQL = """
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
+  FROM customer
+),
+agg AS (
+  SELECT
+    COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS nn1,
+    COUNT(DISTINCT c_custkey) AS nd1,
+    CAST(MIN(c_custkey) AS VARCHAR) AS mn1, CAST(MAX(c_custkey) AS VARCHAR) AS mx1,
+    COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS nn2,
+    COUNT(DISTINCT c_name) AS nd2,
+    CAST(MIN(c_name) AS VARCHAR) AS mn2, CAST(MAX(c_name) AS VARCHAR) AS mx2,
+    COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END) AS nn3,
+    COUNT(DISTINCT c_nationkey) AS nd3,
+    CAST(MIN(c_nationkey) AS VARCHAR) AS mn3, CAST(MAX(c_nationkey) AS VARCHAR) AS mx3,
+    COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS nn4,
+    COUNT(DISTINCT c_acctbal) AS nd4,
+    CAST(MIN(c_acctbal) AS VARCHAR) AS mn4, CAST(MAX(c_acctbal) AS VARCHAR) AS mx4,
+    COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS nn5,
+    COUNT(DISTINCT c_mktsegment) AS nd5,
+    CAST(MIN(c_mktsegment) AS VARCHAR) AS mn5, CAST(MAX(c_mktsegment) AS VARCHAR) AS mx5
+  FROM src
+)
+SELECT column_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+FROM agg, LATERAL (VALUES
+  ('c_custkey', nn1, nd1, mn1, mx1),
+  ('c_name', nn2, nd2, mn2, mx2),
+  ('c_nationkey', nn3, nd3, mn3, mx3),
+  ('c_acctbal', nn4, nd4, mn4, mx4),
+  ('c_mktsegment', nn5, nd5, mn5, mx5)
+) t(column_name, n_nulls, n_distinct, min_value, max_value)
+"""
+
+
+@query("customer_profile", oracle=_PROFILE_SQL)
+def customer_profile(spark, sf_dir):
+    """One-scan column profiling (nulls / distinct / min / max per column,
+    long-form) — the reference's runtime completeness checks generalized.
+    The acctbal column goes through DECIMAL(18,2) so its min/max strings
+    are engine-portable."""
+    from importer_spark.functions import dec
+    from importer_spark.quality import profile_columns
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    src = t.customer.select(
+        "c_custkey", "c_name", "c_nationkey",
+        dec(F.col("c_acctbal")).alias("c_acctbal"), "c_mktsegment",
+    )
+    return profile_columns(
+        src, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
+_SKEW_SQL = """
+WITH per AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+  ROUND(n::DOUBLE / SUM(n) OVER (), 6) AS share,
+  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS INTEGER) AS heavy_rank
+FROM per
+QUALIFY heavy_rank <= 10
+"""
+
+
+@query("key_skew_profile", oracle=_SKEW_SQL)
+def key_skew_profile(spark, sf_dir):
+    """Top-10 heaviest join keys with their share of all rows — the
+    diagnostic you run BEFORE choosing salted_join / AQE skew handling
+    (§2.4 J11). Shuffles once on the key; the share denominator is an
+    unpartitioned window over the already-aggregated relation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    per = t.orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    share = F.round(
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 6
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))
+    return (
+        per.select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n_orders"),
+            share.alias("share"),
+            F.row_number().over(w).cast("int").alias("heavy_rank"),
+        )
+        .filter(F.col("heavy_rank") <= 10)
+    )
