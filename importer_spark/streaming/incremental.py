@@ -100,3 +100,18 @@ def cursor_incremental_batch(
         if new_max is not None and (prev is None or str(new_max) > str(prev)):
             commit_cursor(spark, state_path, new_max)
     return delta
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup bounded by a watermark: duplicates arriving within
+    ``watermark`` of the first occurrence are dropped, and state for keys
+    older than the watermark is evicted — the at-least-once-source →
+    effectively-once-sink repair step. Unbounded `dropDuplicates` state
+    grows forever on an infinite stream; the watermark bound is what makes
+    dedup viable at 100 TB/day ingest. Batch inputs fall back to plain
+    dropDuplicates (same result on a closed dataset)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,70 @@
+"""Watermark-bounded streaming dedup and corrupt-record JSONL ingestion."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.streaming.incremental import stream_dedup_within_watermark
+from tests.conftest import SF_DIR
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicated events (same event_id re-delivered) collapse to one row
+    under streaming dedup; result matches batch dropDuplicates."""
+    events = Tables(spark, SF_DIR).events.select("event_id", "user_id", "ts")
+    doubled = events.unionByName(events)  # simulate at-least-once redelivery
+    staged = str(tmp_path / "events")
+    doubled.write.parquet(staged)
+
+    stream = spark.readStream.schema(doubled.schema).parquet(staged)
+    deduped = stream_dedup_within_watermark(stream, ["event_id"], "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").count()
+    expect = events.select("event_id").distinct().count()
+    assert got == expect
+
+    # Batch fallback path: same count without a streaming plan.
+    assert stream_dedup_within_watermark(doubled, ["event_id"]).count() == expect
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE read keeps good rows and captures bad lines in
+    _corrupt_record — the quarantine pattern for dirty feed ingestion
+    (reference's dlt loads silently coerce; we surface them instead)."""
+    p = tmp_path / "feed.jsonl"
+    lines = [
+        json.dumps({"id": 1, "v": "a"}),
+        "{this is not json",
+        json.dumps({"id": 2, "v": "b"}),
+        '{"id": "not-an-int", "v": 3}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    df = (
+        spark.read.schema("id bigint, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        # Spark disallows filtering on ONLY the corrupt-record column straight
+        # off the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize first.
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # malformed line + type-mismatched line
+    # The raw text of every rejected line is preserved for quarantine/replay.
+    raw = "".join(r["_corrupt_record"] for r in bad.collect())
+    assert "this is not json" in raw and "not-an-int" in raw
