@@ -225,3 +225,17 @@ def embedding_ivf_topk(spark, sf_dir):
             F.round("_cos", 6).alias("cosine"),
         )
     )
+
+
+@query("kmeans_embeddings")
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed k-means (3 Lloyd rounds, deterministic lowest-id seeds)
+    over the embedding corpus — the trained version of embedding_ivf_topk's
+    coarse quantizer. Rows-only (no SQL oracle: an iterative fixpoint isn't
+    reasonably expressible in one DuckDB statement); determinism and SSE
+    monotonicity are pinned in tests/test_operators.py instead."""
+    from importer_spark.operators.clustering import kmeans_assignments
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    return kmeans_assignments(e, "vec_id", "emb", k=8, iters=3)

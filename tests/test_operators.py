@@ -180,3 +180,31 @@ def test_catalog_quality_gates(spark):
     )
     assert_accepted_values(fact, "order_size", ["small", "medium", "large"])
     assert_expression(fact, "net_amount <= gross_amount", "net_le_gross")
+
+
+def test_kmeans_monotone_and_deterministic(spark):
+    """Lloyd SSE must be non-increasing across rounds, and two runs over the
+    same data must agree exactly (deterministic seeds, tie-break by index)."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.clustering import kmeans_assignments, kmeans_fit
+    from importer_spark.operators.similarity import as_double_array
+
+    e = Tables(spark, SF_DIR).embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    _, sse = kmeans_fit(e, "vec_id", "emb", k=4, iters=3)
+    assert len(sse) == 3
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(sse, sse[1:])), sse
+
+    a = sorted(map(tuple, kmeans_assignments(e, "vec_id", "emb", k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assignments(e, "vec_id", "emb", k=4, iters=2).collect()))
+    assert a == b
+    n = e.count()
+    assert len(a) == n
+    assert {r[1] for r in a} <= set(range(4))
+    # cluster_size is consistent with the actual assignment multiset.
+    from collections import Counter
+    sizes = Counter(r[1] for r in a)
+    assert all(r[2] == sizes[r[1]] for r in a)
