@@ -24,6 +24,7 @@ from importer_spark.queries import llm_text  # noqa: F401,E402
 from importer_spark.queries import llm_sampling  # noqa: F401,E402
 from importer_spark.queries import llm_tfidf  # noqa: F401,E402
 from importer_spark.queries import marts  # noqa: F401,E402
+from importer_spark.queries import marts2  # noqa: F401,E402
 from importer_spark.queries import misc  # noqa: F401,E402
 from importer_spark.queries import pricing  # noqa: F401,E402
 from importer_spark.queries import quality_q  # noqa: F401,E402
