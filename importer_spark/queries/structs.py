@@ -144,3 +144,33 @@ def embedding_near_dups(spark, sf_dir):
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
     return cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.45)
+
+
+_PRIORITY_JSON_SQL = """
+WITH per AS (
+  SELECT o_custkey, o_orderpriority AS k, COUNT(*) AS v
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey AS cust_key,
+  to_json(list_sort(list(struct_pack(k := k, v := v)))) AS priority_counts
+FROM per GROUP BY 1
+"""
+
+
+@query("priority_counts_json", oracle=_PRIORITY_JSON_SQL)
+def priority_counts_json(spark, sf_dir):
+    """Map-style aggregation serialized to JSON: per customer, the
+    priority→count histogram as a SORTED array-of-structs JSON string
+    (sort_array makes the collect_list order — which is partition-arrival
+    nondeterministic — canonical; Spark and DuckDB emit byte-identical
+    compact JSON for it). The 'document per entity' export shape for
+    feature stores / API payloads."""
+    t = Tables(spark, sf_dir)
+    per = t.orders.groupBy("o_custkey", F.col("o_orderpriority").alias("k")).agg(
+        F.count("*").alias("v")
+    )
+    return per.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.to_json(
+            F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("v"))))
+        ).alias("priority_counts")
+    )

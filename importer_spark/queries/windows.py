@@ -263,3 +263,34 @@ def running_max(spark, sf_dir):
         F.col("o_totalprice").alias("total_price"),
         F.max("o_totalprice").over(w).alias("running_max_price"),
     )
+
+
+_NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey AS cust_key,
+  CAST(total AS DOUBLE) AS total_spend,
+  CAST(NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS INTEGER) AS spend_quartile
+FROM spend
+"""
+
+
+@query("customer_spend_quartiles", oracle=_NTILE_SQL)
+def customer_spend_quartiles(spark, sf_dir):
+    """NTILE(4) spend quartiles with a total deterministic order (exact
+    decimal totals, customer-key tie-break). The global ORDER BY forces a
+    single-partition window — fine on an aggregated relation (one row per
+    customer); for fact-grain ntile at 100 TB switch to percent_rank
+    bucketing, which stays partitioned."""
+    t = Tables(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.sum(dec(F.col("o_totalprice"))).alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("cust_key"),
+        out_double(F.col("total")).alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    )
