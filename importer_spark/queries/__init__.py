@@ -28,6 +28,7 @@ from importer_spark.queries import marts2  # noqa: F401,E402
 from importer_spark.queries import misc  # noqa: F401,E402
 from importer_spark.queries import pricing  # noqa: F401,E402
 from importer_spark.queries import quality_q  # noqa: F401,E402
+from importer_spark.queries import recursive_q  # noqa: F401,E402
 from importer_spark.queries import scalars  # noqa: F401,E402
 from importer_spark.queries import sql_api  # noqa: F401,E402
 from importer_spark.queries import stats  # noqa: F401,E402

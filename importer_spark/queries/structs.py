@@ -174,3 +174,48 @@ def priority_counts_json(spark, sf_dir):
             F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("v"))))
         ).alias("priority_counts")
     )
+
+
+_VARIANT_SQL = """
+WITH j AS (
+  SELECT o_orderkey,
+    '{"order":{"status":"' || o_orderstatus || '","priority":"' ||
+    o_orderpriority || '"},"price_cents":' ||
+    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+    || '}' AS payload
+  FROM orders
+)
+SELECT o_orderkey,
+  payload ->> '$.order.status' AS status,
+  payload ->> '$.order.priority' AS priority,
+  CAST(payload ->> '$.price_cents' AS BIGINT) AS price_cents
+FROM j
+"""
+
+
+@query("variant_payload_extract", oracle=_VARIANT_SQL)
+def variant_payload_extract(spark, sf_dir):
+    """Semi-structured payloads through Spark 4's VARIANT type: build a JSON
+    document per order, `parse_json` it into a variant, and pull typed
+    fields back out with `variant_get` path expressions. Unlike
+    get_json_object (string re-parse per access), a variant parses once
+    into a binary-encoded tree — the Spark-4-native path for
+    schema-on-read event payloads. Oracle: DuckDB JSON path extraction on
+    the identical document."""
+    t = Tables(spark, sf_dir)
+    payload = F.concat(
+        F.lit('{"order":{"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","priority":"'),
+        F.col("o_orderpriority"),
+        F.lit('"},"price_cents":'),
+        (dec(F.col("o_totalprice")) * 100).cast("bigint").cast("string"),
+        F.lit("}"),
+    )
+    v = F.parse_json(payload)
+    return t.orders.select(
+        "o_orderkey",
+        F.variant_get(v, "$.order.status", "string").alias("status"),
+        F.variant_get(v, "$.order.priority", "string").alias("priority"),
+        F.variant_get(v, "$.price_cents", "bigint").alias("price_cents"),
+    )
