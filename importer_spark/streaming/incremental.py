@@ -115,3 +115,43 @@ def stream_dedup_within_watermark(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_view_purchase(
+    views: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    views in the preceding ``within`` window. Both sides carry watermarks —
+    that is what lets the join EVICT buffered state (views older than the
+    bound can never match a future purchase), so state is O(window), not
+    O(stream). The interval condition keeps the join an equi-join on
+    user_id with a range predicate — one shuffle per side, co-partitioned.
+    Works identically on batch inputs (tested for stream≡batch)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", within)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", within)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )

@@ -68,3 +68,33 @@ def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
     # The raw text of every rejected line is preserved for quarantine/replay.
     raw = "".join(r["_corrupt_record"] for r in bad.collect())
     assert "this is not json" in raw and "not-an-int" in raw
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream view→purchase join equals the static join
+    over the same closed dataset."""
+    events = Tables(spark, SF_DIR).events
+    from importer_spark.streaming.incremental import stream_stream_view_purchase
+
+    views_b = events.filter(F.col("event_type") == "view")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    expect = stream_stream_view_purchase(views_b, purch_b).count()
+
+    staged = str(tmp_path / "events")
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    out = stream_stream_view_purchase(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj").count()
+    assert got == expect > 0
