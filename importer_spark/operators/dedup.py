@@ -130,10 +130,15 @@ def near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # NOT cached, deliberately: the static plan shows the candidate
+        # subtree repeated per consumer, but Spark's ReusedExchange collapses
+        # the identical shuffles at runtime, and AQE's runtime-size broadcast
+        # decisions survive. Caching here was measured SLOWER (9 s vs 5.6 s
+        # at sf0.1 for the clusters consumer): an InMemoryRelation blocks
+        # AQE inside and below it, degrading the sets joins to sort-merge.
     )
     cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
     )
     sets = shingle_sets(

@@ -341,7 +341,9 @@ def approx_distinct_sketch(spark, sf_dir):
     """HLL approximate distinct + approximate quantiles per segment — the
     sketch path for 100 TB profiling. No SQL oracle: sketch values are
     engine-specific (DuckDB's approx_count_distinct uses a different HLL);
-    tests bound the relative error against exact counts instead."""
+    tests bound the relative error against exact counts instead.
+    percentile_approx accuracy 500 ≙ ≤0.2% rank error — plenty for
+    profiling, and half the sketch-merge cost of the 1000 default."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -349,6 +351,6 @@ def approx_distinct_sketch(spark, sf_dir):
         .agg(
             F.approx_count_distinct("o_custkey").alias("approx_customers"),
             F.countDistinct("o_custkey").alias("exact_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95], 1000).alias("price_quantiles"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 500).alias("price_quantiles"),
         )
     )

@@ -130,3 +130,31 @@ def test_semi_join_pushes_fact_filter(spark):
     plan = _explain(spark, "parts_with_returns")
     assert "LeftSemi" in plan, plan
     assert "l_returnflag" in plan.split("PushedFilters")[1][:300], plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # Static count — consumers repeat the candidate subtree in the text
+        # plan (dedup.py explains why caching it is a measured loss); 44
+        # before the explode-based cand_ids, 28 after. Pins the improvement.
+        ("near_dup_pairs", 30),
+        ("tfidf_weights", 4),        # tf agg + df agg + broadcast join
+        ("benchmark_contamination", 6),
+        ("mart_product_period_spending", 4),
+        ("sequence_packing", 2),     # one window shuffle
+        ("revenue_share", 3),
+        ("dq_orders_suite", 2),      # single-scan agg
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    """Pin the shuffle count of the heaviest/most-optimized plans: a
+    regression that re-introduces an extra Exchange (e.g. losing a
+    broadcast, re-deriving a branch) fails here before it costs minutes at
+    scale. Counts are generous ceilings, not exact — AQE may merge or add
+    reads."""
+    import re
+
+    plan = _explain(spark, name)
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}\n{plan}"
