@@ -5,6 +5,8 @@ fake: bytes are the UTF-8 text itself).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from importer_spark.io import Tables
 from importer_spark.operators.multimodal import (
     extract_features,
@@ -46,3 +48,30 @@ def multimodal_frame_sample(spark, sf_dir):
     path — one row per 256-byte frame with digest."""
     t = Tables(spark, sf_dir)
     return sample_frames(to_media_table(t.documents), frame_size=256)
+
+
+_ALIGN_SQL = """
+SELECT d.lang,
+  COUNT(*) AS n_docs,
+  CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding,
+  ROUND(COUNT(e.vec_id)::DOUBLE / COUNT(*), 6) AS coverage
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
+"""
+
+
+@query("modality_alignment", oracle=_ALIGN_SQL)
+def modality_alignment(spark, sf_dir):
+    """Cross-modal completeness: how much of the text corpus has a paired
+    embedding row (the text↔vector alignment check run before any
+    multimodal training job; same shape for image/audio sidecar tables).
+    A co-partitionable equi-join on the shared id — at 100 TB bucket both
+    tables by id and this is shuffle-free."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id")
+    joined = t.documents.join(e, t.documents.doc_id == e.vec_id, "left")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("vec_id").cast("bigint").alias("n_with_embedding"),
+        F.round(F.count("vec_id").cast("double") / F.count("*"), 6).alias("coverage"),
+    )

@@ -122,6 +122,23 @@ def test_ann_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.15, recalls
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF recall@5 against brute force. At sf0.001 there are ~5 cells and
+    nprobe=3, so the searched fraction is ~0.6 of the corpus; on
+    near-uniform embeddings expected recall ≈ that fraction. Assert above
+    half of it — structural-bug detector, not a tuning benchmark."""
+    from importer_spark.queries import QUERIES
+
+    bf = QUERIES["embedding_cosine_topk"](spark, SF_DIR).toPandas()
+    ivf = QUERIES["embedding_ivf_topk"](spark, SF_DIR).toPandas()
+    bf_sets = bf.groupby("probe_id")["neighbor_id"].apply(set)
+    ivf_sets = ivf.groupby("probe_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(bf_sets[p] & ivf_sets.get(p, set())) / len(bf_sets[p]) for p in bf_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
