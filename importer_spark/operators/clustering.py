@@ -1,4 +1,5 @@
-"""Distributed k-means (Lloyd iterations) over embedding columns.
+"""Distributed k-means (Lloyd iterations) over embedding columns
+(BASELINE.json similarity/IVF family; SURVEY §7.4).
 
 The iterative-ML companion to the label-propagation loop in
 queries/llm_tfidf.py: per round, ASSIGNMENT is a map-only numpy block

@@ -1,4 +1,5 @@
-"""Multimodal-plumbing queries: binary columns through Arrow-batched pandas
+"""Multimodal-plumbing queries (BASELINE.json multimodal columns; SURVEY
+§7.4): binary columns through Arrow-batched pandas
 UDFs, oracle-checked against the deterministic fake codec (SQL can mirror the
 fake: bytes are the UTF-8 text itself).
 """

@@ -1,4 +1,5 @@
-"""Similarity-search queries over the embeddings table.
+"""Similarity-search queries over the embeddings table (BASELINE.json
+LLM-pipeline operators; SURVEY §7.4 similarity-search family).
 
 The ANN oracle shares the Python-generated hyperplane constants with the
 Spark side (emitted as SQL literals), so both engines compute identical

@@ -1,4 +1,5 @@
-"""TF-IDF weighting and near-duplicate clustering (connected components).
+"""TF-IDF weighting and near-duplicate clustering (connected components)
+(BASELINE.json LLM-pipeline operators; SURVEY §7.4 dedup family).
 
 TF-IDF is the classic distributed doc-term weighting; clustering turns
 near-dup PAIRS into dedup GROUPS (what a corpus dedup actually deletes by) —

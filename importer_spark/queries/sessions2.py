@@ -1,6 +1,6 @@
 """Native session windows (F.session_window) and grouped-map pandas
 processing (applyInPandas) — the remaining streaming-native and
-grouped-pandas surfaces.
+grouped-pandas surfaces (SURVEY §2.9; BASELINE.json sessionization).
 """
 
 from __future__ import annotations

@@ -1,4 +1,5 @@
-"""Statistical aggregates (corr / stddev / covar / regr_slope family).
+"""Statistical aggregates (corr / stddev / covar / regr_slope family)
+(SURVEY §2.5 aggregation surface; dashboard-mart statistics shapes).
 
 Built-in streaming moment aggregates (Welford/pairwise) are
 partitioning-order-dependent in their low bits, so `F.corr` vs DuckDB `corr`
