@@ -122,6 +122,28 @@ def _gaps_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def complete_group_frames(batches, key: str):
+    """Re-chunk an iterator of key-sorted frames so no group straddles a
+    yielded frame: hold back the trailing group of each batch and prepend it
+    to the next. THE invariant that makes batch-granular pandas correct for
+    grouped logic (property-tested against arbitrary batch splits in
+    tests/test_properties.py)."""
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last = pdf[key].iloc[-1]
+        tail = pdf[key] == last
+        carry = pdf[tail]
+        head = pdf[~tail]
+        if len(head):
+            yield head
+    if carry is not None and len(carry):
+        yield carry
+
+
 @query("user_event_gaps_streamed", oracle=_GAPS_SQL)
 def user_event_gaps_streamed(spark, sf_dir):
     """Same result as user_event_gaps, restructured for scale: instead of
@@ -134,21 +156,8 @@ def user_event_gaps_streamed(spark, sf_dir):
     pandas logic viable at 100 TB group counts."""
 
     def gaps(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # Hold back the last user: its rows may continue in the next batch.
-            last = pdf["user_id"].iloc[-1]
-            tail = pdf["user_id"] == last
-            carry = pdf[tail]
-            head = pdf[~tail]
-            if len(head):
-                yield _gaps_frame(head)
-        if carry is not None and len(carry):
-            yield _gaps_frame(carry)
+        for frame in complete_group_frames(batches, "user_id"):
+            yield _gaps_frame(frame)
 
     t = Tables(spark, sf_dir)
     ev = (

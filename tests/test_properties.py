@@ -76,3 +76,41 @@ def test_merge_by_key_idempotent(spark, tmp_path_factory, rows):
     # exactly one row per key
     ks = [r[0] for r in first]
     assert len(ks) == len(set(ks))
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=0, max_size=40
+    ),
+    cuts=st.lists(st.integers(0, 40), min_size=0, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_complete_group_frames_invariants(data, cuts):
+    """For ANY batch split of a key-sorted stream: (1) every yielded frame
+    holds only whole groups, (2) no group appears in two frames, (3) the
+    concatenation equals the input stream exactly (order preserved). This is
+    the correctness core of mapInPandas-with-carry grouped processing
+    (queries/sessions2.py::complete_group_frames)."""
+    import pandas as pd
+
+    from importer_spark.queries.sessions2 import complete_group_frames
+
+    rows = sorted(data)  # key-sorted stream, like sortWithinPartitions output
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    bounds = sorted({min(c, len(df)) for c in cuts} | {0, len(df)})
+    batches = [df.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    frames = list(complete_group_frames(iter(batches), "k"))
+    seen_keys: list[set] = []
+    for f in frames:
+        assert len(f) > 0
+        seen_keys.append(set(f["k"]))
+    # (2) each key confined to exactly one frame
+    all_keys = [k for s in seen_keys for k in s]
+    assert len(all_keys) == len(set(all_keys))
+    # (1)+(3) concatenation reproduces the input exactly
+    if frames:
+        cat = pd.concat(frames, ignore_index=True)
+        assert cat.values.tolist() == df.values.tolist()
+    else:
+        assert len(df) == 0

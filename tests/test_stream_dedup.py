@@ -98,3 +98,44 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.table("ssj").count()
     assert got == expect > 0
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """session_window genuinely runs under readStream + watermark (the
+    'streaming-ready' claim of session_window_native). Append mode only
+    emits sessions sealed below the final watermark, so the streamed result
+    must be a subset of the batch sessions — and a large one."""
+    events = Tables(spark, SF_DIR).events
+    staged = str(tmp_path / "events")
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in (
+            events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+            .collect()
+        )
+    }
+    assert got <= expect
+    assert len(got) >= 0.8 * len(expect), (len(got), len(expect))
