@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from importer_spark.io import export_jsonl_snapshot, read_jsonl
+from tests.conftest import SF_DIR
 
 
 def test_jsonl_export_and_reimport(spark, tmp_path):
@@ -31,3 +33,20 @@ def test_jsonl_export_and_reimport(spark, tmp_path):
     assert rows["b"][1] == ""
     # P2 SELECT * EXCEPT — drop on reimport.
     assert "note" not in back.drop("note").columns
+
+
+def test_tables_unknown_attribute_raises(spark):
+    from importer_spark.io import Tables
+
+    with pytest.raises(AttributeError, match="unknown table"):
+        Tables(spark, SF_DIR).no_such_table
+
+
+def test_tables_missing_dir_raises_path_not_found(spark):
+    from pyspark.errors import AnalysisException
+
+    from importer_spark.io import Tables
+
+    t = Tables(spark, "/root/testdata/sf-does-not-exist")
+    with pytest.raises(AnalysisException):
+        t.orders.count()
