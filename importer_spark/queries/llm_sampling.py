@@ -223,3 +223,125 @@ def language_capped_sample(spark, sf_dir):
         )
         .filter(F.col("rnk") <= _CAP_K)
     )
+
+
+_HIST_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT CAST(FLOOR(LN(n + 1) / LN(2)) AS INTEGER) AS log2_bucket, n FROM toks
+)
+SELECT log2_bucket,
+  CAST(POWER(2, log2_bucket) AS BIGINT) AS bucket_floor,
+  COUNT(*) AS n_docs,
+  CAST(MIN(n) AS BIGINT) AS min_tokens,
+  CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("doc_length_histogram", oracle=_HIST_SQL)
+def doc_length_histogram(spark, sf_dir):
+    """Token-length histogram in log2 buckets — the length profile that
+    drives context-budget and truncation decisions before packing. Integer
+    bucket arithmetic (floor of log2) is engine-portable; one map-side
+    combinable agg."""
+    t = Tables(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    bucket = F.floor(F.log(2.0, n + 1)).cast("int")
+    return (
+        t.documents.select(n.alias("n"), bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint").alias("bucket_floor"),
+            F.count("*").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+        .select("log2_bucket", "bucket_floor", "n_docs", "min_tokens", "max_tokens")
+    )
+
+
+_CURATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+),
+quality AS (
+  SELECT * FROM toks
+  WHERE n_tokens BETWEEN 20 AND 2000
+    AND n_unique::DOUBLE / NULLIF(n_tokens, 0) > 0.05
+),
+canonical AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM quality
+),
+deduped AS (SELECT doc_id, lang, n_tokens FROM canonical WHERE rn = 1),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        < {_STRAT_CASE}
+),
+packed AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_PACK_BUDGET}
+      AS BIGINT) AS pack_id
+  FROM sampled
+)
+SELECT * FROM packed
+"""
+
+
+@query("curation_pipeline", oracle=_CURATION_SQL)
+def curation_pipeline(spark, sf_dir):
+    """The capstone composition: quality gate → exact-dedup canonicalization
+    → stratified hash sampling → sequence packing, as ONE declarative plan.
+    Each stage narrows the data before the next (filter pushes into the
+    scan; dedup and packing share nothing but survive in one pipeline), and
+    Catalyst fuses the whole chain — no intermediate materialization. This
+    is the shape a production corpus build ships as a single job."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+    quality = base.filter(
+        F.col("n_tokens").between(20, 2000)
+        & (F.col("n_unique").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)) > 0.05)
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    keep = F.lit(_DEFAULT_BUCKETS)
+    for lang, k in reversed(_LANG_BUCKETS.items()):
+        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
+    sampled = deduped.filter(bucket < keep)
+    w_pack = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
