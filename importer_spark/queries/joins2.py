@@ -106,3 +106,41 @@ def order_value_percentiles(spark, sf_dir):
         (F.percentile("cents", F.lit(0.75)) / 100.0).alias("p75"),
         (F.max("cents") - F.min("cents")).cast("bigint").alias("range_cents"),
     )
+
+
+_SALTED_SQL = """
+SELECT c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("salted_segment_revenue", oracle=_SALTED_SQL)
+def salted_segment_revenue(spark, sf_dir):
+    """J11 as a catalog query: the fact side is salted into 16 sub-keys and
+    the dimension replicated per bucket (operators/skew.py::salted_join), so
+    one hot customer key spreads over 16 tasks. The oracle is the PLAIN
+    join+agg — value equality proves salting is semantics-preserving, which
+    is the entire point of the technique. Exact decimal sums make the
+    result independent of how rows land in salt buckets."""
+    from importer_spark.functions import dec, out_double
+    from importer_spark.operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    joined = salted_join(
+        t.orders.select(
+            F.col("o_custkey").alias("cust_key"), F.col("o_totalprice")
+        ),
+        t.customer.select(
+            F.col("c_custkey").alias("cust_key"), F.col("c_mktsegment")
+        ),
+        on=["cust_key"],
+        how="inner",
+        salt_buckets=16,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+    )
