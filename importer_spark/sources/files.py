@@ -100,22 +100,97 @@ def align_to_schema(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     )
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'BC12' → 54 (column letters only; row digits ignored)."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isdigit():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _xlsx_rows(path: str, sheet: str | None) -> list[list[str | None]]:
+    """Parse an .xlsx (it is a zip of SpreadsheetML XML) with the stdlib —
+    no Excel engine needed. Handles shared strings, inline strings, rich-text
+    runs, numbers/booleans as raw text, and sparse cells (gaps become None).
+    All values surface as STRINGS: the reference's dlt load forces strings
+    anyway (X5), and typing is the caller's projection step."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        target = "xl/worksheets/sheet1.xml"
+        if sheet is not None:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+            rid_to_target = {
+                r.get("Id"): "xl/" + r.get("Target").lstrip("/")
+                for r in rels.findall(f"{rel_ns}Relationship")
+            }
+            doc_rel = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+            for s in wb.iter(f"{_XLSX_NS}sheet"):
+                if s.get("name") == sheet:
+                    target = rid_to_target[s.get(f"{doc_rel}id")]
+                    break
+            else:
+                raise ValueError(f"sheet {sheet!r} not found in {path}")
+        rows: list[list[str | None]] = []
+        root = ET.fromstring(z.read(target))
+        for row_el in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str | None] = {}
+            pos = 0
+            for c in row_el.findall(f"{_XLSX_NS}c"):
+                idx = _col_index(c.get("r")) if c.get("r") else pos
+                pos = idx + 1
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    val = (
+                        "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v = c.find(f"{_XLSX_NS}v")
+                    val = None if v is None else v.text
+                    if ctype == "s" and val is not None:
+                        val = shared[int(val)]
+                cells[idx] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
 def read_xlsx(spark, path: str, sheet: str | None = None) -> DataFrame:
-    """XLSX scan (reference S1). Requires an Excel engine (openpyxl or the
-    spark-excel datasource) — not present in this environment, so the reader
-    is gated: raises with guidance instead of failing mid-pipeline."""
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "XLSX ingestion needs openpyxl (driver-side pandas read) or the "
-            "com.crealytics:spark-excel datasource on the classpath; neither "
-            "is available in this environment. Parquet/JSONL paths cover the "
-            "same pipeline shapes."
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
-    return spark.createDataFrame(pdf)  # pragma: no cover
+    """XLSX scan (reference S1: pipelines/trade_shows + quickbooks XLSX
+    exports). Pure-stdlib SpreadsheetML parse (zipfile + ElementTree) —
+    no openpyxl/spark-excel dependency. First row is the header; every
+    column is a string (see _xlsx_rows). XLSX files are driver-sized by
+    nature (the reference's are ~2k rows); for many files, parallelize by
+    FILE (one task per workbook via discover_files), not within one."""
+    rows = _xlsx_rows(path, sheet)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [h if h else f"col_{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    data = [
+        tuple((r[i] if i < len(r) else None) for i in range(width))
+        for r in rows[1:]
+    ]
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(h, StringType(), True) for h in header])
+    return spark.createDataFrame(data, schema)
 
 
 HEADER_REMAP = {

@@ -119,17 +119,99 @@ def test_rest_cursor_source_pagination(spark):
     assert sorted(r.id for r in incr.collect()) == [6, 7]
 
 
-def test_read_xlsx_gated(spark, tmp_path):
+def _write_minimal_xlsx(path, sheets):
+    """Build a real .xlsx with the stdlib: zip + SpreadsheetML XML. Exercises
+    shared strings, inline strings, numeric cells, and sparse rows — the
+    shapes the reference's QuickBooks/trade-show exports contain."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    all_strings: list = []
+
+    def sref(s):
+        if s not in all_strings:
+            all_strings.append(s)
+        return all_strings.index(s)
+
+    sheet_xmls = {}
+    for si, (name, rows) in enumerate(sheets.items(), start=1):
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, val in enumerate(row):
+                if val is None:
+                    continue
+                col = chr(ord("A") + ci)
+                if isinstance(val, (int, float)):
+                    cells.append(f'<c r="{col}{ri}"><v>{val}</v></c>')
+                elif ri == 1:
+                    cells.append(f'<c r="{col}{ri}" t="s"><v>{sref(val)}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{col}{ri}" t="inlineStr"><is><t>{val}</t></is></c>'
+                    )
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_xmls[f"xl/worksheets/sheet{si}.xml"] = (
+            f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+        )
+    sheet_tags = "".join(
+        f'<sheet name="{name}" sheetId="{i}" xmlns:r="{rns}" r:id="rId{i}"/>'
+        for i, name in enumerate(sheets, start=1)
+    )
+    rel_tags = "".join(
+        f'<Relationship Id="rId{i}" Type="{rns}/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in all_strings)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", f"<workbook {ns}><sheets>{sheet_tags}</sheets></workbook>")
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + rel_tags
+            + "</Relationships>",
+        )
+        z.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
+        for p_, xml in sheet_xmls.items():
+            z.writestr(p_, xml)
+
+
+def test_read_xlsx_stdlib_parser(spark, tmp_path):
+    """S1 ungated: the stdlib SpreadsheetML reader round-trips a real xlsx
+    (shared-string header, inline-string + numeric + missing cells, named
+    second sheet)."""
     from importer_spark.sources import read_xlsx
+    from importer_spark.sources.files import remap_headers
 
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl present; gate not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        read_xlsx(spark, str(tmp_path / "x.xlsx"))
+    path = str(tmp_path / "leads.xlsx")
+    _write_minimal_xlsx(
+        path,
+        {
+            "Leads": [
+                ["First Name", "Last Name", "Email", "Score"],
+                ["Ada", "Lovelace", "ada@example.com", 97],
+                ["Alan", None, "alan@example.com", 85.5],
+            ],
+            "Notes": [["Note"], ["second sheet"]],
+        },
+    )
+    df = read_xlsx(spark, path)
+    assert df.columns == ["First Name", "Last Name", "Email", "Score"]
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [
+        ("Ada", "Lovelace", "ada@example.com", "97"),
+        ("Alan", None, "alan@example.com", "85.5"),
+    ]
+    # header remap (S11) composes directly on the ingested frame
+    assert remap_headers(df).columns[:3] == ["first_name", "last_name", "email"]
+    # named-sheet selection via workbook rels
+    notes = read_xlsx(spark, path, sheet="Notes")
+    assert notes.columns == ["Note"]
+    assert [r[0] for r in notes.collect()] == ["second sheet"]
+    with pytest.raises(ValueError, match="not found"):
+        read_xlsx(spark, path, sheet="Nope")
 
 
 def test_salted_join_matches_plain_join(spark):
