@@ -181,8 +181,11 @@ def read_xlsx(spark, path: str, sheet: str | None = None) -> DataFrame:
     rows = _xlsx_rows(path, sheet)
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
-    header = [h if h else f"col_{i}" for i, h in enumerate(rows[0])]
-    width = len(header)
+    # Width follows the widest row: exports sometimes carry data in columns
+    # whose header cell is blank (named col_{i} here, like pandas' Unnamed).
+    width = max(len(r) for r in rows)
+    head = rows[0] + [None] * (width - len(rows[0]))
+    header = [h if h else f"col_{i}" for i, h in enumerate(head)]
     data = [
         tuple((r[i] if i < len(r) else None) for i in range(width))
         for r in rows[1:]

@@ -241,3 +241,18 @@ def test_approx_sketch_error_bound(spark):
     df = QUERIES["approx_distinct_sketch"](spark, SF_DIR).toPandas()
     rel_err = (df.approx_customers - df.exact_customers).abs() / df.exact_customers
     assert (rel_err < 0.05).all(), df
+
+
+def test_read_xlsx_data_wider_than_header(spark, tmp_path):
+    """Data in columns with a blank header cell must survive (col_{i}
+    naming), not be silently truncated."""
+    from importer_spark.sources import read_xlsx
+
+    path = str(tmp_path / "wide.xlsx")
+    _write_minimal_xlsx(
+        path,
+        {"S": [["A", "B"], ["x", "y", "stray"]]},
+    )
+    df = read_xlsx(spark, path)
+    assert df.columns == ["A", "B", "col_2"]
+    assert [tuple(r) for r in df.collect()] == [("x", "y", "stray")]
