@@ -68,6 +68,12 @@ def kmeans_fit(
     convergence audit."""
     embs = embs.select(id_col, vec_col).cache()
     seeds = [list(r[vec_col]) for r in embs.orderBy(id_col).limit(k).collect()]
+    if len(seeds) < k:
+        embs.unpersist()
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds corpus size {len(seeds)} — "
+            "reduce k or supply more vectors"
+        )
     dim = len(seeds[0])
     cents = seeds
     sse_trace: list[float] = []

@@ -124,9 +124,18 @@ def _violation_expr(check: dict):
     if kind == "not_null":
         return F.count(F.when(F.col(check["col"]).isNull(), 1))
     if kind == "unique":
+        import functools
+
         cols = check["cols"] if "cols" in check else [check["col"]]
-        # Excess duplicate rows = total − distinct keys (0 when unique).
-        return F.count(F.struct(*cols)) - F.count_distinct(F.struct(*cols))
+        # dbt `unique` semantics: rows with a NULL in the key are ignored
+        # (pair with not_null to police those). Excess duplicate rows among
+        # fully-non-null keys = their count − their distinct count; COUNT and
+        # COUNT DISTINCT both skip the NULL-keyed rows via the same guard.
+        any_null = functools.reduce(
+            lambda a, c: a | F.col(c).isNull(), cols, F.lit(False)
+        )
+        keyed = F.when(~any_null, F.struct(*cols))
+        return F.count(keyed) - F.count_distinct(keyed)
     if kind == "accepted_values":
         c = F.col(check["col"])
         return F.count(F.when(~c.isin(check["values"]) | c.isNull(), 1))
@@ -151,15 +160,21 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     long-form result (cast numeric columns to DECIMAL upstream if their
     string form must be engine-portable)."""
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        # Positional internal aliases: the PROFILED column names may be
+        # arbitrary ('First Name' from an XLSX ingest) and must only ever
+        # appear as escaped string literals, never as identifiers.
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx{i}"),
         ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols)
+    stack_args = ", ".join(
+        "'{}', _nn{i}, _nd{i}, _mn{i}, _mx{i}".format(c.replace("'", "''"), i=i)
+        for i, c in enumerate(cols)
+    )
     return wide.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
@@ -177,10 +192,14 @@ def run_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
     keys on huge tables may prefer per-key `assert_unique` instead.
     """
     aggs = [
-        _violation_expr(c).cast("bigint").alias(c["name"]) for c in checks
+        _violation_expr(c).cast("bigint").alias(f"_chk{i}")
+        for i, c in enumerate(checks)
     ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c['name']}', {c['name']}" for c in checks)
+    stack_args = ", ".join(
+        "'{}', _chk{}".format(c["name"].replace("'", "''"), i)
+        for i, c in enumerate(checks)
+    )
     return wide.select(
         F.expr(f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)")
     ).withColumn("passed", F.col("n_violations") == 0)

@@ -109,7 +109,7 @@ agg AS (
 SELECT doc_id,
   CAST(n_shingles AS BIGINT) AS n_shingles,
   CAST(n_shared AS BIGINT) AS n_shared,
-  ROUND(n_shared::DOUBLE / n_shingles, 6) AS overlap_ratio,
+  ROUND(n_shared::DOUBLE / n_shingles, 12) AS overlap_ratio,
   n_shared::DOUBLE / n_shingles >= 0.5 AS contaminated
 FROM agg WHERE n_shared > 0
 """
@@ -146,6 +146,6 @@ def benchmark_contamination(spark, sf_dir):
         "doc_id",
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         F.col("n_shared").cast("bigint").alias("n_shared"),
-        F.round(ratio, 6).alias("overlap_ratio"),
+        F.round(ratio, 12).alias("overlap_ratio"),
         (ratio >= 0.5).alias("contaminated"),
     )

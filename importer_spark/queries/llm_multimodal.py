@@ -55,7 +55,7 @@ _ALIGN_SQL = """
 SELECT d.lang,
   COUNT(*) AS n_docs,
   CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding,
-  ROUND(COUNT(e.vec_id)::DOUBLE / COUNT(*), 6) AS coverage
+  ROUND(COUNT(e.vec_id)::DOUBLE / COUNT(*), 12) AS coverage
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY 1
 """
@@ -74,5 +74,5 @@ def modality_alignment(spark, sf_dir):
     return joined.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.count("vec_id").cast("bigint").alias("n_with_embedding"),
-        F.round(F.count("vec_id").cast("double") / F.count("*"), 6).alias("coverage"),
+        F.round(F.count("vec_id").cast("double") / F.count("*"), 12).alias("coverage"),
     )

@@ -225,12 +225,16 @@ def language_capped_sample(spark, sf_dir):
     )
 
 
+# floor(log2) via the BINARY-STRING length of the integer — genuinely
+# integer-portable. A floating ln(n+1)/ln(2) sits exactly on an integer when
+# n+1 is a power of two, where a 1-ulp libm disagreement between engines
+# flips the bucket.
 _HIST_SQL = """
 WITH toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
 ),
 b AS (
-  SELECT CAST(FLOOR(LN(n + 1) / LN(2)) AS INTEGER) AS log2_bucket, n FROM toks
+  SELECT CAST(length(bin(n + 1)) - 1 AS INTEGER) AS log2_bucket, n FROM toks
 )
 SELECT log2_bucket,
   CAST(POWER(2, log2_bucket) AS BIGINT) AS bucket_floor,
@@ -244,12 +248,13 @@ FROM b GROUP BY 1 ORDER BY 1
 @query("doc_length_histogram", oracle=_HIST_SQL)
 def doc_length_histogram(spark, sf_dir):
     """Token-length histogram in log2 buckets — the length profile that
-    drives context-budget and truncation decisions before packing. Integer
-    bucket arithmetic (floor of log2) is engine-portable; one map-side
-    combinable agg."""
+    drives context-budget and truncation decisions before packing. The
+    bucket is the binary-string length of n+1 minus one (exact integer
+    floor(log2) — see the SQL comment on why a floating log is NOT
+    portable); one map-side combinable agg."""
     t = Tables(spark, sf_dir)
     n = F.size(F.split("text", " "))
-    bucket = F.floor(F.log(2.0, n + 1)).cast("int")
+    bucket = (F.length(F.bin((n + 1).cast("bigint"))) - 1).cast("int")
     return (
         t.documents.select(n.alias("n"), bucket.alias("log2_bucket"))
         .groupBy("log2_bucket")

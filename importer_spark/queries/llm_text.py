@@ -244,7 +244,7 @@ agg AS (
   FROM per GROUP BY 1
 )
 SELECT doc_id, n_bigrams, max_bigram_count,
-  ROUND(max_bigram_count::DOUBLE / n_bigrams, 6) AS repetition_ratio,
+  ROUND(max_bigram_count::DOUBLE / n_bigrams, 12) AS repetition_ratio,
   max_bigram_count::DOUBLE / n_bigrams >= 0.1 AS repetitive
 FROM agg
 """
@@ -271,6 +271,6 @@ def doc_repetition(spark, sf_dir):
         "doc_id",
         "n_bigrams",
         "max_bigram_count",
-        F.round(ratio, 6).alias("repetition_ratio"),
+        F.round(ratio, 12).alias("repetition_ratio"),
         (ratio >= 0.1).alias("repetitive"),
     )

@@ -143,7 +143,21 @@ def near_dup_clusters(spark, sf_dir):
         labels = updated.drop("chg")
         if changed == 0:
             break
+    else:
+        # Never return silently-wrong partial labels: a component deeper than
+        # the round budget means the caller must raise it (or switch to the
+        # recursive-SQL form for pathological graphs).
+        raise RuntimeError(
+            "near_dup_clusters: label propagation did not converge within 15 "
+            "rounds — component diameter exceeds the budget"
+        )
     out = labels.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
+    # Materialize eagerly so the operator's internal caches can release now
+    # (otherwise each invocation leaks an edges + labels InMemoryRelation for
+    # the rest of the session).
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    labels.unpersist()
     return out

@@ -45,7 +45,7 @@ _SUITE_SQL = """
 WITH agg AS (
   SELECT
     COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS c1,
-    COUNT(*) - COUNT(DISTINCT o_orderkey) AS c2,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS c2,
     COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
                OR o_orderstatus IS NULL THEN 1 END) AS c3,
     COUNT(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 1000000)

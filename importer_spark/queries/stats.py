@@ -19,16 +19,21 @@ from importer_spark.queries.registry import query
 
 # Shared closed forms (x = quantity, y = extended price), evaluated in double
 # from exact sums. Spark and DuckDB both compute left-to-right IEEE doubles,
-# so writing the SAME formula text yields the same bits.
+# so writing the SAME formula text yields the same bits. Every denominator is
+# NULLIF-guarded: a single-row or constant-valued group must yield NULL in
+# BOTH engines (unguarded, Spark's non-ANSI x/0 gives NULL but DuckDB gives
+# inf/nan — a parity break on small strata).
 _FORMULAS = {
     "mean_qty": "sx / n",
-    "stddev_qty": "sqrt((n * sxx - sx * sx) / (n * (n - 1)))",
-    "covar_qty_price": "(n * sxy - sx * sy) / (n * (n - 1))",
+    "stddev_qty": "sqrt((n * sxx - sx * sx) / NULLIF(n * (n - 1), 0))",
+    "covar_qty_price": "(n * sxy - sx * sy) / NULLIF(n * (n - 1), 0)",
     "corr_qty_price": (
-        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        "(n * sxy - sx * sy) / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)"
     ),
-    "regr_slope": "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
-    "regr_intercept": "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+    "regr_slope": "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)",
+    "regr_intercept": (
+        "(sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n"
+    ),
 }
 
 _STATS_SQL = """

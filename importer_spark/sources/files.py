@@ -133,9 +133,15 @@ def _xlsx_rows(path: str, sheet: str | None) -> list[list[str | None]]:
             wb = ET.fromstring(z.read("xl/workbook.xml"))
             rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
             rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+            # Relative targets resolve against xl/ (the rels live in
+            # xl/_rels); absolute targets ('/xl/worksheets/...') are already
+            # package-rooted and must NOT be re-prefixed.
             rid_to_target = {
-                r.get("Id"): "xl/" + r.get("Target").lstrip("/")
+                r.get("Id"): (
+                    t.lstrip("/") if t.startswith("/") else "xl/" + t
+                )
                 for r in rels.findall(f"{rel_ns}Relationship")
+                for t in [r.get("Target")]
             }
             doc_rel = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
             for s in wb.iter(f"{_XLSX_NS}sheet"):

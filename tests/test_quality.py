@@ -87,3 +87,27 @@ def test_run_suite_single_scan(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_run_suite_unique_ignores_null_keys(spark):
+    """dbt `unique` semantics: NULL-keyed rows are not duplicates (the
+    not_null check owns them). Three NULL ids + one duplicated id pair →
+    exactly 1 violation."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (7,), (7,), (8,)], "id int"
+    )
+    res = {
+        r["check_name"]: r["n_violations"]
+        for r in run_suite(df, [{"name": "u", "kind": "unique", "col": "id"}]).collect()
+    }
+    assert res == {"u": 1}
+
+
+def test_profile_columns_handles_spacey_names(spark):
+    """Profiling must work on ingest-shaped column names ('First Name' from
+    read_xlsx) — names are literals in the output, never identifiers."""
+    from importer_spark.quality import profile_columns
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], ["First Name", "O'Brien"])
+    res = {r["column_name"]: r["n_nulls"] for r in profile_columns(df, ["First Name", "O'Brien"]).collect()}
+    assert res == {"First Name": 1, "O'Brien": 0}
