@@ -37,6 +37,32 @@ FROM g WHERE bucket < keep_buckets
 """
 
 
+def _bucket_expr():
+    """0-15 sampling bucket from the first md5-hex char of the doc id."""
+    return (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+
+
+def _keep_expr():
+    """Per-language keep-bucket count (the _LANG_BUCKETS rate table)."""
+    keep = F.lit(_DEFAULT_BUCKETS)
+    for lang, k in reversed(_LANG_BUCKETS.items()):
+        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
+    return keep
+
+
+def _pack_window():
+    """Preceding-rows token-sum window for sequence packing."""
+    return Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+
+
 @query("stratified_sample", oracle=_STRAT_SQL)
 def stratified_sample(spark, sf_dir):
     """Stratified downsampling by language with per-stratum rates (en 50%,
@@ -45,18 +71,11 @@ def stratified_sample(spark, sf_dir):
     hash: no shuffle, no state, embarrassingly parallel, and adding strata
     never resamples existing ones."""
     t = Tables(spark, sf_dir)
-    bucket = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    keep = F.lit(_DEFAULT_BUCKETS)
-    for lang, k in reversed(_LANG_BUCKETS.items()):
-        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
     return (
-        t.documents.select("doc_id", "lang", bucket.cast("int").alias("bucket"), keep.alias("k"))
+        t.documents.select(
+            "doc_id", "lang", _bucket_expr().cast("int").alias("bucket"),
+            _keep_expr().alias("k"),
+        )
         .filter(F.col("bucket") < F.col("k"))
         .drop("k")
     )
@@ -149,9 +168,6 @@ def sequence_packing(spark, sf_dir):
     straddling doc belongs to the pack its FIRST token falls in (floor of
     the preceding cumulative count / budget)."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     toks = t.documents.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
     )
@@ -159,7 +175,9 @@ def sequence_packing(spark, sf_dir):
         "doc_id",
         "lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(_pack_window()), F.lit(0)) / _PACK_BUDGET
+        )
         .cast("bigint")
         .alias("pack_id"),
     )
@@ -328,25 +346,14 @@ def curation_pipeline(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
-    bucket = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    keep = F.lit(_DEFAULT_BUCKETS)
-    for lang, k in reversed(_LANG_BUCKETS.items()):
-        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
-    sampled = deduped.filter(bucket < keep)
-    w_pack = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    sampled = deduped.filter(_bucket_expr() < _keep_expr())
     return sampled.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor(F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)) / _PACK_BUDGET)
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(_pack_window()), F.lit(0)) / _PACK_BUDGET
+        )
         .cast("bigint")
         .alias("pack_id"),
     )
