@@ -1,6 +1,11 @@
 """Benchmark harness: runs the headline query catalog at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is a SHORT JSON object —
+{"metric", "value", "unit", "sf", "n_queries"} — so a tail-only capture of
+stdout still contains the headline number. The full per-query timing map is
+written to BENCH_DETAIL.json next to this script (and also printed as an
+earlier, clearly-labelled line for interactive runs).
 
 Each query is fully materialized via the noop sink (computes every column,
 no driver collect) — wall-clock includes Catalyst planning + execution.
@@ -58,18 +63,34 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - start, 3)
     total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        # Read-only checkout: the per-query map still lands on stdout below.
+        pass
+    print("BENCH_DETAIL: " + json.dumps(times, sort_keys=True))
+    spark.stop()
+    # The short headline line goes LAST so a tail-of-stdout capture parses.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

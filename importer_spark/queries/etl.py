@@ -343,14 +343,24 @@ def approx_distinct_sketch(spark, sf_dir):
     engine-specific (DuckDB's approx_count_distinct uses a different HLL);
     tests bound the relative error against exact counts instead.
     percentile_approx accuracy 500 ≙ ≤0.2% rank error — plenty for
-    profiling, and half the sketch-merge cost of the 1000 default."""
+    profiling, and half the sketch-merge cost of the 1000 default.
+
+    Output columns are all scalars (p50/p95 doubles, not an array) so any
+    order-insensitive canonicalizer can sort the raw cells."""
     t = Tables(spark, sf_dir)
-    return (
+    agged = (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.approx_count_distinct("o_custkey").alias("approx_customers"),
             F.countDistinct("o_custkey").alias("exact_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95], 500).alias("price_quantiles"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 500).alias("_q"),
         )
+    )
+    return agged.select(
+        "mktsegment",
+        "approx_customers",
+        "exact_customers",
+        F.element_at("_q", 1).alias("price_p50"),
+        F.element_at("_q", 2).alias("price_p95"),
     )

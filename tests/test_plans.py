@@ -158,3 +158,24 @@ def test_shuffle_budget(spark, name, max_exchanges):
     plan = _explain(spark, name)
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}\n{plan}"
+
+
+def test_no_complex_output_columns(spark):
+    """Every registered query must emit only scalar top-level columns: the
+    driver's order-insensitive canonicalizer sorts raw cells with pandas,
+    which dies on unhashable array/struct/map values (round-1 lesson:
+    approx_distinct_sketch's array<double> quantiles column). Arrays are
+    fine INSIDE a query; flatten (element_at / to_json) before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, offenders
