@@ -37,3 +37,85 @@ from importer_spark.queries import streaming_q  # noqa: F401,E402
 from importer_spark.queries import timeseries  # noqa: F401,E402
 from importer_spark.queries import structs  # noqa: F401,E402
 from importer_spark.queries import windows  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Registration order = external-verification sampling order. A verifier that
+# checks a prefix of the catalog should hit the queries with the least prior
+# driver evidence first (round 1 sampled the first ~50 registered, so the
+# round-2 priority list leads with the 54 queries that have no driver row
+# yet, highest-value families first); everything else keeps its original
+# registration order behind them.
+# ---------------------------------------------------------------------------
+_PRIORITY: list[str] = [
+    # Window-function pack (SURVEY §2 W1–W10)
+    "dedup_latest",
+    "priority_dedup",
+    "first_value_repr",
+    "lag_growth",
+    "percent_rank_customers",
+    "group_size_window",
+    "rolling_range_window",
+    "running_max",
+    # Mart composites
+    "mart_product_period_spending",
+    "mart_customer_health",
+    "mart_segment_summary",
+    # LLM-pipeline headlines
+    "near_dup_clusters",
+    "tfidf_weights",
+    "top_terms_per_doc",
+    "curation_pipeline",
+    "stratified_sample",
+    "language_capped_sample",
+    "sequence_packing",
+    "pii_redaction",
+    "embedding_near_dups",
+    "embedding_centroids",
+    "doc_length_histogram",
+    # Spark-4 showpieces
+    "customer_hierarchy_depth",
+    "variant_payload_extract",
+    # Scalar/function families (one driver row certifies the whole family)
+    "string_functions",
+    "regex_functions",
+    "date_functions",
+    "case_scoring",
+    "json_build_roundtrip",
+    "surrogate_keys",
+    "null_blank_cleaning",
+    "order_cadence",
+    "price_grid_clustering",
+    "union_distinct_values",
+    # SQL API / quality / structs / timeseries / streaming-parity
+    "sql_nation_revenue",
+    "dq_orders_suite",
+    "json_extraction",
+    "nested_child_table",
+    "order_options_kv",
+    "priority_counts_json",
+    "cube_status_priority",
+    "customer_profile",
+    "customer_spend_quartiles",
+    "daily_revenue_spine",
+    "events_locf",
+    "inventory_deltas",
+    "key_skew_profile",
+    "lineitem_stats_by_flag",
+    "product_pricing_history",
+    "revenue_share",
+    "user_event_gaps",
+    "user_event_gaps_streamed",
+    "session_window_native",
+    "tumbling_window_counts",
+]
+
+_missing = [n for n in _PRIORITY if n not in QUERIES]
+if _missing:  # typo guard — fail at import, not in the driver
+    raise RuntimeError(f"priority list names unknown queries: {_missing}")
+_ordered = {n: QUERIES[n] for n in _PRIORITY}
+_ordered.update({n: f for n, f in QUERIES.items() if n not in _ordered})
+QUERIES.clear()
+QUERIES.update(_ordered)
+_ordered_oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+ORACLES.clear()
+ORACLES.update(_ordered_oracles)
