@@ -66,18 +66,25 @@ def cosine_pairs_blockwise(
     vec_col: str,
     threshold: float,
     round_scale: int = 6,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
-    """All-pairs cosine above ``threshold`` via block matrix multiply: the
-    corpus (must fit driver/executor memory — the typical dedup-block or
-    probe-set case) broadcasts as a normalized float64 matrix; each input
-    partition multiplies its block against it with numpy (Arrow-batched,
-    ~30× the interpreted per-element path). Emits id_a < id_b pairs.
+    """All-pairs cosine above ``threshold`` via block matrix multiply for a
+    BOUNDED probe/dedup-block set: the input (must fit driver/executor
+    memory) broadcasts as a normalized float64 matrix; each input partition
+    multiplies its block against it with numpy (Arrow-batched, ~30× the
+    interpreted per-element path). Emits id_a < id_b pairs.
 
-    For corpora beyond memory, bucket first (embedding_ann_lsh path) and run
-    this inside buckets."""
+    ``max_broadcast_rows`` is a hard guard against the driver-OOM misuse of
+    this helper on an unbounded corpus — use :func:`cosine_pairs_exact`
+    (triangle block decomposition, no driver materialization) for that."""
     import numpy as np
 
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = df.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_pairs_blockwise input exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use cosine_pairs_exact for unbounded corpora"
+        )
     ids_all = pdf[id_col].to_numpy()
     m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -103,6 +110,88 @@ def cosine_pairs_blockwise(
 
     return df.select(id_col, vec_col).mapInPandas(
         blocks, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` with NO driver-side corpus
+    materialization: triangle block decomposition.
+
+    Rows hash into ``n_blocks`` blocks; each unordered block pair (i ≤ j)
+    becomes one group, and every row replicates to the ``n_blocks`` groups
+    its block participates in (one broadcast join + one shuffle of
+    ``N·n_blocks`` (id, vec) rows — no content columns move). Each group
+    computes its pairs with a numpy block matmul inside ``applyInPandas``;
+    a pair (x, y) lives in exactly one group — (min(blk_x, blk_y),
+    max(blk_x, blk_y)) — so no dedup pass is needed.
+
+    Scale knob: executor memory per task is two blocks ≈ ``2·N/n_blocks``
+    float64 vectors; pick ``n_blocks ≈ N·dims·8 / 256 MB``. Shuffle volume
+    grows as N·n_blocks ≈ N·√work — the unavoidable cost of an EXACT
+    quadratic operator; for approximate near-dup at corpus scale use the
+    LSH / IVF bucketed paths instead."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs_df = spark.createDataFrame(pairs, "blk_a int, blk_b int")
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    rep = e.join(
+        F.broadcast(pairs_df),
+        (F.col("_blk") == F.col("blk_a")) | (F.col("_blk") == F.col("blk_b")),
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(pdf["blk_a"].iat[0]), int(pdf["blk_b"].iat[0])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+        def side(blk):
+            part = pdf[pdf["_blk"] == blk]
+            ids = part["_id"].to_numpy()
+            if len(ids) == 0:
+                return ids, None
+            m = np.vstack(part["_vec"].to_numpy()).astype("float64")
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        ids_a, ma = side(ba)
+        if ma is None:
+            return empty
+        if ba == bb:
+            sims = ma @ ma.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_a[None, :]))
+            ids_b = ids_a
+        else:
+            ids_b, mb = side(bb)
+            if mb is None:
+                return empty
+            sims = ma @ mb.T
+            ii, jj = np.nonzero(sims >= threshold)
+        left, right = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(left, right),
+                "id_b": np.maximum(left, right),
+                "cosine": np.round(sims[ii, jj], round_scale),
+            }
+        )
+
+    return rep.groupBy("blk_a", "blk_b").applyInPandas(
+        compute, schema="id_a bigint, id_b bigint, cosine double"
     )
 
 

@@ -133,17 +133,20 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
 
 @query("embedding_near_dups", oracle=_EMB_NEAR_DUP_SQL)
 def embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (the dedup variant over vectors),
-    computed as a block matrix multiply over Arrow batches — the vectorized
-    pandas path, ~30× the interpreted per-element expression. The LSH
-    bucketed route (embedding_ann_lsh) replaces the broadcast when the
-    corpus outgrows memory. Threshold 0.45 sits just under this dataset's
-    max pairwise cosine (0.51) so the semantics are visible."""
-    from importer_spark.operators.similarity import as_double_array, cosine_pairs_blockwise
+    """Embedding-cosine near-dup pairs (the dedup variant over vectors) via
+    exact triangle block decomposition: rows hash into blocks, each block
+    pair computes its pairs with a numpy matmul inside applyInPandas — no
+    whole-corpus driver materialization, executor memory bounded by two
+    blocks. Exactness is what the oracle demands; the approximate
+    corpus-scale alternatives are the LSH/IVF bucketed paths
+    (embedding_ann_lsh / embedding_ivf_topk). Threshold 0.45 sits just
+    under this dataset's max pairwise cosine (0.51) so the semantics are
+    visible."""
+    from importer_spark.operators.similarity import as_double_array, cosine_pairs_exact
 
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
-    return cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.45)
+    return cosine_pairs_exact(e, "vec_id", "emb", threshold=0.45)
 
 
 _PRIORITY_JSON_SQL = """

@@ -225,3 +225,40 @@ def test_kmeans_monotone_and_deterministic(spark):
     from collections import Counter
     sizes = Counter(r[1] for r in a)
     assert all(r[2] == sizes[r[1]] for r in a)
+
+
+def test_cosine_pairs_exact_matches_blockwise(spark):
+    """The distributed triangle-block all-pairs must emit exactly the pairs
+    the broadcast blockwise kernel emits (same ids, same 6dp scores) — the
+    two differ only in where the matmul runs."""
+    from importer_spark.operators.similarity import (
+        cosine_pairs_blockwise,
+        cosine_pairs_exact,
+    )
+    from tests.conftest import SF_DIR
+    from importer_spark.io import Tables
+
+    t = Tables(spark, SF_DIR)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    exact = {
+        tuple(r)
+        for r in cosine_pairs_exact(e, "vec_id", "emb", threshold=0.3, n_blocks=5).collect()
+    }
+    blockwise = {
+        tuple(r)
+        for r in cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.3).collect()
+    }
+    assert exact and exact == blockwise
+
+
+def test_cosine_pairs_blockwise_guard(spark):
+    """The broadcast helper must refuse unbounded inputs instead of
+    materializing them on the driver."""
+    from importer_spark.operators.similarity import cosine_pairs_blockwise
+    from tests.conftest import SF_DIR
+    from importer_spark.io import Tables
+
+    t = Tables(spark, SF_DIR)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.9, max_broadcast_rows=3)
