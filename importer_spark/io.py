@@ -8,6 +8,7 @@ rewrite below is the storage-agnostic equivalent).
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.errors import AnalysisException
@@ -135,51 +136,150 @@ def export_jsonl_snapshot(
     out.write.mode("append").json(path)
 
 
+BUCKET_COL = "_kb"
+_MERGE_META = "_merge_meta.json"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p, jvm
+
+
+def _read_merge_meta(spark: SparkSession, path: str) -> dict | None:
+    fs, p, jvm = _hadoop_path(spark, f"{path}/{_MERGE_META}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return json.loads(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _write_merge_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    fs, p, _ = _hadoop_path(spark, f"{path}/{_MERGE_META}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
 def merge_by_key(
     spark: SparkSession,
     source: DataFrame,
     path: str,
     keys: list[str],
     version_col: str | None = None,
+    n_buckets: int = 64,
 ) -> None:
     """Upsert-by-primary-key (reference S12: dlt write_disposition="merge",
-    pipelines/quickbooks/pipeline.py:301-347).
+    pipelines/quickbooks/pipeline.py:301-347) with partition-pruned cost.
 
-    Storage-agnostic MERGE: union target+source, keep the winning row per key
-    (source wins; with ``version_col``, highest version wins). On Delta/Iceberg
-    this becomes a real ``MERGE INTO``; the logical semantics are identical.
-    The shuffle is keyed on the PK, so at scale the dedup window and any
-    downstream PK-join share partitioning.
-    """
+    The target is laid out as parquet directory-partitioned by
+    ``_kb = pmod(xxhash64(keys), n_buckets)``; a merge
+    (1) computes the source batch's bucket set (≤ n_buckets ints, one tiny
+        action),
+    (2) reads ONLY those target partitions (directory pruning — unmatched
+        partitions are never scanned),
+    (3) resolves the winning row per key (source wins; with ``version_col``,
+        highest version wins) via a window keyed on the PK, and
+    (4) rewrites only the affected partitions via dynamic partition
+        overwrite, through a staging dir so the write never reads the path
+        it replaces.
+    Untouched partitions keep their exact files — merge cost is proportional
+    to the data in matched buckets, not the table (the reference's merge
+    touches matched PKs only; a daily upsert into a 100 TB snapshot must not
+    rewrite 100 TB). On Delta/Iceberg this becomes a transactional
+    ``MERGE INTO``; semantics are identical.
+
+    ``n_buckets`` is fixed at table creation (persisted in a ``_merge_meta``
+    sidecar the parquet reader ignores); later calls use the stored value.
+    A legacy unpartitioned target is migrated in place once via staged
+    rename (old dir is renamed aside before the new one moves in, so every
+    crash window leaves a recoverable directory)."""
     target = read_parquet_if_exists(spark, path)
-    src = source.withColumn("_merge_rank", F.lit(1))
-    if target is not None:
-        tgt = target.withColumn("_merge_rank", F.lit(2))
-        merged = src.unionByName(tgt, allowMissingColumns=True)
-    else:
-        merged = src
+    meta = _read_merge_meta(spark, path) if target is not None else None
+    if meta is not None:
+        n_buckets = int(meta["n_buckets"])
+    src = source.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).withColumn(
+        "_merge_rank", F.lit(1)
+    )
+
+    if target is not None and meta is None:
+        # One-time migration of a pre-bucketing table: full rewrite into the
+        # partitioned layout (unavoidable once), staged + rename-aside swap.
+        tgt = target.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).withColumn(
+            "_merge_rank", F.lit(2)
+        )
+        result = _resolve_winners(src.unionByName(tgt, allowMissingColumns=True), keys, version_col)
+        staging = f"{path}__staging"
+        result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        fs, p, jvm = _hadoop_path(spark, path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        old = hpath(f"{path}__old")
+        fs.delete(old, True)
+        if not fs.rename(p, old):
+            raise IOError(f"merge_by_key: failed to move {path} aside")
+        if not fs.rename(hpath(staging), p):
+            fs.rename(old, p)  # roll back; staging retains the new data
+            raise IOError(f"merge_by_key: failed to swap staging dir into {path}")
+        fs.delete(old, True)
+        _write_merge_meta(spark, path, {"n_buckets": n_buckets, "keys": keys})
+        return
+
+    if target is None:
+        result = _resolve_winners(src, keys, version_col)
+        result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        _write_merge_meta(spark, path, {"n_buckets": n_buckets, "keys": keys})
+        return
+
+    affected = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )
+    if not affected:  # empty source batch: nothing to merge
+        return
+    pruned = target.filter(F.col(BUCKET_COL).isin(affected)).withColumn(
+        "_merge_rank", F.lit(2)
+    )
+    result = _resolve_winners(src.unionByName(pruned, allowMissingColumns=True), keys, version_col)
+    # Stage the touched buckets first (a write must never read the path it
+    # overwrites), then re-read and commit with dynamic partition overwrite:
+    # only partitions present in the staged data are replaced.
+    staging = f"{path}__staging"
+    result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)
+    fs, _, jvm = _hadoop_path(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
+def _resolve_winners(merged: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
     order = [F.col("_merge_rank").asc()]
     if version_col:
         order = [F.col(version_col).desc_nulls_last(), *order]
     w = Window.partitionBy(*keys).orderBy(*order)
-    result = (
+    return (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_merge_rank")
     )
-    # Stage-then-swap: writing straight over the path we are reading would
-    # race the scan (a recomputed partition would read already-deleted
-    # files); cache() is not a durability guarantee. On Delta/Iceberg the
-    # transaction log does this; on plain parquet we write to a staging dir
-    # and rename.
-    staging = f"{path}__staging"
-    result.write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs.delete(hpath(path), True)
-    if not fs.rename(hpath(staging), hpath(path)):
-        raise IOError(f"merge_by_key: failed to swap staging dir into {path}")
 
 
 def snapshot_append(

@@ -262,3 +262,63 @@ def test_cosine_pairs_blockwise_guard(spark):
     e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         cosine_pairs_blockwise(e, "vec_id", "emb", threshold=0.9, max_broadcast_rows=3)
+
+
+def test_merge_rewrites_only_matched_partitions(spark, tmp_path):
+    """The scale contract of merge_by_key: a merge touching one key must
+    leave every unmatched bucket partition's files BYTE-IDENTICAL (same
+    names, same contents) — cost proportional to matched buckets, not the
+    table."""
+    import hashlib
+    from importer_spark.io import merge_by_key
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}", ver=1) for i in range(200)])
+    merge_by_key(spark, base, path, keys=["k"], version_col="ver", n_buckets=8)
+
+    def snapshot():
+        return {
+            str(f.relative_to(tmp_path)): hashlib.md5(f.read_bytes()).hexdigest()
+            for f in (tmp_path / "tbl").rglob("*.parquet")
+        }
+
+    before = snapshot()
+    merge_by_key(
+        spark,
+        spark.createDataFrame([Row(k=7, v="updated", ver=2)]),
+        path,
+        keys=["k"],
+        version_col="ver",
+    )
+    after = snapshot()
+    touched_dirs = {p.rsplit("/", 2)[-2] for p in set(before) ^ set(after)} | {
+        p.rsplit("/", 2)[-2] for p in before if before.get(p) != after.get(p)
+    }
+    # exactly one bucket dir may differ; every other partition byte-identical
+    assert len(touched_dirs) == 1, touched_dirs
+    untouched_before = {p: h for p, h in before.items() if p.rsplit("/", 2)[-2] not in touched_dirs}
+    untouched_after = {p: h for p, h in after.items() if p.rsplit("/", 2)[-2] not in touched_dirs}
+    assert untouched_before and untouched_before == untouched_after
+    # and the merge semantics held
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out[7] == "updated" and len(out) == 200
+
+
+def test_merge_migrates_legacy_unpartitioned_target(spark, tmp_path):
+    """A pre-bucketing flat parquet target is migrated into the partitioned
+    layout on the next merge, preserving rows and upsert semantics."""
+    from importer_spark.io import merge_by_key
+
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame([Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1)]).write.parquet(path)
+    merge_by_key(
+        spark,
+        spark.createDataFrame([Row(k=2, v="b2", ver=2), Row(k=3, v="c", ver=1)]),
+        path,
+        keys=["k"],
+        version_col="ver",
+        n_buckets=4,
+    )
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+    assert any(d.name.startswith("_kb=") for d in (tmp_path / "legacy").iterdir())

@@ -21,13 +21,16 @@ from importer_spark.streaming.incremental import (
 def test_merge_raises_on_corrupt_target_instead_of_overwriting(spark, tmp_path):
     path = str(tmp_path / "tbl")
     merge_by_key(spark, spark.createDataFrame([Row(k=1, v="keep")]), path, keys=["k"])
-    # Corrupt a data file: now a read fails with something other than
-    # PATH_NOT_FOUND and the merge must propagate, not wipe the table.
-    parquet_files = list((tmp_path / "tbl").glob("*.parquet"))
+    # Corrupt the data file of key 1's own bucket: re-merging key 1 must
+    # read that partition, hit the corruption, and propagate — not wipe the
+    # table. (A corrupt file in an UNMATCHED bucket is legitimately never
+    # read: partition pruning leaves it byte-untouched.)
+    parquet_files = list((tmp_path / "tbl").rglob("*.parquet"))
     assert parquet_files
-    parquet_files[0].write_bytes(b"not a parquet file")
+    for f in parquet_files:
+        f.write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
-        merge_by_key(spark, spark.createDataFrame([Row(k=2, v="new")]), path, keys=["k"])
+        merge_by_key(spark, spark.createDataFrame([Row(k=1, v="new")]), path, keys=["k"])
 
 
 def test_read_parquet_if_exists_missing_vs_error(spark, tmp_path):
