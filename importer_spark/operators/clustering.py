@@ -56,6 +56,54 @@ def assign_clusters(
     )
 
 
+def nearest_cells_cosine(
+    embs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_ids: list[int],
+    centroids: list[list[float]],
+    n_best: int = 1,
+) -> DataFrame:
+    """Top-``n_best`` nearest cells per vector by COSINE via normalized
+    block matmul — the IVF coarse-quantizer assignment at production nlist:
+    O(n×d×k) vectorized work per Arrow batch instead of interpreted
+    per-element cosine × nlist per vector. Map-only (the nlist×dim model
+    rides the closure, like k-means centroid state). Emits
+    (id, vec, cell_id, cell_rank); ties rank the lower cell_id first (cells
+    are sorted by id and the argsort is stable)."""
+    order = np.argsort(np.asarray(cell_ids))
+    ids_sorted = np.asarray(cell_ids, dtype=np.int64)[order]
+    C = np.asarray(centroids, dtype=np.float64)[order]
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    C = C / cn
+    n_best = min(n_best, len(ids_sorted))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0
+            sims = (V / vn) @ C.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_best),
+                    vec_col: pdf[vec_col].to_numpy().repeat(n_best),
+                    "cell_id": ids_sorted[top].ravel(),
+                    "cell_rank": np.tile(np.arange(1, n_best + 1, dtype="int32"), n),
+                }
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        fn,
+        schema=f"{id_col} bigint, {vec_col} array<double>, cell_id bigint, cell_rank int",
+    )
+
+
 def kmeans_fit(
     embs: DataFrame,
     id_col: str,

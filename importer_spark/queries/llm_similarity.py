@@ -179,39 +179,30 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-@query("embedding_ivf_topk", oracle=_ivf_sql())
-def embedding_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: a coarse quantizer partitions the corpus into cells
-    (deterministic seed centroids here — real training is Lloyd iterations,
-    each one DataFrame join+agg like the assignment below); every vector is
-    assigned to its nearest cell, probes search their IVF_NPROBE nearest
-    cells only. Candidate generation is an equi-join on cell_id — the same
-    one-shuffle 100 TB shape as the LSH variant, but with data-adaptive
-    cells. The centroid table is tiny → broadcast; at production nlist
-    (tens of thousands) the assignment argmax moves to a numpy block matmul
-    (operators/similarity.py::cosine_pairs_blockwise pattern)."""
-    t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", as_double_array(F.col("embedding")).alias("emb")
-    )
-    cent = e.filter(F.col("vec_id") % N_LIST_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        cosine(F.col("emb"), F.col("cemb")).desc(), F.col("cell_id").asc()
-    )
-    nearest = e.crossJoin(F.broadcast(cent)).withColumn(
-        "rn", F.row_number().over(w_assign)
-    )
-    assign = nearest.filter(F.col("rn") == 1).select("vec_id", "emb", "cell_id")
-    probe_cells = nearest.filter(
-        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE)
+def ivf_search(e, cell_ids: list[int], centroids: list[list[float]]):
+    """IVF search over ``e`` (vec_id, emb) given a trained/seeded coarse
+    quantizer: matmul-assign every vector to its nearest cell, matmul-rank
+    each probe's IVF_NPROBE nearest cells, candidates via the cell_id
+    equi-join, then EXACT sequential-accumulation cosine for the output
+    scores (bitwise-portable where parity matters — candidate sets are
+    small). One shuffle for candidates; the nlist×dim quantizer model rides
+    the task closures, never the shuffle."""
+    from importer_spark.operators.clustering import nearest_cells_cosine
+
+    assign = nearest_cells_cosine(e, "vec_id", "emb", cell_ids, centroids, n_best=1)
+    probe_cells = nearest_cells_cosine(
+        e.filter(F.col("vec_id") < N_PROBES),
+        "vec_id",
+        "emb",
+        cell_ids,
+        centroids,
+        n_best=IVF_NPROBE,
     ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("pemb"),
         "cell_id",
     )
-    pairs = probe_cells.join(assign, "cell_id").filter(
+    pairs = probe_cells.join(assign.select("vec_id", "emb", "cell_id"), "cell_id").filter(
         F.col("probe_id") != F.col("vec_id")
     )
     scored = pairs.withColumn("_cos", cosine(F.col("pemb"), F.col("emb")))
@@ -226,6 +217,32 @@ def embedding_ivf_topk(spark, sf_dir):
             F.round("_cos", 6).alias("cosine"),
         )
     )
+
+
+@query("embedding_ivf_topk", oracle=_ivf_sql())
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a coarse quantizer partitions the corpus into cells
+    (deterministic strided seed centroids here, so the SQL oracle can
+    reproduce them; kmeans_fit trains the production quantizer — the
+    trained-vs-seeded recall comparison lives in tests). Every vector is
+    assigned to its nearest cell by a numpy block matmul
+    (operators/clustering.py::nearest_cells_cosine — O(matmul), not
+    interpreted cosine × nlist), probes search their IVF_NPROBE nearest
+    cells only, and candidate generation is an equi-join on cell_id — the
+    same one-shuffle 100 TB shape as the LSH variant, but with
+    data-adaptive cells."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    cent_rows = (
+        e.filter(F.col("vec_id") % N_LIST_STRIDE == 0)
+        .orderBy("vec_id")
+        .collect()
+    )  # the quantizer model: nlist×dim, the canonical driver-side ML state
+    cell_ids = [r["vec_id"] for r in cent_rows]
+    centroids = [list(r["emb"]) for r in cent_rows]
+    return ivf_search(e, cell_ids, centroids)
 
 
 @query("kmeans_embeddings")

@@ -322,3 +322,37 @@ def test_merge_migrates_legacy_unpartitioned_target(spark, tmp_path):
     out = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
     assert any(d.name.startswith("_kb=") for d in (tmp_path / "legacy").iterdir())
+
+
+def test_ivf_trained_quantizer_recall(spark):
+    """Close the k-means → IVF loop: cells TRAINED with kmeans_fit must
+    search at least as well as the deterministic strided seeds at the same
+    nprobe budget (these embeddings are near-uniform, so recall tracks the
+    searched corpus fraction — trained, data-adaptive cells balance cell
+    sizes and must not do materially worse)."""
+    from importer_spark.io import Tables
+    from importer_spark.operators.clustering import kmeans_fit
+    from importer_spark.queries import QUERIES
+    from importer_spark.queries.llm_similarity import N_LIST_STRIDE, ivf_search
+
+    t = Tables(spark, SF_DIR)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    n_cells = e.filter(F.col("vec_id") % N_LIST_STRIDE == 0).count()
+    cents, _ = kmeans_fit(e, "vec_id", "emb", k=n_cells, iters=3)
+    trained = ivf_search(e, list(range(n_cells)), cents).toPandas()
+    strided = QUERIES["embedding_ivf_topk"](spark, SF_DIR).toPandas()
+    bf = QUERIES["embedding_cosine_topk"](spark, SF_DIR).toPandas()
+
+    def recall(ann):
+        bf_sets = bf.groupby("probe_id")["neighbor_id"].apply(set)
+        ann_sets = ann.groupby("probe_id")["neighbor_id"].apply(set)
+        return sum(
+            len(bf_sets[p] & ann_sets.get(p, set())) / len(bf_sets[p])
+            for p in bf_sets.index
+        ) / len(bf_sets.index)
+
+    r_trained, r_strided = recall(trained), recall(strided)
+    # floor catches structural bugs; the comparison pins "trained is not
+    # worse than seeds" with slack for tie noise on uniform data
+    assert r_trained >= 0.3, (r_trained, r_strided)
+    assert r_trained >= r_strided - 0.15, (r_trained, r_strided)
