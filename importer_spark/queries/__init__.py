@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "tfidf_weights",
     "top_terms_per_doc",
     "curation_pipeline",
+    "dq_curation_suite",
     "stratified_sample",
     "language_capped_sample",
     "sequence_packing",

@@ -78,6 +78,61 @@ def dq_orders_suite(spark, sf_dir):
     return run_suite(Tables(spark, sf_dir).orders, _SUITE)
 
 
+_CURATED_SUITE = [
+    {"name": "curated_doc_unique", "kind": "unique", "col": "doc_id"},
+    {"name": "curated_doc_not_null", "kind": "not_null", "col": "doc_id"},
+    {
+        "name": "curated_tokens_range",
+        "kind": "accepted_range",
+        "col": "n_tokens",
+        "lo": 20,
+        "hi": 2000,
+    },
+    {"name": "curated_pack_nonneg", "kind": "accepted_range", "col": "pack_id", "lo": 0},
+    {"name": "curated_lang_not_null", "kind": "not_null", "col": "lang"},
+]
+
+
+def _curated_suite_sql() -> str:
+    from importer_spark.queries.llm_sampling import _CURATION_SQL
+
+    return f"""
+WITH curated AS ({_CURATION_SQL}),
+agg AS (
+  SELECT
+    COUNT(doc_id) - COUNT(DISTINCT doc_id) AS c1,
+    COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS c2,
+    COUNT(CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 2000)
+               OR n_tokens IS NULL THEN 1 END) AS c3,
+    COUNT(CASE WHEN NOT (pack_id >= 0) OR pack_id IS NULL THEN 1 END) AS c4,
+    COUNT(CASE WHEN lang IS NULL THEN 1 END) AS c5
+  FROM curated
+)
+SELECT check_name, CAST(n AS BIGINT) AS n_violations, n = 0 AS passed
+FROM agg, LATERAL (VALUES
+  ('curated_doc_unique', c1),
+  ('curated_doc_not_null', c2),
+  ('curated_tokens_range', c3),
+  ('curated_pack_nonneg', c4),
+  ('curated_lang_not_null', c5)
+) t(check_name, n)
+"""
+
+
+@query("dq_curation_suite", oracle=_curated_suite_sql())
+def dq_curation_suite(spark, sf_dir):
+    """Validate-after-transform (reference orchestrator.py:466-504 runs the
+    data-quality layer after every pipeline stage): the declarative suite
+    runner applied to the curation capstone's OUTPUT — pk uniqueness, the
+    quality gate's token-range invariant, pack-id sanity. Catalyst fuses
+    suite agg onto the capstone plan, so the whole
+    transform-then-validate ships as one job, and the result is the dbt
+    test-run shape consumers already parse."""
+    from importer_spark.queries.llm_sampling import curation_pipeline
+
+    return run_suite(curation_pipeline(spark, sf_dir), _CURATED_SUITE)
+
+
 _PROFILE_SQL = """
 WITH src AS (
   SELECT c_custkey, c_name, c_nationkey,
