@@ -5,4 +5,5 @@ from importer_spark.sources.files import (  # noqa: F401
     read_xlsx,
     with_ingest_metadata,
 )
+from importer_spark.sources.graphql import GraphQLCursorSource, extract_path  # noqa: F401
 from importer_spark.sources.rest import RestCursorSource  # noqa: F401

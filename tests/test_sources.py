@@ -256,3 +256,104 @@ def test_read_xlsx_data_wider_than_header(spark, tmp_path):
     df = read_xlsx(spark, path)
     assert df.columns == ["A", "B", "col_2"]
     assert [tuple(r) for r in df.collect()] == [("x", "y", "stray")]
+
+
+# ---------------------------------------------------------------------------
+# GraphQL cursor source (reference shopify_dlt/__init__.py:168-228,
+# helpers.py:127-146: run query → JSONPath items + cursor → re-run with
+# cursor piped into a variable)
+# ---------------------------------------------------------------------------
+
+
+def _gql_fake_transport(pages):
+    """Build a transport serving `pages` (lists of node dicts) in the
+    Shopify edges/cursor envelope, recording each call's variables."""
+    calls = []
+
+    def execute(query, variables):
+        calls.append(dict(variables))
+        after = variables.get("after")
+        idx = 0 if after is None else int(after.split(":")[1]) + 1
+        nodes = pages[idx] if idx < len(pages) else []
+        return {
+            "data": {
+                "transactions": {
+                    "edges": [
+                        {"cursor": f"c:{idx}", "node": n} for n in nodes
+                    ]
+                }
+            }
+        }
+
+    return execute, calls
+
+
+def test_graphql_source_paginates_and_threads_cursor(spark):
+    from importer_spark.sources import GraphQLCursorSource
+
+    pages = [
+        [{"id": 1, "amount": 10}, {"id": 2, "amount": 20}],
+        [{"id": 3, "amount": 30}],
+        [],
+    ]
+    execute, calls = _gql_fake_transport(pages)
+    src = GraphQLCursorSource(
+        spark,
+        execute,
+        query="query Transactions($after: String) { ... }",
+        data_items_path="data.transactions.edges[*].node",
+        pagination_cursor_path="data.transactions.edges[-1].cursor",
+    )
+    df = src.load()
+    rows = {r.id: r.amount for r in df.collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    # last page's cursor is carried for the state table
+    assert df.select("_cursor").distinct().first()[0] == "c:1"
+    # the cursor was piped back into the pagination variable each call
+    assert [c.get("after") for c in calls] == [None, "c:0", "c:1"]
+
+
+def test_graphql_source_empty_and_nonadvancing(spark):
+    from importer_spark.sources import GraphQLCursorSource
+
+    execute, _ = _gql_fake_transport([[]])
+    src = GraphQLCursorSource(
+        spark,
+        execute,
+        query="q",
+        data_items_path="data.transactions.edges[*].node",
+        pagination_cursor_path="data.transactions.edges[-1].cursor",
+    )
+    df = src.load(empty_schema="id bigint, amount bigint, _cursor string")
+    assert df.count() == 0 and df.columns == ["id", "amount", "_cursor"]
+
+    # a server that repeats the same cursor must terminate, not spin
+    def stuck(query, variables):
+        return {
+            "data": {
+                "transactions": {
+                    "edges": [{"cursor": "same", "node": {"id": 1}}]
+                }
+            }
+        }
+
+    stuck_src = GraphQLCursorSource(
+        spark,
+        stuck,
+        query="q",
+        data_items_path="data.transactions.edges[*].node",
+        pagination_cursor_path="data.transactions.edges[-1].cursor",
+    )
+    out = stuck_src.load()
+    assert [r.id for r in out.collect()] == [1, 1]  # page 1 + guard stop
+
+
+def test_extract_path_subset():
+    from importer_spark.sources import extract_path
+
+    data = {"a": {"b": [{"c": 1}, {"c": 2}]}}
+    assert extract_path(data, "a.b[*].c") == [1, 2]
+    assert extract_path(data, "a.b[-1].c") == [2]
+    assert extract_path(data, "a.b[0].c") == [1]
+    assert extract_path(data, "a.missing[*].c") == []
+    assert extract_path(data, "a.b[5].c") == []
