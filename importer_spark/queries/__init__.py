@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "pii_redaction",
     "embedding_near_dups",
     "embedding_centroids",
+    "simhash_near_dups",
     "doc_length_histogram",
     # Spark-4 showpieces
     "customer_hierarchy_depth",

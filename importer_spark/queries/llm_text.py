@@ -228,6 +228,61 @@ def simhash_fingerprints(spark, sf_dir):
     return bits.select("doc_id", acc.cast("bigint").alias("simhash"))
 
 
+_SIMHASH_HAM_K = 3  # 4 bands × 8 bits: hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({{base}}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_val
+  FROM sh, (SELECT UNNEST(range(4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS ha, c.doc_id AS id_b, c.simhash AS hb
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SIMHASH_HAM_K}
+"""
+
+
+@query("simhash_near_dups", oracle=_SIMHASH_PAIRS_SQL.format(base=_simhash_sql().strip()))
+def simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs, EXACT within Hamming radius 3: the 32-bit
+    fingerprint splits into 4 byte bands, docs sharing any band value become
+    candidates (pigeonhole: ≤3 differing bits cannot touch all 4 bands, so
+    banding loses nothing at this radius), and candidates verify with
+    bit_count(xor). The 100 TB shape mirrors MinHash-LSH: the band self-join
+    moves only (doc_id, simhash, band_val) — 4 small rows per doc, never
+    content — and the verify is two integer ops. The oracle replays the
+    same banded plan over the shared simhash SQL base."""
+    sh = simhash_fingerprints(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "band_val"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "band_val"
+    )
+    cand = (
+        a.join(c, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ha", "id_b", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= _SIMHASH_HAM_K)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
 _REPETITION_SQL = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
