@@ -145,6 +145,9 @@ def test_semi_join_pushes_fact_filter(spark):
         ("sequence_packing", 2),     # one window shuffle
         ("revenue_share", 3),
         ("dq_orders_suite", 2),      # single-scan agg
+        ("dq_curation_suite", 5),    # capstone windows + one suite agg
+        ("simhash_near_dups", 4),    # two simhash aggs feed the band join
+        ("embedding_near_dups", 2),  # one blk-pair shuffle; pairs broadcast
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
