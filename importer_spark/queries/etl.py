@@ -345,22 +345,23 @@ def approx_distinct_sketch(spark, sf_dir):
     percentile_approx accuracy 500 ≙ ≤0.2% rank error — plenty for
     profiling, and half the sketch-merge cost of the 1000 default.
 
-    Output columns are all scalars (p50/p95 doubles, not an array) so any
-    order-insensitive canonicalizer can sort the raw cells."""
+    Sketches ONLY — an exact countDistinct here would defeat the operator's
+    reason to exist at 100 TB (the error bound vs exact is asserted in
+    tests, where exactness belongs). Output columns are all scalars
+    (p50/p95 doubles, not an array) so any order-insensitive canonicalizer
+    can sort the raw cells."""
     t = Tables(spark, sf_dir)
     agged = (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.approx_count_distinct("o_custkey").alias("approx_customers"),
-            F.countDistinct("o_custkey").alias("exact_customers"),
             F.percentile_approx("o_totalprice", [0.5, 0.95], 500).alias("_q"),
         )
     )
     return agged.select(
         "mktsegment",
         "approx_customers",
-        "exact_customers",
         F.element_at("_q", 1).alias("price_p50"),
         F.element_at("_q", 2).alias("price_p95"),
     )

@@ -236,11 +236,25 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_approx_sketch_error_bound(spark):
+    """HLL estimate within 5% of the exact distinct count per segment. The
+    exact side lives HERE, not in the query — at scale the sketch exists so
+    you never pay countDistinct."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
     from importer_spark.queries import QUERIES
 
-    df = QUERIES["approx_distinct_sketch"](spark, SF_DIR).toPandas()
-    rel_err = (df.approx_customers - df.exact_customers).abs() / df.exact_customers
-    assert (rel_err < 0.05).all(), df
+    df = QUERIES["approx_distinct_sketch"](spark, SF_DIR).toPandas().set_index("mktsegment")
+    t = Tables(spark, SF_DIR)
+    exact = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .toPandas()
+        .set_index("c_mktsegment")["n"]
+    )
+    rel_err = (df.approx_customers - exact).abs() / exact
+    assert (rel_err < 0.05).all(), (df, exact)
 
 
 def test_read_xlsx_data_wider_than_header(spark, tmp_path):
