@@ -189,15 +189,14 @@ def ivf_search(e, cell_ids: list[int], centroids: list[list[float]]):
     the task closures, never the shuffle."""
     from importer_spark.operators.clustering import nearest_cells_cosine
 
-    assign = nearest_cells_cosine(e, "vec_id", "emb", cell_ids, centroids, n_best=1)
-    probe_cells = nearest_cells_cosine(
-        e.filter(F.col("vec_id") < N_PROBES),
-        "vec_id",
-        "emb",
-        cell_ids,
-        centroids,
-        n_best=IVF_NPROBE,
-    ).select(
+    # ONE matmul pass ranks every vector's top IVF_NPROBE cells; rank 1 is
+    # the corpus assignment, ranks ≤ nprobe (probes only) are the search
+    # cells — no second scan of the corpus.
+    ranked = nearest_cells_cosine(
+        e, "vec_id", "emb", cell_ids, centroids, n_best=IVF_NPROBE
+    )
+    assign = ranked.filter(F.col("cell_rank") == 1)
+    probe_cells = ranked.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("pemb"),
         "cell_id",
