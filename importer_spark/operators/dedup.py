@@ -96,6 +96,26 @@ def minhash_signatures(
     )
 
 
+def band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — the persistable LSH index rows for ``df``.
+    This is the STATE of incremental dedup: merge each batch's rows into a
+    band table (io.merge_by_key on (id, band_idx), or partitioned by
+    band_key for co-located candidate joins) and new batches probe it
+    without recomputing corpus signatures."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    bands = lsh_band_keys([F.col(f"mh{j}") for j in range(n_hashes)], band_size)
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,11 +136,7 @@ def near_dup_pairs(
          keeps pairs >= threshold.
     With j≈0.99 dups and (8,2) parameters, recall ≈ 1-(1-j²)⁴ ≈ 1-2e-7.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    bands = lsh_band_keys([F.col(f"mh{j}") for j in range(n_hashes)], band_size)
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
-    )
+    banded = band_index(df, id_col, text_col, n_hashes, band_size, shingle_k)
     candidates = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
         .join(
@@ -137,6 +153,20 @@ def near_dup_pairs(
         # at sf0.1 for the clusters consumer): an InMemoryRelation blocks
         # AQE inside and below it, degrading the sets joins to sort-merge.
     )
+    return verify_candidates(df, candidates, id_col, text_col, shingle_k, threshold)
+
+
+def verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs: shingle
+    sets are built ONLY for docs appearing in a candidate (semi-join prune
+    against ``df``, the content source)."""
     cand_ids = (
         candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
@@ -162,3 +192,49 @@ def near_dup_pairs(
         verified.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def near_dup_pairs_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: dedup a NEW batch against an already
+    indexed corpus without recomputing corpus signatures.
+
+    ``band_store`` holds (id, band_idx, band_key) for previously indexed
+    docs (built by :func:`band_index`, persisted with io.merge_by_key).
+    Per batch:
+      1. index only the new docs (cost ∝ batch);
+      2. candidates = new bands ⋈ (store ∪ new bands) on (band_idx,
+         band_key) — only pairs touching a new doc are generated, and only
+         band-key ints move (at scale, partition the store by band_key so
+         the probe prunes);
+      3. exact-Jaccard verify reads content for candidate ids only
+         (point-lookup against ``corpus``).
+    Returns (pairs, new_band_rows); the caller merges new_band_rows into
+    the store — the same batch-cost-not-corpus-cost contract as the
+    partition-pruned merge sink. Deterministic banding makes the result
+    EXACTLY the full-batch pairs restricted to pairs touching a new doc
+    (property-tested)."""
+    bands_new = band_index(new_docs, id_col, text_col, n_hashes, band_size, shingle_k)
+    all_bands = band_store.select(id_col, "band_idx", "band_key").unionByName(bands_new)
+    left = bands_new.select(F.col(id_col).alias("_id_n"), "band_idx", "band_key")
+    right = all_bands.select(F.col(id_col).alias("_id_o"), "band_idx", "band_key")
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = verify_candidates(corpus, candidates, id_col, text_col, shingle_k, threshold)
+    return pairs, bands_new

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
 from importer_spark.operators.dedup import (
+    band_index,
     exact_dedup,
     minhash_signatures,
     near_dup_pairs,
+    near_dup_pairs_incremental,
     shingle_rows,
 )
 from importer_spark.queries.registry import query
@@ -92,6 +94,37 @@ def near_dup_pairs_q(spark, sf_dir):
     value agreement certifies LSH recall AND precision on this data."""
     t = Tables(spark, sf_dir)
     return near_dup_pairs(t.documents, "doc_id", "text")
+
+
+_INCR_NEAR_DUP_SQL = (
+    _SHINGLE_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+"""
+)
+
+
+@query("near_dup_pairs_incremental", oracle=_INCR_NEAR_DUP_SQL)
+def near_dup_pairs_incremental_q(spark, sf_dir):
+    """Incremental LSH dedup: docs with doc_id % 5 == 0 play the NEW daily
+    batch; the rest are the already-indexed corpus whose persisted band
+    store is probed without recomputing its signatures. The oracle is the
+    full brute-force all-pairs Jaccard restricted to pairs touching a new
+    doc — agreement proves the incremental path returns EXACTLY the batch
+    slice of the full answer (deterministic banding), at batch cost."""
+    t = Tables(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    store = band_index(t.documents.filter(~is_new), "doc_id", "text")
+    pairs, _new_bands = near_dup_pairs_incremental(
+        t.documents, t.documents.filter(is_new), store, "doc_id", "text"
+    )
+    return pairs
 
 
 _CONTAM_SQL = (

@@ -356,3 +356,50 @@ def test_ivf_trained_quantizer_recall(spark):
     # worse than seeds" with slack for tie noise on uniform data
     assert r_trained >= 0.3, (r_trained, r_strided)
     assert r_trained >= r_strided - 0.15, (r_trained, r_strided)
+
+
+def test_incremental_near_dups_matches_batch_slice(spark):
+    """Deterministic banding contract: processing a batch against the
+    persisted band store must return EXACTLY the full-batch near-dup pairs
+    restricted to pairs touching a batch doc — and chaining two batches
+    (merging each batch's bands into the store) must cover every pair the
+    full run finds except old-old pairs."""
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import (
+        band_index,
+        near_dup_pairs,
+        near_dup_pairs_incremental,
+    )
+
+    docs = Tables(spark, SF_DIR).documents
+    full = {(r.id_a, r.id_b): r.jaccard for r in near_dup_pairs(docs, "doc_id", "text").collect()}
+    assert full  # planted near-dups exist
+
+    b1 = F.col("doc_id") % 5 == 0
+    b2 = F.col("doc_id") % 5 == 1
+    base = docs.filter(~b1 & ~b2)
+    store = band_index(base, "doc_id", "text")
+
+    p1, bands1 = near_dup_pairs_incremental(
+        docs.filter(~b2), docs.filter(b1), store, "doc_id", "text"
+    )
+    got1 = {(r.id_a, r.id_b): r.jaccard for r in p1.collect()}
+    new1 = {r.doc_id for r in docs.filter(b1).select("doc_id").collect()}
+    old1 = {r.doc_id for r in base.select("doc_id").collect()}
+    want1 = {
+        k: v
+        for k, v in full.items()
+        if (k[0] in new1 or k[1] in new1) and {k[0], k[1]} <= new1 | old1
+    }
+    assert got1 == want1
+
+    store2 = store.unionByName(bands1)
+    p2, _ = near_dup_pairs_incremental(docs, docs.filter(b2), store2, "doc_id", "text")
+    got2 = {(r.id_a, r.id_b): r.jaccard for r in p2.collect()}
+    new2 = {r.doc_id for r in docs.filter(b2).select("doc_id").collect()}
+    want2 = {k: v for k, v in full.items() if k[0] in new2 or k[1] in new2}
+    assert got2 == want2
+    # two chained batches + the base cover everything except base-base pairs
+    covered = set(got1) | set(got2)
+    uncovered = {k for k in full if k not in covered}
+    assert all(k[0] in old1 and k[1] in old1 for k in uncovered)
