@@ -270,6 +270,70 @@ def merge_by_key(
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
+def compact_merged_table(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+) -> dict[int, tuple[int, int]]:
+    """Compact bucket partitions of a merge_by_key table that accreted small
+    files (every merge appends at least one file to each touched partition —
+    after N daily batches a hot bucket holds N files and scan cost rises).
+
+    Rewrites ONLY partitions whose file count exceeds
+    ``max_files_per_partition``, through the same staging + dynamic
+    partition overwrite protocol as the merge itself, so healthy partitions
+    stay byte-identical and readers never see a half-compacted table. One
+    task per compacted bucket → one output file (``max_records_per_file``
+    re-splits genuinely oversized buckets). Returns
+    {bucket: (files_before, files_after)} for the compacted partitions."""
+    fs, root, jvm = _hadoop_path(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    stats: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{BUCKET_COL}="):
+            n_files = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            stats[int(name.split("=", 1)[1])] = n_files
+    affected = sorted(b for b, n in stats.items() if n > max_files_per_partition)
+    if not affected:
+        return {}
+    df = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    staging = f"{path}__compact_staging"
+    writer = df.repartition(len(affected), F.col(BUCKET_COL)).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(BUCKET_COL).parquet(staging)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out = spark.read.parquet(staging).write.mode("overwrite")
+        if max_records_per_file:
+            out = out.option("maxRecordsPerFile", max_records_per_file)
+        out.partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)
+    fs.delete(hpath(staging), True)
+    result = {}
+    for b in affected:
+        part = hpath(f"{path}/{BUCKET_COL}={b}")
+        n_after = sum(
+            1
+            for f in fs.listStatus(part)
+            if f.getPath().getName().endswith(".parquet")
+        )
+        result[b] = (stats[b], n_after)
+    return result
+
+
 def _resolve_winners(merged: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
     order = [F.col("_merge_rank").asc()]
     if version_col:

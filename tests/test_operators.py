@@ -403,3 +403,49 @@ def test_incremental_near_dups_matches_batch_slice(spark):
     covered = set(got1) | set(got2)
     uncovered = {k for k in full if k not in covered}
     assert all(k[0] in old1 and k[1] in old1 for k in uncovered)
+
+
+def test_compact_merged_table(spark, tmp_path):
+    """Compaction rewrites only multi-file bucket partitions down to one
+    file each, preserves every row, and leaves already-compact partitions
+    byte-identical."""
+    import hashlib
+    from importer_spark.io import compact_merged_table, merge_by_key
+
+    from importer_spark.io import BUCKET_COL, _bucket_expr
+
+    path = str(tmp_path / "tbl")
+    rows = [Row(k=i, v=f"v{i}", ver=1) for i in range(400)]
+    merge_by_key(spark, spark.createDataFrame(rows), path, keys=["k"], n_buckets=4)
+    # accrete files the way an append-based ingest does
+    for wave in range(2):
+        extra = spark.createDataFrame(
+            [Row(k=1000 + wave * 100 + i, v="x", ver=1) for i in range(100)]
+        ).withColumn(BUCKET_COL, _bucket_expr(["k"], 4))
+        extra.coalesce(1).write.mode("append").partitionBy(BUCKET_COL).parquet(path)
+
+    def files():
+        return {
+            str(f.relative_to(tmp_path)): hashlib.md5(f.read_bytes()).hexdigest()
+            for f in (tmp_path / "tbl").rglob("*.parquet")
+        }
+
+    before = files()
+    before_rows = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    multi = {
+        d.name
+        for d in (tmp_path / "tbl").iterdir()
+        if d.is_dir() and len(list(d.glob("*.parquet"))) > 1
+    }
+    assert multi, "fixture should produce multi-file partitions"
+
+    result = compact_merged_table(spark, path)
+    assert set(result) == {int(m.split("=")[1]) for m in multi}
+    assert all(a > 1 and b == 1 for a, b in result.values()), result
+
+    after = files()
+    untouched = {p: h for p, h in before.items() if p.split("/")[1] not in multi}
+    assert untouched == {p: h for p, h in after.items() if p.split("/")[1] not in multi}
+    assert before_rows == sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    # idempotent: a second pass finds nothing to do
+    assert compact_merged_table(spark, path) == {}
