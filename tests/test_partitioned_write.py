@@ -51,3 +51,37 @@ def test_partitioned_append_adds_partition(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert {r["m"] for r in back.select("m").collect()} == {"2026-01", "2026-02"}
+
+
+def test_write_sorted_produces_skippable_stats(spark, tmp_path):
+    """The range-sorted layout must yield near-disjoint per-file min/max
+    stats on the clustering column (that is what lets parquet readers skip
+    files/row groups on a pushed-down range predicate)."""
+    import pyarrow.parquet as pq
+    from importer_spark.io import Tables, write_sorted
+
+    t = Tables(spark, SF_DIR)
+    path = str(tmp_path / "orders_sorted")
+    write_sorted(t.orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+                 path, range_col="o_orderdate", n_files=6)
+
+    spans = []
+    for f in sorted((tmp_path / "orders_sorted").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "o_orderdate" and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None or s.min < lo else lo
+                    hi = s.max if hi is None or s.max > hi else hi
+        assert lo is not None, f
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    # files ordered by range must not overlap beyond boundary duplicates
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps == 0, spans
+    # and the whole dataset round-trips
+    assert spark.read.parquet(path).count() == t.orders.count()
