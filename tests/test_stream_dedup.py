@@ -139,3 +139,65 @@ def test_session_window_streaming(spark, tmp_path):
     }
     assert got <= expect
     assert len(got) >= 0.8 * len(expect), (len(got), len(expect))
+
+
+def test_streaming_incremental_near_dup_via_foreachbatch(spark, tmp_path):
+    """End-to-end streaming corpus dedup: document batches arrive as a file
+    stream; each foreachBatch probes the PERSISTED band store for near-dups
+    against everything seen so far, appends the hits, and merges the batch's
+    bands into the store (io.merge_by_key — batch cost, not corpus cost).
+    The accumulated pair set must equal the batch answer on the full corpus."""
+    from importer_spark.io import Tables, merge_by_key, read_parquet_if_exists
+    from importer_spark.operators.dedup import band_index, near_dup_pairs, near_dup_pairs_incremental
+
+    docs = Tables(spark, SF_DIR).documents.select("doc_id", "lang", "text")
+    corpus_path = str(tmp_path / "corpus")
+    store_path = str(tmp_path / "band_store")
+    pairs_path = str(tmp_path / "pairs")
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+
+    # three arrival waves, written as separate files so availableNow
+    # processes them in one run but through the same batch loop
+    for wave in range(3):
+        docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stream_in))
+
+    def process_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)  # stable within the batch
+        # corpus grows first so verify can read batch-batch pair content
+        batch.write.mode("append").parquet(corpus_path)
+        corpus = s.read.parquet(corpus_path)
+        store = read_parquet_if_exists(s, store_path)
+        if store is None:
+            store = s.createDataFrame([], "doc_id bigint, band_idx int, band_key string")
+        pairs, new_bands = near_dup_pairs_incremental(
+            corpus, batch, store.select("doc_id", "band_idx", "band_key"),
+            "doc_id", "text",
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        merge_by_key(s, new_bands, store_path, keys=["doc_id", "band_idx"], n_buckets=4)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_in))
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    assert want  # planted dups exist
+    assert got == want
