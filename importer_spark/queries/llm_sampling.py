@@ -56,10 +56,43 @@ def _keep_expr():
     return keep
 
 
-def _pack_window():
-    """Preceding-rows token-sum window for sequence packing."""
-    return Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
+_PACK_ID_BUCKET_WIDTH = 256
+
+
+def with_pack_id(df):
+    """Add ``pack_id`` = floor(preceding-token-sum / budget) per language
+    stream, via DISTRIBUTED prefix sum — a naive one-window form funnels an
+    entire language through a single task at 100 TB.
+
+    Exact two-phase cumsum (integer sums are associative, so the split is
+    lossless): doc_id ranges bucket the stream order-preservingly; a
+    running sum WITHIN each (lang, bucket) runs parallel across buckets,
+    while the per-lang sequential window runs only over the tiny per-bucket
+    totals to produce each bucket's offset; before = offset + within.
+    ``df`` must carry (doc_id, lang, n_tokens)."""
+    bucket = F.floor(F.col("doc_id") / _PACK_ID_BUCKET_WIDTH)
+    w_in = (
+        Window.partitionBy("lang", "_pb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.withColumn("_pb", bucket)
+    offs = (
+        toks.groupBy("lang", "_pb")
+        .agg(F.sum("n_tokens").alias("_bsum"))
+        .withColumn("_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)))
+        .drop("_bsum")
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("_off")
+    return (
+        toks.join(F.broadcast(offs), ["lang", "_pb"])
+        .withColumn("pack_id", F.floor(before / _PACK_BUDGET).cast("bigint"))
+        .drop("_pb", "_off")
     )
 
 
@@ -169,18 +202,9 @@ def sequence_packing(spark, sf_dir):
     the preceding cumulative count / budget)."""
     t = Tables(spark, sf_dir)
     toks = t.documents.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    return toks.select(
-        "doc_id",
-        "lang",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(_pack_window()), F.lit(0)) / _PACK_BUDGET
-        )
-        .cast("bigint")
-        .alias("pack_id"),
-    )
+    return with_pack_id(toks).select("doc_id", "lang", "n_tokens", "pack_id")
 
 
 _TOP_TERMS_SQL = """
@@ -223,21 +247,36 @@ SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= {_CAP_K}
 """
 
 
+_CAP_BUCKETS = 8
+
+
 @query("language_capped_sample", oracle=_CAP_SQL)
 def language_capped_sample(spark, sf_dir):
     """Per-stratum cap: at most K docs per language, selected by
     deterministic hash order (a seeded shuffle that never resamples).
     Complement of stratified_sample's rate gate — rates bound proportions,
     caps bound absolute volume (the 'no language may exceed K examples'
-    curriculum rule). One window pass; at 100 TB prefer a two-phase
-    rank-within-hash-bucket if a single stratum exceeds executor memory."""
+    curriculum rule).
+
+    Two-phase rank so no single stratum ever funnels through one task:
+    phase 1 ranks within (lang, hash-bucket) and keeps each bucket's top K
+    — any global top-K row is also top-K in its own bucket, so nothing is
+    lost — then phase 2 ranks the surviving ≤ K·n_buckets rows per lang.
+    The full stratum never sorts in one partition; only K·n_buckets
+    finalists do."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_BUCKETS))
+    w1 = Window.partitionBy("lang", bucket).orderBy(*order)
+    finalists = (
+        t.documents.select("doc_id", "lang")
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _CAP_K)
     )
+    w2 = Window.partitionBy("lang").orderBy(*order)
     return (
-        t.documents.select(
-            "doc_id", "lang", F.row_number().over(w).cast("int").alias("rnk")
+        finalists.select(
+            "doc_id", "lang", F.row_number().over(w2).cast("int").alias("rnk")
         )
         .filter(F.col("rnk") <= _CAP_K)
     )
@@ -346,14 +385,7 @@ def curation_pipeline(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
-    sampled = deduped.filter(_bucket_expr() < _keep_expr())
-    return sampled.select(
-        "doc_id",
-        "lang",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(_pack_window()), F.lit(0)) / _PACK_BUDGET
-        )
-        .cast("bigint")
-        .alias("pack_id"),
+    sampled = deduped.filter(_bucket_expr() < _keep_expr()).select(
+        "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
+    return with_pack_id(sampled).select("doc_id", "lang", "n_tokens", "pack_id")

@@ -142,10 +142,13 @@ def test_semi_join_pushes_fact_filter(spark):
         ("tfidf_weights", 4),        # tf agg + df agg + broadcast join
         ("benchmark_contamination", 6),
         ("mart_product_period_spending", 4),
-        ("sequence_packing", 2),     # one window shuffle
         ("revenue_share", 3),
         ("dq_orders_suite", 2),      # single-scan agg
-        ("dq_curation_suite", 5),    # capstone windows + one suite agg
+        # +2 over the naive one-window packing: the distributed prefix-sum
+        # buys a per-bucket agg and an offsets join so no language stream
+        # ever serializes through a single task — the right trade at scale.
+        ("dq_curation_suite", 7),
+        ("sequence_packing", 4),
         ("simhash_near_dups", 4),    # two simhash aggs feed the band join
         ("embedding_near_dups", 2),  # one blk-pair shuffle; pairs broadcast
     ],
