@@ -1,0 +1,111 @@
+"""Distributed global ranking — exact row_number / percent_rank / ntile over
+a TOTAL order without the single-task global window.
+
+``Window.orderBy(...)`` with no partition spec funnels every row through one
+task (Spark even warns). That is fine on tiny aggregated relations (months,
+priorities) but not on per-customer / per-company relations at 100 TB — and
+the reference's health-score percentile (dim_company_health.sql:59) is
+exactly that shape. The scalable form mirrors the distributed prefix-sum:
+
+1. one aggregation computes approximate quantile cut points of the leading
+   order column → bucket boundaries as driver-side LITERALS (bucket skew is
+   bounded by quantile accuracy; correctness never depends on the cuts);
+2. each row's bucket is a pure expression over those literals, so every
+   re-evaluation of the plan agrees;
+3. a row_number window runs WITHIN each (parallel) bucket, while the
+   per-bucket counts — n_buckets rows — go through a tiny sequential window
+   to produce each bucket's global offset;
+4. global rank = bucket offset + within-bucket rank; percent_rank and ntile
+   are closed-form over (rank, total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    first_col: str,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    n_buckets: int = 32,
+    accuracy: int = 10_000,
+    first_col_ascending: bool = True,
+) -> DataFrame:
+    """Add exact global row_number ``out_col`` under ``order_cols`` (must be
+    a total order; ``first_col`` is the leading NUMERIC order column used
+    for value bucketing — rows tied on it share a bucket, so bucketing
+    never splits an order-equivalence class across workers).
+    ``first_col_ascending`` must match the sort direction of ``first_col``
+    inside ``order_cols`` so bucket offsets accumulate in rank order."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(first_col, qs, accuracy).alias("_cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["_cuts"] or []))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(first_col) > F.lit(c), 1).otherwise(0)
+    w_in = Window.partitionBy("_gb").orderBy(*order_cols)
+    gb_order = F.col("_gb").asc() if first_col_ascending else F.col("_gb").desc()
+    w_off = (
+        Window.orderBy(gb_order).rowsBetween(Window.unboundedPreceding, -1)
+    )  # over n_buckets count rows only
+    bucketed = df.withColumn("_gb", bucket)
+    offs = (
+        bucketed.groupBy("_gb")
+        .agg(F.count("*").alias("_bn"))
+        .withColumn("_goff", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)))
+        .drop("_bn")
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "_gb")
+        .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
+        .drop("_gb", "_goff")
+    )
+
+
+def with_global_rank_stats(
+    df: DataFrame,
+    first_col: str,
+    order_cols: list[Column],
+    n_buckets: int = 32,
+    first_col_ascending: bool = True,
+) -> DataFrame:
+    """(df + _rn + _n): global row_number plus the total row count (in-plan
+    broadcast, no extra action) — the ingredients for percent_rank
+    ((rn−1)/(n−1)) and ntile (floor(k·(rn−1)/n)+1, the closed form of SQL
+    NTILE's uneven-bucket rule)."""
+    ranked = global_row_number(
+        df,
+        first_col,
+        order_cols,
+        out_col="_rn",
+        n_buckets=n_buckets,
+        first_col_ascending=first_col_ascending,
+    )
+    total = df.agg(F.count("*").alias("_n"))
+    return ranked.crossJoin(F.broadcast(total))
+
+
+def percent_rank_col() -> Column:
+    """percent_rank from with_global_rank_stats columns."""
+    return (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+
+
+def ntile_col(k: int) -> Column:
+    """SQL NTILE(k) from with_global_rank_stats columns — exact closed form
+    of the uneven-bucket rule: with q = n div k and r = n mod k, the first
+    r buckets hold q+1 rows and the rest hold q."""
+    rn, n = F.col("_rn"), F.col("_n")
+    q = F.floor(n / k)
+    r = n % k
+    thr = r * (q + 1)  # rows living in the size-(q+1) buckets
+    q_safe = F.greatest(q, F.lit(1))  # q=0 ⇒ every row is below thr
+    return (
+        F.when(rn <= thr, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - thr) / q_safe) + 1)
+        .cast("int")
+    )

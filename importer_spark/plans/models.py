@@ -97,19 +97,25 @@ def mart_customer_health(ctx):
     """Mart: customer dim + order metrics + global revenue percentile +
     weighted health score (dim_company_health analog: percentile at :59,
     weighted score :117-124)."""
+    from importer_spark.operators.ranks import percent_rank_col, with_global_rank_stats
+
     c = ctx.ref("stg_customers")
     m = ctx.ref("int_customer_orders")
-    joined = c.join(m, "cust_key", "left")
-    w = Window.orderBy(
-        F.coalesce(F.col("revenue"), F.lit(0.0)).asc(), F.col("cust_key").asc()
+    joined = c.join(m, "cust_key", "left").withColumn(
+        "_rev0", F.coalesce(F.col("revenue"), F.lit(0.0))
     )
-    pct = F.round(F.percent_rank().over(w), 6)
+    # distributed percentile (no single-task global window) — the customer
+    # relation is the mart's full grain
+    ranked = with_global_rank_stats(
+        joined, "_rev0", [F.col("_rev0").asc(), F.col("cust_key").asc()]
+    )
+    pct = F.round(percent_rank_col(), 6)
     score = F.round(
         F.least(F.lit(100.0), F.coalesce(F.col("n_orders"), F.lit(0)) * 5.0) * 0.4
         + F.coalesce(pct, F.lit(0.0)) * 100.0 * 0.6,
         6,
     )
-    return joined.select(
+    return ranked.select(
         "cust_key",
         "cust_name",
         "mktsegment",

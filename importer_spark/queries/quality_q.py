@@ -204,23 +204,21 @@ QUALIFY heavy_rank <= 10
 def key_skew_profile(spark, sf_dir):
     """Top-10 heaviest join keys with their share of all rows — the
     diagnostic you run BEFORE choosing salted_join / AQE skew handling
-    (§2.4 J11). Shuffles once on the key; the share denominator is an
-    unpartitioned window over the already-aggregated relation."""
+    (§2.4 J11). Shuffles once on the key; the top-10 compiles to
+    TakeOrderedAndProject (never a global window over every key), the
+    share denominator is a broadcast one-row aggregate, and the rank
+    window runs over the 10 surviving rows only."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     t = Tables(spark, sf_dir)
     per = t.orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
-    share = F.round(
-        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 6
-    )
-    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))
-    return (
-        per.select(
-            "o_custkey",
-            F.col("n").cast("bigint").alias("n_orders"),
-            share.alias("share"),
-            F.row_number().over(w).cast("int").alias("heavy_rank"),
-        )
-        .filter(F.col("heavy_rank") <= 10)
+    total = per.agg(F.sum("n").alias("_tot"))
+    top = per.orderBy(F.desc("n"), F.asc("o_custkey")).limit(10)
+    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))  # 10 rows only
+    return top.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("share"),
+        F.row_number().over(w).cast("int").alias("heavy_rank"),
     )

@@ -124,15 +124,21 @@ FROM cust_rev
 
 @query("percent_rank_customers", oracle=_PERCENT_RANK_SQL)
 def percent_rank_customers(spark, sf_dir):
-    """W6 global percentile (reference: dim_company_health.sql:59). Runs over
-    the per-customer aggregate (~SF·1500 rows), tie-broken for determinism."""
+    """W6 global percentile (reference: dim_company_health.sql:59), computed
+    WITHOUT a single-task global window: value-bucketed distributed rank
+    (operators/ranks.py) + the (rn−1)/(n−1) closed form — the per-customer
+    relation stays partitioned at any scale."""
+    from importer_spark.operators.ranks import percent_rank_col, with_global_rank_stats
+
     t = Tables(spark, sf_dir)
     rev = t.orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").asc(), F.col("cust_key").asc())
-    return rev.select(
-        "cust_key", "revenue", F.round(F.percent_rank().over(w), 6).alias("revenue_percentile")
+    ranked = with_global_rank_stats(
+        rev, "revenue", [F.col("revenue").asc(), F.col("cust_key").asc()]
+    )
+    return ranked.select(
+        "cust_key", "revenue", F.round(percent_rank_col(), 6).alias("revenue_percentile")
     )
 
 
@@ -280,17 +286,25 @@ FROM spend
 @query("customer_spend_quartiles", oracle=_NTILE_SQL)
 def customer_spend_quartiles(spark, sf_dir):
     """NTILE(4) spend quartiles with a total deterministic order (exact
-    decimal totals, customer-key tie-break). The global ORDER BY forces a
-    single-partition window — fine on an aggregated relation (one row per
-    customer); for fact-grain ntile at 100 TB switch to percent_rank
-    bucketing, which stays partitioned."""
+    decimal totals, customer-key tie-break), via the distributed global
+    rank + NTILE's closed form (floor(k·(rn−1)/n)+1 reproduces SQL's
+    uneven-bucket rule exactly) — no single-partition window at any
+    scale."""
+    from importer_spark.operators.ranks import ntile_col, with_global_rank_stats
+
     t = Tables(spark, sf_dir)
     spend = t.orders.groupBy("o_custkey").agg(
         F.sum(dec(F.col("o_totalprice"))).alias("total")
-    )
-    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
-    return spend.select(
+    ).select(
         F.col("o_custkey").alias("cust_key"),
         out_double(F.col("total")).alias("total_spend"),
-        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    )
+    ranked = with_global_rank_stats(
+        spend,
+        "total_spend",
+        [F.desc("total_spend"), F.asc("cust_key")],
+        first_col_ascending=False,
+    )
+    return ranked.select(
+        "cust_key", "total_spend", ntile_col(4).alias("spend_quartile")
     )

@@ -449,3 +449,44 @@ def test_compact_merged_table(spark, tmp_path):
     assert before_rows == sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     # idempotent: a second pass finds nothing to do
     assert compact_merged_table(spark, path) == {}
+
+
+def test_global_rank_matches_window_both_directions(spark):
+    """Distributed global rank == single-task window row_number, for asc and
+    desc leading columns, and ntile_col == SQL NTILE including the
+    uneven-bucket rule and n < k."""
+    from pyspark.sql import Window
+    from importer_spark.operators.ranks import (
+        ntile_col,
+        percent_rank_col,
+        with_global_rank_stats,
+    )
+
+    for n, k in [(150, 4), (5, 4), (3, 4), (97, 8)]:
+        df = spark.range(n).select(
+            F.col("id").alias("key"),
+            (F.pmod(F.col("id") * 37, 113)).cast("double").alias("val"),
+        )
+        for asc in (True, False):
+            order = [
+                F.col("val").asc() if asc else F.col("val").desc(),
+                F.col("key").asc(),
+            ]
+            ranked = with_global_rank_stats(
+                df, "val", order, n_buckets=7, first_col_ascending=asc
+            ).select("key", "_rn", "_n", ntile_col(k).alias("nt"),
+                     F.round(percent_rank_col(), 6).alias("pr"))
+            w = Window.orderBy(*order)
+            truth = df.select(
+                "key",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(k).over(w).alias("nt_w"),
+                F.round(F.percent_rank().over(w), 6).alias("pr_w"),
+            )
+            joined = ranked.join(truth, "key")
+            bad = joined.filter(
+                (F.col("_rn") != F.col("rn"))
+                | (F.col("nt") != F.col("nt_w"))
+                | (F.col("pr") != F.col("pr_w"))
+            ).count()
+            assert bad == 0, (n, k, asc)
