@@ -7,11 +7,12 @@ priorities) but not on per-customer / per-company relations at 100 TB — and
 the reference's health-score percentile (dim_company_health.sql:59) is
 exactly that shape. The scalable form mirrors the distributed prefix-sum:
 
-1. one aggregation computes approximate quantile cut points of the leading
-   order column → bucket boundaries as driver-side LITERALS (bucket skew is
-   bounded by quantile accuracy; correctness never depends on the cuts);
-2. each row's bucket is a pure expression over those literals, so every
-   re-evaluation of the plan agrees;
+1. one IN-PLAN aggregation computes approximate quantile cut points of the
+   leading order column, broadcast as a one-row array (bucket skew is
+   bounded by quantile accuracy; correctness never depends on the cuts —
+   no driver action, the whole rank stays one lazy plan);
+2. each row's bucket is a deterministic expression over that array, so
+   every branch of the plan agrees;
 3. a row_number window runs WITHIN each (parallel) bucket, while the
    per-bucket counts — n_buckets rows — go through a tiny sequential window
    to produce each bucket's global offset;
@@ -41,19 +42,24 @@ def global_row_number(
     ``first_col_ascending`` must match the sort direction of ``first_col``
     inside ``order_cols`` so bucket offsets accumulate in rank order."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = df.agg(
-        F.percentile_approx(first_col, qs, accuracy).alias("_cuts")
-    ).first()
-    cuts = sorted(set(cuts_row["_cuts"] or []))
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(first_col) > F.lit(c), 1).otherwise(0)
+    cuts_df = df.agg(
+        F.array_sort(
+            F.array_distinct(F.percentile_approx(first_col, qs, accuracy))
+        ).alias("_cuts")
+    )
+    # bucket = how many cut points the value exceeds; the 31-element array
+    # scan per row is trivia next to avoiding both a driver action and a
+    # single-task window
+    val = F.col(first_col)
+    bucket = F.size(F.filter("_cuts", lambda c: val > c))
     w_in = Window.partitionBy("_gb").orderBy(*order_cols)
     gb_order = F.col("_gb").asc() if first_col_ascending else F.col("_gb").desc()
     w_off = (
         Window.orderBy(gb_order).rowsBetween(Window.unboundedPreceding, -1)
     )  # over n_buckets count rows only
-    bucketed = df.withColumn("_gb", bucket)
+    bucketed = (
+        df.crossJoin(F.broadcast(cuts_df)).withColumn("_gb", bucket).drop("_cuts")
+    )
     offs = (
         bucketed.groupBy("_gb")
         .agg(F.count("*").alias("_bn"))
