@@ -334,7 +334,15 @@ def compact_merged_table(
     prev = spark.conf.get(mode_key, None)
     spark.conf.set(mode_key, "dynamic")
     try:
-        out = spark.read.parquet(staging).write.mode("overwrite")
+        # repartition again on commit: without it the staging read re-splits
+        # any bucket larger than files.maxPartitionBytes across tasks,
+        # breaking the one-file-per-bucket contract (and every later call
+        # would re-compact that bucket forever)
+        out = (
+            spark.read.parquet(staging)
+            .repartition(len(affected), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+        )
         if max_records_per_file:
             out = out.option("maxRecordsPerFile", max_records_per_file)
         out.partitionBy(BUCKET_COL).parquet(path)

@@ -97,8 +97,12 @@ def with_global_rank_stats(
 
 
 def percent_rank_col() -> Column:
-    """percent_rank from with_global_rank_stats columns."""
-    return (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+    """percent_rank from with_global_rank_stats columns. SQL PERCENT_RANK
+    of a single-row relation is 0.0, not 0/0 → NULL."""
+    return F.when(
+        F.col("_n") > 1,
+        (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def ntile_col(k: int) -> Column:

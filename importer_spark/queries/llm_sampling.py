@@ -59,7 +59,7 @@ def _keep_expr():
 _PACK_ID_BUCKET_WIDTH = 256
 
 
-def with_pack_id(df):
+def with_pack_id(df, bucket_width: int = _PACK_ID_BUCKET_WIDTH):
     """Add ``pack_id`` = floor(preceding-token-sum / budget) per language
     stream, via DISTRIBUTED prefix sum — a naive one-window form funnels an
     entire language through a single task at 100 TB.
@@ -67,10 +67,16 @@ def with_pack_id(df):
     Exact two-phase cumsum (integer sums are associative, so the split is
     lossless): doc_id ranges bucket the stream order-preservingly; a
     running sum WITHIN each (lang, bucket) runs parallel across buckets,
-    while the per-lang sequential window runs only over the tiny per-bucket
+    while the per-lang sequential window runs only over the per-bucket
     totals to produce each bucket's offset; before = offset + within.
-    ``df`` must carry (doc_id, lang, n_tokens)."""
-    bucket = F.floor(F.col("doc_id") / _PACK_ID_BUCKET_WIDTH)
+    ``df`` must carry (doc_id, lang, n_tokens); a NULL lang forms its own
+    stream (null-safe join), matching the window form it replaces.
+
+    ``bucket_width``: any value preserves results — it only trades the
+    offsets relation's size (n_docs/width rows) against within-bucket
+    parallelism; size it so that relation stays comfortably joinable, and
+    recurse the same construction if one level cannot."""
+    bucket = F.floor(F.col("doc_id") / bucket_width)
     w_in = (
         Window.partitionBy("lang", "_pb")
         .orderBy("doc_id")
@@ -86,13 +92,18 @@ def with_pack_id(df):
         toks.groupBy("lang", "_pb")
         .agg(F.sum("n_tokens").alias("_bsum"))
         .withColumn("_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)))
-        .drop("_bsum")
+        .select(
+            F.col("lang").alias("_olang"), F.col("_pb").alias("_opb"), "_off"
+        )
     )
     before = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("_off")
     return (
-        toks.join(F.broadcast(offs), ["lang", "_pb"])
+        toks.join(
+            offs,
+            F.col("lang").eqNullSafe(F.col("_olang")) & (F.col("_pb") == F.col("_opb")),
+        )
         .withColumn("pack_id", F.floor(before / _PACK_BUDGET).cast("bigint"))
-        .drop("_pb", "_off")
+        .drop("_pb", "_off", "_olang", "_opb")
     )
 
 

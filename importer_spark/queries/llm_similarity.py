@@ -189,14 +189,21 @@ def ivf_search(e, cell_ids: list[int], centroids: list[list[float]]):
     the task closures, never the shuffle."""
     from importer_spark.operators.clustering import nearest_cells_cosine
 
-    # ONE matmul pass ranks every vector's top IVF_NPROBE cells; rank 1 is
-    # the corpus assignment, ranks ≤ nprobe (probes only) are the search
-    # cells — no second scan of the corpus.
-    ranked = nearest_cells_cosine(
-        e, "vec_id", "emb", cell_ids, centroids, n_best=IVF_NPROBE
-    )
-    assign = ranked.filter(F.col("cell_rank") == 1)
-    probe_cells = ranked.filter(F.col("vec_id") < N_PROBES).select(
+    # Corpus assignment is ONE full matmul pass (n_best=1); probe cell
+    # ranking runs on the FILTERED probe set only (the vec_id predicate
+    # pushes to the scan), so the corpus never goes through the kernel
+    # twice. (A "fused" single ranked DataFrame reads nicely but its two
+    # differently-filtered consumers each re-execute the full-corpus
+    # mapInPandas — the self-union-recompute trap.)
+    assign = nearest_cells_cosine(e, "vec_id", "emb", cell_ids, centroids, n_best=1)
+    probe_cells = nearest_cells_cosine(
+        e.filter(F.col("vec_id") < N_PROBES),
+        "vec_id",
+        "emb",
+        cell_ids,
+        centroids,
+        n_best=IVF_NPROBE,
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("pemb"),
         "cell_id",

@@ -32,7 +32,12 @@ def extract_path(obj, path: str) -> list:
     Supports ``a.b.c`` field access, ``[*]`` fan-out over a list, and
     ``[N]`` / ``[-1]`` indexing. Returns ALL matched values (empty list when
     the path dead-ends) — the find_values contract the reference's
-    pagination loop relies on."""
+    pagination loop relies on. Raises ``ValueError`` on syntax this subset
+    does not support (e.g. ``[foo]`` filters), instead of silently
+    misparsing it as a field access."""
+    consumed = "".join(m.group(0) for m in _TOKEN.finditer(path))
+    if consumed != path.replace(".", ""):
+        raise ValueError(f"unsupported JSONPath syntax in {path!r}")
     values = [obj]
     for m in _TOKEN.finditer(path):
         field, index = m.group(1), m.group(2)
@@ -84,12 +89,14 @@ class GraphQLCursorSource:
                 return
             cursors = extract_path(data, self.pagination_cursor_path)
             cursor = cursors[-1] if cursors else None
-            yield items, cursor
-            if cursor is None or cursor == prev_cursor:
-                # no cursor → last page (reference breaks); a non-advancing
-                # cursor would loop forever on a buggy server — stop loudly
-                # at the guard instead of re-fetching the same page.
+            if cursor is not None and cursor == prev_cursor:
+                # The server re-served the page we already ingested (cursor
+                # did not advance) — stop WITHOUT yielding, so a buggy feed
+                # terminates and never double-ingests the repeated page.
                 return
+            yield items, cursor
+            if cursor is None:
+                return  # no cursor → last page (reference breaks here too)
             prev_cursor = cursor
             variables[self.pagination_variable_name] = cursor
 

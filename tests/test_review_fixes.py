@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from importer_spark.io import merge_by_key, read_parquet_if_exists
 from importer_spark.operators.skew import salted_join
@@ -87,3 +88,28 @@ def test_rest_source_empty_schema(spark):
     src = RestCursorSource(spark, lambda c, p: [], page_size=2)
     df = src.load(empty_schema="id bigint, updated_at string, _cursor string")
     assert df.columns == ["id", "updated_at", "_cursor"] and df.count() == 0
+
+
+def test_with_pack_id_keeps_null_lang_rows(spark):
+    """NULL-lang docs must form their own stream (null-safe join), not
+    silently vanish — the window form this replaced kept them."""
+    from importer_spark.queries.llm_sampling import with_pack_id
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=None if i % 2 else "en", n_tokens=100) for i in range(10)]
+    )
+    out = with_pack_id(df)
+    assert out.count() == 10
+    null_packs = out.filter(F.col("lang").isNull()).count()
+    assert null_packs == 5
+
+
+def test_percent_rank_single_row_is_zero(spark):
+    """SQL PERCENT_RANK of a one-row relation is 0.0, never NULL."""
+    from importer_spark.operators.ranks import percent_rank_col, with_global_rank_stats
+
+    df = spark.createDataFrame([Row(k=1, v=42.0)])
+    out = with_global_rank_stats(df, "v", [F.col("v").asc(), F.col("k").asc()]).select(
+        percent_rank_col().alias("pr")
+    )
+    assert out.first().pr == 0.0

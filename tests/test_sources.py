@@ -359,7 +359,8 @@ def test_graphql_source_empty_and_nonadvancing(spark):
         pagination_cursor_path="data.transactions.edges[-1].cursor",
     )
     out = stuck_src.load()
-    assert [r.id for r in out.collect()] == [1, 1]  # page 1 + guard stop
+    # the re-served page must NOT be ingested twice
+    assert [r.id for r in out.collect()] == [1]
 
 
 def test_extract_path_subset():
@@ -371,3 +372,7 @@ def test_extract_path_subset():
     assert extract_path(data, "a.b[0].c") == [1]
     assert extract_path(data, "a.missing[*].c") == []
     assert extract_path(data, "a.b[5].c") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported JSONPath"):
+        extract_path(data, "a.b[foo].c")
