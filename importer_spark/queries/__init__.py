@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "embedding_centroids",
     "simhash_near_dups",
     "near_dup_pairs_incremental",
+    "doc_winnowing_fingerprints",
     "doc_length_histogram",
     # Spark-4 showpieces
     "customer_hierarchy_depth",

@@ -228,6 +228,87 @@ def simhash_fingerprints(spark, sf_dir):
     return bits.select("doc_id", acc.cast("bigint").alias("simhash"))
 
 
+_WIN_K = 3  # words per gram
+_WIN_W = 4  # grams per winnowing window
+
+_WINNOW_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {_WIN_K}
+      THEN [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            for i in range(1, len(t) - {_WIN_K - 2})]
+      ELSE [md5(array_to_string(t, ' '))]
+    END AS hs
+  FROM d
+),
+sel AS (
+  SELECT doc_id, len(hs) AS n_grams,
+    list_distinct([list_aggregate(hs[i:i+{_WIN_W - 1}], 'min')
+                   for i in range(1, greatest(len(hs) - {_WIN_W - 1}, 1) + 1)]) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM sel
+"""
+
+
+@query("doc_winnowing_fingerprints", oracle=_WINNOW_SQL)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the rolling-hash local fingerprinting scheme): hash every 3-word gram,
+    keep the MINIMUM hash of each sliding window of 4 gram hashes, distinct
+    the selections. Any shared substring of ≥ w+k−1 words between two docs
+    guarantees a shared fingerprint (the winnowing guarantee, property-
+    tested on the planted near-dups). Spark shape: posexplode + lead build
+    the gram stream, the rolling min is a bounded rows-window — all
+    codegen, one shuffle on doc_id; the output digests the fingerprint set
+    so the relation stays one row per doc at any corpus size."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    tok = t.documents.filter(F.size(toks) >= _WIN_K).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_lead) for j in range(1, _WIN_K)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            parts[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+    )
+    w_roll = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("n_grams", F.count("*").over(w_cnt))
+        .withColumn("fp", F.min("h").over(w_roll))
+        .withColumn("_pos0", F.col("pos") - F.min("pos").over(w_cnt))
+        # windows exist for start positions 1..max(n-w+1, 1); _pos0 is 0-based
+        .filter(F.col("_pos0") < F.greatest(F.col("n_grams") - (_WIN_W - 1), F.lit(1)))
+    )
+    long_docs = sel.groupBy("doc_id", "n_grams").agg(
+        F.array_sort(F.collect_set("fp")).alias("fps")
+    )
+    short_docs = t.documents.filter(F.size(toks) < _WIN_K).select(
+        "doc_id", F.lit(1).alias("n_grams"), F.array(F.md5("text")).alias("fps")
+    )
+    return long_docs.unionByName(short_docs).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
+    )
+
+
 _SIMHASH_HAM_K = 3  # 4 bands × 8 bits: hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
 
 _SIMHASH_PAIRS_SQL = f"""

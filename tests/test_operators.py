@@ -490,3 +490,46 @@ def test_global_rank_matches_window_both_directions(spark):
                 | (F.col("pr") != F.col("pr_w"))
             ).count()
             assert bad == 0, (n, k, asc)
+
+
+def test_winnowing_guarantee_on_near_dups(spark):
+    """The winnowing guarantee: documents sharing a sufficiently long
+    substring share at least one selected fingerprint. Checked against an
+    INDEPENDENT pure-Python winnowing of the candidate docs: every planted
+    near-dup pair must share >= 1 fingerprint; identical docs (jaccard 1.0)
+    have identical sets; and the Spark digests agree with the reference
+    implementation for every doc."""
+    import hashlib
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import near_dup_pairs
+    from importer_spark.queries import QUERIES
+    from importer_spark.queries.llm_text import _WIN_K, _WIN_W
+
+    def winnow(text):
+        t = text.split(" ")
+        if len(t) < _WIN_K:
+            hs = [hashlib.md5(text.encode()).hexdigest()]
+        else:
+            hs = [
+                hashlib.md5(" ".join(t[i : i + _WIN_K]).encode()).hexdigest()
+                for i in range(len(t) - _WIN_K + 1)
+            ]
+        n_starts = max(len(hs) - _WIN_W + 1, 1)
+        return {min(hs[i : i + _WIN_W]) for i in range(n_starts)}
+
+    docs = Tables(spark, SF_DIR).documents
+    pairs = near_dup_pairs(docs, "doc_id", "text").toPandas()
+    assert len(pairs)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    ref_sets = {d: winnow(t) for d, t in texts.items()}
+
+    for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard):
+        assert ref_sets[a] & ref_sets[b], (a, b)
+        if j == 1.0:
+            assert ref_sets[a] == ref_sets[b]
+
+    fps = QUERIES["doc_winnowing_fingerprints"](spark, SF_DIR).toPandas().set_index("doc_id")
+    for d, fpset in ref_sets.items():
+        want = hashlib.md5(",".join(sorted(fpset)).encode()).hexdigest()
+        assert fps.fp_digest[d] == want, d
