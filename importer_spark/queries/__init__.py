@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "simhash_near_dups",
     "near_dup_pairs_incremental",
     "doc_winnowing_fingerprints",
+    "embedding_dup_clusters",
     "doc_length_histogram",
     # Spark-4 showpieces
     "customer_hierarchy_depth",

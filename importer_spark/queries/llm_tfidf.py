@@ -95,69 +95,7 @@ def near_dup_clusters(spark, sf_dir):
     (each round: join labels to edges, take min over neighborhood; converges
     in O(graph diameter) rounds). Oracle: recursive-CTE transitive closure —
     an entirely different evaluation strategy reaching the same fixpoint."""
+    from importer_spark.operators.graph import connected_components
+
     pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
-    # Bidirectional edges via explode over ONE scan of `pairs`: a self-union
-    # of two selects would execute the whole LSH candidate pipeline twice
-    # before the cache materializes (measured 2× the pairs cost at sf0.1).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .cache()
-    )
-    # Round 0 fused into one aggregation: label = min(id, direct neighbors).
-    # Saves a full propagation round (pair-shaped dup clusters converge here).
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("m"))
-        .select(F.col("src").alias("doc_id"), F.least("src", "m").alias("cluster_id"))
-        .cache()
-    )
-    labels.count()  # one job materializes edges + round-0 labels
-    for _ in range(14):  # diameter bound; dedup graphs are shallow
-        # Every node appears as an edge src, so inner joins lose no rows; the
-        # changed-flag rides along in the same job (no second join + action).
-        updated = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neighbor_min"))
-            .join(labels, "doc_id")
-            .select(
-                "doc_id",
-                F.least("cluster_id", "neighbor_min").alias("cluster_id"),
-                (F.col("neighbor_min") < F.col("cluster_id")).alias("chg"),
-            )
-            .cache()
-        )
-        # cache() per round truncates the lineage (without it each iteration
-        # re-evaluates the whole chain — exponential plan growth); the count
-        # materializes `updated`, so the previous round can release.
-        changed = updated.filter("chg").count()
-        labels.unpersist()
-        labels = updated.drop("chg")
-        if changed == 0:
-            break
-    else:
-        # Never return silently-wrong partial labels: a component deeper than
-        # the round budget means the caller must raise it (or switch to the
-        # recursive-SQL form for pathological graphs).
-        raise RuntimeError(
-            "near_dup_clusters: label propagation did not converge within 15 "
-            "rounds — component diameter exceeds the budget"
-        )
-    out = labels.withColumn(
-        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
-    )
-    # Materialize eagerly so the operator's internal caches can release now
-    # (otherwise each invocation leaks an edges + labels InMemoryRelation for
-    # the rest of the session).
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    labels.unpersist()
-    return out
+    return connected_components(pairs, out_id="doc_id")

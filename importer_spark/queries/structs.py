@@ -149,6 +149,43 @@ def embedding_near_dups(spark, sf_dir):
     return cosine_pairs_exact(e, "vec_id", "emb", threshold=0.45)
 
 
+_EMB_CLUSTERS_SQL = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+),
+labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
+@query("embedding_dup_clusters", oracle=_EMB_CLUSTERS_SQL)
+def embedding_dup_clusters(spark, sf_dir):
+    """Embedding-space dedup GROUPS: connected components over the
+    cosine-similarity pair graph (exact triangle-block pairs feed the
+    min-label propagation operator) — the vector twin of
+    near_dup_clusters, closing the pairs→groups arc for both text and
+    embedding dedup. Oracle: recursive-CTE transitive closure over the
+    brute-force pair set."""
+    from importer_spark.operators.graph import connected_components
+
+    return connected_components(embedding_near_dups(spark, sf_dir), out_id="vec_id")
+
+
 _PRIORITY_JSON_SQL = """
 WITH per AS (
   SELECT o_custkey, o_orderpriority AS k, COUNT(*) AS v
