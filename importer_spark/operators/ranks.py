@@ -7,10 +7,11 @@ priorities) but not on per-customer / per-company relations at 100 TB — and
 the reference's health-score percentile (dim_company_health.sql:59) is
 exactly that shape. The scalable form mirrors the distributed prefix-sum:
 
-1. one IN-PLAN aggregation computes approximate quantile cut points of the
-   leading order column, broadcast as a one-row array (bucket skew is
-   bounded by quantile accuracy; correctness never depends on the cuts —
-   no driver action, the whole rank stays one lazy plan);
+1. one IN-PLAN aggregation computes exact quantile cut points of the
+   leading order column, broadcast as a one-row array (correctness never
+   depends on the cuts — no driver action, the whole rank stays one lazy
+   plan, and the exact percentile makes every plan branch see identical
+   boundaries);
 2. each row's bucket is a deterministic expression over that array, so
    every branch of the plan agrees;
 3. a row_number window runs WITHIN each (parallel) bucket, while the
@@ -32,7 +33,6 @@ def global_row_number(
     order_cols: list[Column],
     out_col: str = "rn",
     n_buckets: int = 32,
-    accuracy: int = 10_000,
     first_col_ascending: bool = True,
 ) -> DataFrame:
     """Add exact global row_number ``out_col`` under ``order_cols`` (must be
@@ -41,17 +41,29 @@ def global_row_number(
     never splits an order-equivalence class across workers).
     ``first_col_ascending`` must match the sort direction of ``first_col``
     inside ``order_cols`` so bucket offsets accumulate in rank order."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    # EXACT percentile, deliberately: the cuts subtree is evaluated by more
+    # than one plan branch, and an approximate sketch whose merge is
+    # order-sensitive could hand different branches different boundaries —
+    # silent duplicate/skipped ranks. Exact percentile is a pure function
+    # of the value multiset, so every evaluation agrees. (Cost is bounded
+    # by first_col's value cardinality; ranking inputs are aggregated
+    # relations. Pre-round first_col if cardinality is extreme.)
     cuts_df = df.agg(
-        F.array_sort(
-            F.array_distinct(F.percentile_approx(first_col, qs, accuracy))
+        F.coalesce(
+            F.array_sort(F.array_distinct(F.percentile(F.col(first_col), qs))),
+            F.array().cast("array<double>"),
         ).alias("_cuts")
     )
     # bucket = how many cut points the value exceeds; the 31-element array
     # scan per row is trivia next to avoiding both a driver action and a
-    # single-task window
+    # single-task window. NULL values get bucket -1: first under asc
+    # (Spark sorts NULLS FIRST asc) and last under desc (NULLS LAST), which
+    # is exactly where -1 falls in each traversal order.
     val = F.col(first_col)
-    bucket = F.size(F.filter("_cuts", lambda c: val > c))
+    bucket = F.when(val.isNull(), F.lit(-1)).otherwise(
+        F.size(F.filter("_cuts", lambda c: val > c))
+    )
     w_in = Window.partitionBy("_gb").orderBy(*order_cols)
     gb_order = F.col("_gb").asc() if first_col_ascending else F.col("_gb").desc()
     w_off = (

@@ -97,6 +97,10 @@ def with_pack_id(df, bucket_width: int = _PACK_ID_BUCKET_WIDTH):
         )
     )
     before = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("_off")
+    # deliberately NOT broadcast-hinted: a hint would force collecting offs
+    # to the driver at ANY size (n_docs/bucket_width rows can be large at
+    # corpus scale); AQE promotes this join to broadcast at runtime whenever
+    # offs is actually small, which is the right call in both regimes
     return (
         toks.join(
             offs,

@@ -291,9 +291,10 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     sel = (
         grams.withColumn("n_grams", F.count("*").over(w_cnt))
         .withColumn("fp", F.min("h").over(w_roll))
-        .withColumn("_pos0", F.col("pos") - F.min("pos").over(w_cnt))
-        # windows exist for start positions 1..max(n-w+1, 1); _pos0 is 0-based
-        .filter(F.col("_pos0") < F.greatest(F.col("n_grams") - (_WIN_W - 1), F.lit(1)))
+        # windows exist for start positions 0..max(n-w, 0); gram positions
+        # are 0-based and contiguous from 0 (token 0 always opens a full
+        # gram after the length filter), so pos itself is the start index
+        .filter(F.col("pos") < F.greatest(F.col("n_grams") - (_WIN_W - 1), F.lit(1)))
     )
     long_docs = sel.groupBy("doc_id", "n_grams").agg(
         F.array_sort(F.collect_set("fp")).alias("fps")

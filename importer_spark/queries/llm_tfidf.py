@@ -9,7 +9,6 @@ recursive-CTE transitive closure in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables

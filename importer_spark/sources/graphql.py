@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 Transport = Callable[[str, dict], dict]
 """(query, variables) -> decoded GraphQL response (the ``data`` envelope)."""
 
-_TOKEN = re.compile(r"([^.\[\]]+)|\[(\*|-?\d+)\]")
+_TOKEN = re.compile(r"([A-Za-z0-9_-]+)|\[(\*|-?\d+)\]")
+# segment = field with optional index suffixes, or bare indexes; segments
+# joined by dots. Anything else ($ root, * wildcards, .. descent, [filters])
+# is outside this subset and must raise, not misparse as a field lookup.
+_SEGMENT = r"(?:[A-Za-z0-9_-]+|\[(?:\*|-?\d+)\])(?:\[(?:\*|-?\d+)\])*"
+_PATH_GRAMMAR = re.compile(rf"{_SEGMENT}(?:\.{_SEGMENT})*")
 
 
 def extract_path(obj, path: str) -> list:
@@ -32,11 +37,10 @@ def extract_path(obj, path: str) -> list:
     Supports ``a.b.c`` field access, ``[*]`` fan-out over a list, and
     ``[N]`` / ``[-1]`` indexing. Returns ALL matched values (empty list when
     the path dead-ends) — the find_values contract the reference's
-    pagination loop relies on. Raises ``ValueError`` on syntax this subset
-    does not support (e.g. ``[foo]`` filters), instead of silently
-    misparsing it as a field access."""
-    consumed = "".join(m.group(0) for m in _TOKEN.finditer(path))
-    if consumed != path.replace(".", ""):
+    pagination loop relies on. Raises ``ValueError`` on syntax outside the
+    subset (``$`` roots, ``*``/``..`` wildcards, ``[foo]`` filters) instead
+    of silently misparsing it as a field access."""
+    if not _PATH_GRAMMAR.fullmatch(path):
         raise ValueError(f"unsupported JSONPath syntax in {path!r}")
     values = [obj]
     for m in _TOKEN.finditer(path):
@@ -82,6 +86,7 @@ class GraphQLCursorSource:
     def _pages(self):
         variables = dict(self.variables)
         prev_cursor = variables.get(self.pagination_variable_name)
+        prev_items = None
         while True:
             data = self.execute(self.query, dict(variables))
             items = extract_path(data, self.data_items_path)
@@ -90,14 +95,23 @@ class GraphQLCursorSource:
             cursors = extract_path(data, self.pagination_cursor_path)
             cursor = cursors[-1] if cursors else None
             if cursor is not None and cursor == prev_cursor:
-                # The server re-served the page we already ingested (cursor
-                # did not advance) — stop WITHOUT yielding, so a buggy feed
-                # terminates and never double-ingests the repeated page.
-                return
+                # The cursor did not advance. A re-served identical page is
+                # skipped (no double ingest); NEW items under a stuck cursor
+                # mean the feed cannot be paginated safely — refuse loudly
+                # rather than loop forever or silently drop data.
+                if items == prev_items:
+                    return
+                raise RuntimeError(
+                    "GraphQLCursorSource: cursor "
+                    f"{cursor!r} did not advance but the page contents "
+                    "changed — the feed is not safely paginatable with "
+                    f"variable {self.pagination_variable_name!r}"
+                )
             yield items, cursor
             if cursor is None:
                 return  # no cursor → last page (reference breaks here too)
             prev_cursor = cursor
+            prev_items = items
             variables[self.pagination_variable_name] = cursor
 
     def load(self, empty_schema: str | None = None) -> DataFrame:

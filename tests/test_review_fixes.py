@@ -113,3 +113,73 @@ def test_percent_rank_single_row_is_zero(spark):
         percent_rank_col().alias("pr")
     )
     assert out.first().pr == 0.0
+
+
+def test_global_rank_all_null_first_col(spark):
+    """An all-NULL leading column must still rank every row (NULLs form
+    their own bucket), not silently return zero rows."""
+    from importer_spark.operators.ranks import with_global_rank_stats
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=None) for i in range(5)], schema="k int, v double"
+    )
+    out = with_global_rank_stats(df, "v", [F.col("v").asc(), F.col("k").asc()])
+    rows = {r.k: r._rn for r in out.collect()}
+    assert rows == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}
+
+
+def test_global_rank_null_values_sort_like_window(spark):
+    """Mixed NULL/non-NULL leading values must match the window's NULLS
+    FIRST (asc) / NULLS LAST (desc) placement."""
+    from pyspark.sql import Window
+    from importer_spark.operators.ranks import with_global_rank_stats
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=None if i % 3 == 0 else float(i * 7 % 5)) for i in range(30)],
+        schema="k int, v double",
+    )
+    for asc in (True, False):
+        order = [F.col("v").asc() if asc else F.col("v").desc(), F.col("k").asc()]
+        got = with_global_rank_stats(df, "v", order, n_buckets=4, first_col_ascending=asc)
+        truth = df.select("k", F.row_number().over(Window.orderBy(*order)).alias("rn"))
+        bad = got.join(truth, "k").filter(F.col("_rn") != F.col("rn")).count()
+        assert bad == 0, asc
+
+
+def test_graphql_stuck_cursor_with_new_items_raises(spark):
+    """A cursor that stops advancing while page contents CHANGE is not
+    safely paginatable — refuse loudly instead of dropping or duplicating."""
+    from importer_spark.sources import GraphQLCursorSource
+
+    calls = {"n": 0}
+
+    def evil(query, variables):
+        calls["n"] += 1
+        return {
+            "data": {
+                "t": {
+                    "edges": [
+                        {"cursor": "same", "node": {"id": calls["n"]}}
+                    ]
+                }
+            }
+        }
+
+    src = GraphQLCursorSource(
+        spark, evil, query="q",
+        data_items_path="data.t.edges[*].node",
+        pagination_cursor_path="data.t.edges[-1].cursor",
+    )
+    with pytest.raises(RuntimeError, match="did not advance"):
+        src.load()
+
+
+def test_extract_path_rejects_wildcards_and_root():
+    from importer_spark.sources import extract_path
+
+    for bad in ["$.a.b", "a.*.c", "a..b", "a.b[x]", ""]:
+        with pytest.raises(ValueError):
+            extract_path({}, bad)
+    # supported forms still parse
+    assert extract_path({"a": [{"b": 1}]}, "a[*].b") == [1]
+    assert extract_path([{"b": 2}], "[0].b") == [2]
