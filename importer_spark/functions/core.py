@@ -95,9 +95,13 @@ def growth_pct(current: Column, previous: Column, scale: int = 6) -> Column:
 def bucket(col: Column, edges: list[float], labels: list[str]) -> Column:
     """Tiering CASE generator (reference F22 revenue/size tiers,
     fct_company_orders.sql:162-175): edges [e0,e1,...] with len(labels) =
-    len(edges)+1; value < e0 → labels[0], ... else labels[-1]."""
+    len(edges)+1; value < e0 → labels[0], ... else labels[-1]. A NULL
+    value yields a NULL tier — the final else must not promote missing
+    data to the top label."""
     assert len(labels) == len(edges) + 1
-    expr = F.when(col < F.lit(edges[0]), labels[0])
+    expr = F.when(col.isNull(), F.lit(None).cast("string")).when(
+        col < F.lit(edges[0]), labels[0]
+    )
     for i in range(1, len(edges)):
         expr = expr.when(col < F.lit(edges[i]), labels[i])
     return expr.otherwise(labels[-1])

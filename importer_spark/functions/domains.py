@@ -18,7 +18,6 @@ INDIVIDUAL_EMAIL_DOMAINS = [
     "gmail.com", "yahoo.com", "hotmail.com", "outlook.com", "aol.com",
     "icloud.com", "msn.com", "live.com", "comcast.net", "att.net",
 ]
-PUBLIC_SUFFIX_PASSTHROUGH = [".gov", ".mil", ".edu"]
 
 US_STATE_CODES = [
     "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI", "ID",
@@ -53,18 +52,14 @@ def extract_primary_domain(email: Column) -> Column:
 
 def normalize_domain(domain: Column) -> Column:
     """X2 (domain_consolidation.py:73-100): marketplace → skip sentinel,
-    individual providers → INDIVIDUAL_<DOMAIN>, .gov/.mil/.edu passthrough,
-    else the corporate domain itself."""
+    individual providers → INDIVIDUAL_<DOMAIN>, else the domain itself
+    (which makes .gov/.mil/.edu passthrough automatic — the fallback
+    already returns the domain unchanged, so no explicit branch exists)."""
     d = F.lower(F.trim(domain))
-    passthrough = None
-    for suffix in PUBLIC_SUFFIX_PASSTHROUGH:
-        cond = d.endswith(suffix)
-        passthrough = cond if passthrough is None else (passthrough | cond)
     return (
         F.when(d.isNull() | (d == ""), F.lit(None).cast("string"))
         .when(d.isin(MARKETPLACE_DOMAINS), "SKIP_AMAZON_MARKETPLACE")
         .when(d.isin(INDIVIDUAL_EMAIL_DOMAINS), F.concat(F.lit("INDIVIDUAL_"), F.upper(d)))
-        .when(passthrough, d)
         .otherwise(d)
     )
 

@@ -229,6 +229,15 @@ def merge_by_key(
     target = read_parquet_if_exists(spark, path)
     meta = _read_merge_meta(spark, path) if target is not None else None
     if meta is not None:
+        if list(meta.get("keys", keys)) != list(keys):
+            # The physical layout hashes the ORIGINAL keys; merging with a
+            # different key set would bucket source rows away from their
+            # existing counterparts and silently leave duplicate PKs.
+            raise ValueError(
+                f"merge_by_key: table at {path} was created with keys="
+                f"{meta['keys']}, got keys={list(keys)} — rebuild the table "
+                "to change its merge key"
+            )
         n_buckets = int(meta["n_buckets"])
     src = source.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).withColumn(
         "_merge_rank", F.lit(1)

@@ -89,9 +89,10 @@ def range_attribution(
     correlated scans; this is one equi-join on ``on`` + conditional aggs).
 
     ``metrics`` maps metric name → ``lambda cond: <aggregate Column>`` where
-    the lambda masks its input with ``F.when(cond, ...)``; each metric is
-    emitted per window as ``<name>_<N>d`` plus ``<name>_all`` for the
-    unbounded forward window. Facts outside every window contribute nothing
+    the lambda masks its input with ``F.when(cond, ...)``; inside the lambda
+    the fact timestamp is addressable as ``_fact_ts`` and fact value columns
+    keep their own names. Each metric is emitted per window as
+    ``<name>_<N>d`` plus ``<name>_all`` for the unbounded forward window. Facts outside every window contribute nothing
     but still flow through the join — at scale, pre-filter facts to the max
     window before calling if the fact table is much larger than the match.
     """

@@ -45,13 +45,17 @@ def scd2_apply(
         *key, *attrs, F.col(effective_col).alias("valid_from"), F.lit(1).alias("_src")
     )
     seq = live.unionByName(upd)
-    w = Window.partitionBy(*key).orderBy(F.col("valid_from").asc(), F.col("_src").asc())
+    # attrs join the ordering as a final tiebreak: two updates for one key
+    # sharing an effective timestamp would otherwise sequence arbitrarily
+    # per run (which version survives / stays open would flip)
+    order = [F.col("valid_from").asc(), F.col("_src").asc()] + [F.col(a).asc() for a in attrs]
+    w = Window.partitionBy(*key).orderBy(*order)
     changed = F.lit(False)
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     first = F.row_number().over(w) == 1
     survivors = seq.withColumn("_keep", first | changed).filter(F.col("_keep"))
-    w2 = Window.partitionBy(*key).orderBy(F.col("valid_from").asc())
+    w2 = Window.partitionBy(*key).orderBy(*order)
     out = survivors.select(
         *key,
         *attrs,

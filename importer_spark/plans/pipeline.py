@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from importer_spark.io import merge_by_key
 from importer_spark.streaming.incremental import (
     commit_cursor,
+    cursor_advanced,
     cursor_incremental_batch,
     read_cursor,
 )
@@ -62,7 +63,7 @@ def run_source_load(
     # Durable write finished — now advance the watermark (never backwards).
     new_max = source.agg(F.max(cursor_col).alias("cursor")).first()["cursor"]
     prev = read_cursor(spark, state_path)
-    if new_max is not None and (prev is None or str(new_max) > str(prev)):
+    if cursor_advanced(new_max, prev):
         commit_cursor(spark, state_path, new_max)
     total = spark.read.parquet(warehouse_path).count()
     return LoadResult(mode=mode, rows_loaded=n, target_rows=total)

@@ -137,15 +137,22 @@ WITH wide AS (
       AS positive_balance
   FROM customer GROUP BY 1
 )
-SELECT mktsegment, metric, amount FROM wide
-UNPIVOT (amount FOR metric IN (negative_balance, positive_balance))
+SELECT mktsegment, metric, amount
+FROM wide, LATERAL (VALUES
+  ('negative_balance', negative_balance),
+  ('positive_balance', positive_balance)
+) t(metric, amount)
 """
 
 
 @query("unpivot_balances", oracle=_UNPIVOT_SQL)
 def unpivot_balances(spark, sf_dir):
     """Unpivot via stack(): wide metric columns → (metric, value) rows —
-    the inverse of pivot_revenue, used to normalize metric stacks."""
+    the inverse of pivot_revenue, used to normalize metric stacks. A NULL
+    metric cell stays a row (a segment with no negative balances is
+    information); the oracle therefore unpivots with explicit LATERAL
+    VALUES — SQL's UNPIVOT clause silently DROPS null cells, which would
+    desync row counts the day a segment's metric goes empty."""
     t = Tables(spark, sf_dir)
     neg = F.sum(F.when(F.col("c_acctbal") < 0, dec(F.col("c_acctbal"))))
     pos = F.sum(F.when(F.col("c_acctbal") >= 0, dec(F.col("c_acctbal"))))

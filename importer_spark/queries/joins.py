@@ -236,8 +236,11 @@ SELECT
     THEN CAST(p.value AS {D2}) END), 0) AS DOUBLE) AS revenue_7d,
   COUNT(p.ts) AS n_purchases_all,
   CAST(COALESCE(SUM(CAST(p.value AS {D2})), 0) AS DOUBLE) AS revenue_all,
+  COUNT(DISTINCT CASE WHEN p.ts <= s.ts + INTERVAL 1 DAY
+    THEN strftime(p.ts, '%Y-%m-%d') END) AS active_days_1d,
   COUNT(DISTINCT CASE WHEN p.ts <= s.ts + INTERVAL 7 DAY
-    THEN strftime(p.ts, '%Y-%m-%d') END) AS active_days_7d
+    THEN strftime(p.ts, '%Y-%m-%d') END) AS active_days_7d,
+  COUNT(DISTINCT strftime(p.ts, '%Y-%m-%d')) AS active_days_all
 FROM (SELECT * FROM events WHERE event_type = 'signup') s
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -258,14 +261,6 @@ def signup_attribution(spark, sf_dir):
     purchases = t.events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
     )
-    joined = signups.join(purchases, on="user_id", how="left").withColumn(
-        "_in_scope", F.col("p_ts").isNotNull() & (F.col("p_ts") >= F.col("ts"))
-    )
-
-    def within(days):
-        return F.col("_in_scope") & (
-            F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
-        )
 
     def n_purch(cond):
         return F.count(F.when(cond, F.lit(1)))
@@ -275,14 +270,20 @@ def signup_attribution(spark, sf_dir):
             F.coalesce(F.sum(F.when(cond, dec(F.col("p_value")))), F.lit(0).cast("decimal(18,2)"))
         )
 
-    return joined.groupBy("user_id", "signup_event_id", "ts").agg(
-        n_purch(within(1)).alias("n_purchases_1d"),
-        revenue(within(1)).alias("revenue_1d"),
-        n_purch(within(7)).alias("n_purchases_7d"),
-        revenue(within(7)).alias("revenue_7d"),
-        n_purch(F.col("_in_scope")).alias("n_purchases_all"),
-        revenue(F.col("_in_scope")).alias("revenue_all"),
-        F.countDistinct(
-            F.when(within(7), F.date_format("p_ts", "yyyy-MM-dd"))
-        ).alias("active_days_7d"),
+    def active_days(cond):
+        return F.countDistinct(F.when(cond, F.date_format("_fact_ts", "yyyy-MM-dd")))
+
+    return range_attribution(
+        signups,
+        purchases,
+        on=["user_id"],
+        lead_ts="ts",
+        fact_ts="p_ts",
+        windows_days=[1, 7],
+        metrics={
+            "n_purchases": n_purch,
+            "revenue": revenue,
+            "active_days": active_days,
+        },
+        lead_cols=["signup_event_id"],
     )

@@ -40,15 +40,27 @@ SELECT d.doc_id,
        strlen(substr(d.text, i * 256 + 1, 256)) AS frame_bytes,
        md5(substr(d.text, i * 256 + 1, 256)) AS frame_digest
 FROM documents d, UNNEST(range(0, GREATEST((strlen(d.text) + 255) // 256, 1))) AS t(i)
+WHERE strlen(d.text) = length(d.text)
 """
 
 
 @query("multimodal_frame_sample", oracle=_FRAMES_SQL)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling (video-style chunking) through the mapInPandas UDTF
-    path — one row per 256-byte frame with digest."""
+    path — one row per 256-byte frame with digest.
+
+    The operator chunks BYTES (real media is bytes); SQL's substr chunks
+    CHARACTERS and DuckDB cannot slice or hash blobs, so the oracle-gated
+    relation is explicitly scoped to byte-transparent (ASCII) docs on BOTH
+    sides — byte and character chunking coincide there, and a future
+    non-ASCII fixture cannot silently diverge the gate. Non-ASCII payloads
+    still flow through the operator (unit-tested with real multi-byte
+    frames)."""
     t = Tables(spark, sf_dir)
-    return sample_frames(to_media_table(t.documents), frame_size=256)
+    ascii_docs = t.documents.filter(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))
+    )
+    return sample_frames(to_media_table(ascii_docs), frame_size=256)
 
 
 _ALIGN_SQL = """

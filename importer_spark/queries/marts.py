@@ -15,7 +15,8 @@ WITH stg_customers AS (
   SELECT c_custkey AS cust_key,
          coalesce(nullif(trim(c_name), ''), 'UNKNOWN') AS cust_name,
          c_mktsegment AS mktsegment,
-         CASE WHEN c_acctbal < 0 THEN 'delinquent'
+         CASE WHEN c_acctbal IS NULL THEN NULL
+              WHEN c_acctbal < 0 THEN 'delinquent'
               WHEN c_acctbal < 1000 THEN 'bronze'
               WHEN c_acctbal < 5000 THEN 'silver'
               ELSE 'gold' END AS balance_tier

@@ -181,6 +181,7 @@ WITH cust_orders AS (
 SELECT
   c_custkey AS cust_key,
   CASE
+    WHEN c_acctbal IS NULL THEN NULL
     WHEN c_acctbal < 0 THEN 'delinquent'
     WHEN c_acctbal < 1000 THEN 'bronze'
     WHEN c_acctbal < 5000 THEN 'silver'

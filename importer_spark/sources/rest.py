@@ -15,9 +15,11 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-Fetcher = Callable[[str | None, int], list[dict]]
+Fetcher = Callable[[object, int], list[dict]]
 """(cursor, page_size) -> page of records, ascending by the cursor field;
-empty list = done. The injected transport (real HTTP client in production)."""
+empty list = done. The injected transport (real HTTP client in production).
+The cursor keeps its NATIVE type end to end (int/str/timestamp) — a string
+max would mis-order numeric cursors (max('999','1000') = '999')."""
 
 
 class RestCursorSource:
@@ -33,13 +35,13 @@ class RestCursorSource:
         self.cursor_field = cursor_field
         self.page_size = page_size
 
-    def _pages(self, cursor: str | None) -> Iterator[list[dict]]:
+    def _pages(self, cursor) -> Iterator[list[dict]]:
         while True:
             page = self.fetch_page(cursor, self.page_size)
             if not page:
                 return
             yield page
-            new_cursor = max(str(r[self.cursor_field]) for r in page)
+            new_cursor = max(r[self.cursor_field] for r in page)
             if new_cursor == cursor:
                 # A full page of identical cursor values cannot advance —
                 # stop instead of looping forever. Real APIs break such runs
@@ -49,7 +51,7 @@ class RestCursorSource:
                 return
             cursor = new_cursor
 
-    def load(self, cursor: str | None = None, empty_schema: str | None = None) -> DataFrame:
+    def load(self, cursor=None, empty_schema: str | None = None) -> DataFrame:
         """Fetch all pages strictly past ``cursor`` into one DataFrame (the
         fetcher's contract: records with cursor_field > cursor, ascending).
         Driver-side accumulation is bounded since the cursor advances every

@@ -64,6 +64,20 @@ def read_cursor(spark: SparkSession, state_path: str):
     return None if row is None else row["cursor"]
 
 
+def cursor_advanced(new_value, prev) -> bool:
+    """True when ``new_value`` moves the watermark forward. Compares in the
+    cursor's NATIVE type (the state parquet preserves it): a string compare
+    would stall numeric cursors forever at e.g. 9 → 10 ('10' < '9')."""
+    if new_value is None:
+        return False
+    if prev is None:
+        return True
+    try:
+        return new_value > prev
+    except TypeError:  # mixed/legacy state types: fall back to strings
+        return str(new_value) > str(prev)
+
+
 def commit_cursor(spark: SparkSession, state_path: str, value) -> None:
     """Persist the high-watermark. Call AFTER the delta has been durably
     consumed — committing first would skip the batch on a downstream
@@ -97,7 +111,7 @@ def cursor_incremental_batch(
     delta = source if prev is None else source.filter(F.col(cursor_col) > F.lit(prev))
     if auto_commit:
         new_max = source.agg(F.max(cursor_col).alias("cursor")).first()["cursor"]
-        if new_max is not None and (prev is None or str(new_max) > str(prev)):
+        if cursor_advanced(new_max, prev):
             commit_cursor(spark, state_path, new_max)
     return delta
 

@@ -183,3 +183,68 @@ def test_extract_path_rejects_wildcards_and_root():
     # supported forms still parse
     assert extract_path({"a": [{"b": 1}]}, "a[*].b") == [1]
     assert extract_path([{"b": 2}], "[0].b") == [2]
+
+
+def test_sample_frames_chunks_bytes_for_multibyte_text(spark):
+    """The frame operator chunks BYTES: a multi-byte doc must produce
+    ceil(byte_len/size) frames with byte-exact digests (the oracle-gated
+    query scopes to ASCII; the operator itself must handle any payload)."""
+    import hashlib
+    from importer_spark.operators.multimodal import sample_frames, to_media_table
+
+    text = "héllo wörld ünïcode " * 30  # 600 chars, >600 bytes
+    raw = text.encode("utf-8")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, lang="de", text=text, n_chars=len(text), source="test")]
+    )
+    frames = sample_frames(to_media_table(df), frame_size=256).collect()
+    want = [
+        (i // 256, len(raw[i : i + 256]), hashlib.md5(raw[i : i + 256]).hexdigest())
+        for i in range(0, len(raw), 256)
+    ]
+    got = sorted((r.frame_idx, r.frame_bytes, r.frame_digest) for r in frames)
+    assert got == sorted(want)
+
+
+def test_cursor_advanced_numeric_and_string(spark):
+    """Numeric cursors must compare numerically (lexicographic '10'<'9'
+    stalled the watermark forever); strings still compare as strings."""
+    from importer_spark.streaming.incremental import (
+        commit_cursor,
+        cursor_advanced,
+        read_cursor,
+    )
+
+    assert cursor_advanced(10, 9)
+    assert not cursor_advanced(9, 10)
+    assert cursor_advanced("2024-02", "2024-01")
+    assert not cursor_advanced(None, 5)
+    assert cursor_advanced(1, None)
+
+
+def test_rest_source_numeric_cursor_pagination(spark):
+    """A numeric-cursor feed crossing a digit boundary (999 -> 1000) must
+    paginate past it, not re-fetch or stall on string-max."""
+    from importer_spark.sources import RestCursorSource
+
+    data = [{"id": i, "seq": i} for i in range(995, 1005)]
+
+    def fetch(cursor, page_size):
+        rows = [r for r in data if cursor is None or r["seq"] > cursor]
+        return rows[:page_size]
+
+    src = RestCursorSource(spark, fetch, cursor_field="seq", page_size=3)
+    out = sorted(r.id for r in src.load().collect())
+    assert out == list(range(995, 1005))
+
+
+def test_merge_by_key_rejects_changed_keys(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    merge_by_key(spark, spark.createDataFrame([Row(k=1, ver=1, v="a")]), path, keys=["k"])
+    with pytest.raises(ValueError, match="created with keys"):
+        merge_by_key(
+            spark,
+            spark.createDataFrame([Row(k=1, ver=2, v="b")]),
+            path,
+            keys=["k", "ver"],
+        )
