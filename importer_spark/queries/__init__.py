@@ -16,6 +16,7 @@ from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
+from importer_spark.queries import intervals_q  # noqa: F401,E402
 from importer_spark.queries import joins2  # noqa: F401,E402
 from importer_spark.queries import llm_dedup  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
@@ -77,6 +78,8 @@ _PRIORITY: list[str] = [
     "doc_winnowing_fingerprints",
     "embedding_dup_clusters",
     "doc_length_histogram",
+    # Round-3 additions (no driver evidence yet — verify first)
+    "promo_period_revenue",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",
