@@ -227,3 +227,30 @@ def cosine_topk(
             *extra,
         )
     )
+
+
+def max_abs(emb: Column) -> Column:
+    """Per-vector max |x| — the symmetric int8 quantization scale factor."""
+    return F.array_max(F.transform(emb, lambda x: F.abs(x)))
+
+
+def quantize_int8(emb: Column, maxabs: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i·127/max|x|),
+    values in [-127, 127] (stored long for exact integer dot products).
+    floor on identical double arithmetic is engine-portable — no round().
+    Zero vectors quantize to zeros. At 100 TB this is the memory-bandwidth
+    play: 8× smaller than float64 scan for candidate generation; ranking
+    error is bounded by the quantization step, and a full-precision rescore
+    of the top candidates restores exactness (see embedding_quantized_topk)."""
+    q = F.transform(emb, lambda x: F.floor(x * F.lit(127) / maxabs).cast("long"))
+    zeros = F.transform(emb, lambda x: F.lit(0).cast("long"))
+    return F.when(maxabs > 0, q).otherwise(zeros)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (long accumulation, order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

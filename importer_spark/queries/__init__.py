@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "doc_length_histogram",
     # Round-3 additions (no driver evidence yet — verify first)
     "promo_period_revenue",
+    "embedding_quantized_topk",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",
