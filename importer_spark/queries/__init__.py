@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     # Round-3 additions (no driver evidence yet — verify first)
     "promo_period_revenue",
     "embedding_quantized_topk",
+    "doc_chunks",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",

@@ -411,3 +411,77 @@ def doc_repetition(spark, sf_dir):
         F.round(ratio, 12).alias("repetition_ratio"),
         (ratio >= 0.1).alias("repetitive"),
     )
+
+
+# --- sliding-window chunking (context-window packing's upstream step) ------
+CHUNK_WIN = 64     # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, lang, toks, n_tokens,
+    (greatest(n_tokens - {CHUNK_WIN}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+      AS last_chunk
+  FROM toks
+),
+ks AS (
+  SELECT doc_id, lang, toks, last_chunk,
+    UNNEST(range(0, last_chunk + 1)) AS k
+  FROM spans
+)
+SELECT doc_id, lang,
+  k AS chunk_id,
+  last_chunk + 1 AS n_chunks,
+  len(list_slice(toks, k * {CHUNK_STRIDE} + 1, k * {CHUNK_STRIDE} + {CHUNK_WIN}))
+    AS chunk_tokens,
+  md5(array_to_string(
+    list_slice(toks, k * {CHUNK_STRIDE} + 1, k * {CHUNK_STRIDE} + {CHUNK_WIN}), ' '))
+    AS chunk_md5
+FROM ks
+"""
+
+
+@query("doc_chunks", oracle=_CHUNKS_SQL)
+def doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking: fixed token windows with overlap
+    (the step before tokenize-and-pack in every LLM training pipeline;
+    overlap preserves cross-boundary context). Chunk k covers tokens
+    [k·stride, k·stride+win); the chunk count 1+ceil(max(n-win,0)/stride)
+    guarantees full coverage with the final chunk allowed to run short.
+    Pure narrow ops — split, sequence, explode, slice — ZERO shuffle at any
+    scale; output is chunk rows keyed (doc_id, chunk_id) with an md5 over
+    the chunk text for downstream chunk-level dedup."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    ).withColumn(
+        "last_chunk",
+        F.expr(
+            f"(greatest(n_tokens - {CHUNK_WIN}, 0) + {CHUNK_STRIDE} - 1) "
+            f"div {CHUNK_STRIDE}"
+        ),
+    )
+    chunked = base.select(
+        "doc_id",
+        "lang",
+        (F.col("last_chunk") + 1).alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), F.col("last_chunk"))).alias("chunk_id"),
+        "toks",
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_WIN)
+    )
+    return chunked.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
