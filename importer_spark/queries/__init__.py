@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "promo_period_revenue",
     "embedding_quantized_topk",
     "doc_chunks",
+    "frequent_tokens",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",

@@ -485,3 +485,34 @@ def doc_chunks(spark, sf_dir):
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# --- exact heavy hitters: sketch candidates + exact recount ---------------
+HH_DEN = 50  # report tokens with frequency >= 1/50 of the token stream
+
+_FREQUENT_SQL = f"""
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS item FROM documents),
+tot AS (SELECT COUNT(*) AS _n FROM toks WHERE item IS NOT NULL),
+counted AS (
+  SELECT item, COUNT(*) AS cnt FROM toks WHERE item IS NOT NULL GROUP BY item
+)
+SELECT item, cnt, ROUND(cnt::DOUBLE / _n, 6) AS freq
+FROM counted, tot
+WHERE cnt * {HH_DEN} >= _n
+"""
+
+
+@query("frequent_tokens", oracle=_FREQUENT_SQL)
+def frequent_tokens(spark, sf_dir):
+    """Exact heavy-hitter tokens (frequency ≥ 1/HH_DEN) via the two-pass
+    Space-Saving + recount operator. The oracle is a full GROUP BY over the
+    vocabulary — affordable at test scale, NOT at 100 TB, where the sketch
+    path's bounded memory (den+1 counters per partition) and candidate-only
+    recount is the difference. See operators/sketch.py for the superset
+    guarantee that makes the sketch path return exactly the oracle's
+    answer."""
+    from importer_spark.operators.sketch import frequent_items
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return frequent_items(toks, "tok", HH_DEN)
