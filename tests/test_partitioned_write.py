@@ -85,3 +85,52 @@ def test_write_sorted_produces_skippable_stats(spark, tmp_path):
     assert overlaps == 0, spans
     # and the whole dataset round-trips
     assert spark.read.parquet(path).count() == t.orders.count()
+
+
+def test_write_zorder_tightens_stats_on_both_dims(spark, tmp_path):
+    """Z-order must give tight per-file min/max on BOTH clustered columns;
+    the single-axis sort baseline leaves the second column's per-file span
+    at ~full range. Spans are measured as the mean fraction of the global
+    range covered per file."""
+    import pyarrow.parquet as pq
+    from importer_spark.io import Tables, write_sorted, write_zorder
+
+    t = Tables(spark, SF_DIR)
+    df = t.orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("order_day"),
+        F.col("o_totalprice"),
+    )
+
+    def mean_span(path, col):
+        lo_all, hi_all, spans = None, None, []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None or s.min < lo else lo
+                        hi = s.max if hi is None or s.max > hi else hi
+            assert lo is not None, f
+            spans.append((lo, hi))
+            lo_all = lo if lo_all is None or lo < lo_all else lo_all
+            hi_all = hi if hi_all is None or hi > hi_all else hi_all
+        full = float(hi_all - lo_all)
+        return sum((b - a) / full for a, b in spans) / len(spans)
+
+    zpath = tmp_path / "orders_z"
+    write_zorder(df, str(zpath), ["order_day", "o_totalprice"], bits=10, n_files=16)
+    spath = tmp_path / "orders_s"
+    write_sorted(df, str(spath), range_col="order_day", n_files=16)
+
+    # both dims tighter than 60% of range under z-order...
+    assert mean_span(zpath, "order_day") < 0.6
+    assert mean_span(zpath, "o_totalprice") < 0.6
+    # ...while the single-axis layout leaves the other dim near-full-range
+    assert mean_span(spath, "o_totalprice") > 0.8
+    assert spark.read.parquet(str(zpath)).count() == df.count()
