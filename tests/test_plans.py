@@ -151,6 +151,15 @@ def test_semi_join_pushes_fact_filter(spark):
         ("sequence_packing", 4),
         ("simhash_near_dups", 4),    # two simhash aggs feed the band join
         ("embedding_near_dups", 2),  # one blk-pair shuffle; pairs broadcast
+        # Round-3 plans: the interval join is ONE fact shuffle (promos
+        # broadcast after the bin explode); chunking is pure narrow ops;
+        # heavy hitters = sketch scan + candidate distinct + recount agg
+        # (the only nested loop is the 1-row total broadcast); quantized ANN
+        # keeps the corpus unshuffled like the other probe-broadcast ANNs.
+        ("promo_period_revenue", 2),
+        ("doc_chunks", 0),
+        ("frequent_tokens", 4),
+        ("embedding_quantized_topk", 2),
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
