@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "embedding_quantized_topk",
     "doc_chunks",
     "frequent_tokens",
+    "embedding_pq_topk",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",

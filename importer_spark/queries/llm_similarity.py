@@ -372,3 +372,62 @@ def embedding_quantized_topk(spark, sf_dir):
             F.round("qcos", 6).alias("qcosine"),
         )
     )
+
+
+# --- product quantization: ADC candidates + exact rescore (rows-only) ------
+PQ_M = 8
+PQ_KSUB = 16
+PQ_ITERS = 1
+PQ_SAMPLE_MOD = 2
+# ADC on near-uniform synthetic vectors is coarse; recall comes from the
+# wide rescore budget. sample_mod=2 trains codebooks on the id%2==0 half
+# (standard PQ practice — codebooks need coverage, not every row).
+PQ_CAND_MULT = 8
+
+
+@query("embedding_pq_topk", oracle=None)
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks trained with the
+    distributed k-means operator (iterative — not SQL-expressible, hence
+    rows-only like kmeans_embeddings), corpus encoded to 8 codes/vector,
+    candidates ranked by ADC lookup-table distance, top candidates rescored
+    at full precision. Recall vs the exact brute force is asserted in
+    tests/test_quantized_ann.py; emitted cosines are always exact."""
+    from importer_spark.operators.quantization import pq_adc_topk, pq_encode, pq_train
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    books = pq_train(
+        e, "vec_id", "emb", dim=DIMS, m=PQ_M, ksub=PQ_KSUB,
+        iters=PQ_ITERS, sample_mod=PQ_SAMPLE_MOD,
+    )
+    codes = pq_encode(e, "vec_id", "emb", books)
+    probes = [
+        (r.vec_id, list(r.emb))
+        for r in e.filter(F.col("vec_id") < N_PROBES).collect()
+    ]
+    cand = pq_adc_topk(codes, probes, books, "vec_id", k=PQ_CAND_MULT * TOP_K)
+    probes_df = F.broadcast(
+        e.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+        )
+    )
+    rescored = (
+        cand.join(e, "vec_id")
+        .join(probes_df, "probe_id")
+        .withColumn("cos", cosine(F.col("pemb"), F.col("emb")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+            F.round("adist", 6).alias("adist"),
+        )
+    )

@@ -51,3 +51,34 @@ def test_quantized_topk_recall_vs_exact(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized ANN recall {recall:.2f} < 0.8"
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC candidates + exact rescore: recall vs brute force. The 4-code
+    ADC ranking is coarse (that is its bandwidth point); recall is restored
+    by the 4k-candidate rescore, and emitted scores are exact."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in QUERIES["embedding_cosine_topk"](spark, SF_DIR).collect()
+    }
+    pq = {
+        (r.probe_id, r.neighbor_id)
+        for r in QUERIES["embedding_pq_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ ANN recall {recall:.2f} < 0.5"
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from importer_spark.operators.quantization import pq_encode, pq_train
+    from importer_spark.io import Tables
+    from importer_spark.operators.similarity import as_double_array
+
+    t = Tables(spark, SF_DIR)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    books = pq_train(e, "vec_id", "emb", dim=64, m=4, ksub=16, iters=1, sample_mod=2)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(e, "vec_id", "emb", books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(e, "vec_id", "emb", books).collect()}
+    assert c1 == c2
+    assert all(0 <= x < 16 for v in c1.values() for x in v)
