@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "doc_chunks",
     "frequent_tokens",
     "embedding_pq_topk",
+    "part_name_fuzzy_matches",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",

@@ -85,6 +85,29 @@ def company_consolidation(spark, sf_dir):
     )
 
 
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a JOIN names b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("part_name_fuzzy_matches", oracle=_FUZZY_SQL)
+def part_name_fuzzy_matches(spark, sf_dir):
+    """Edit-distance fuzzy match over the part-name vocabulary — the typo
+    arm of entity resolution (the reference consolidates only systematic
+    suffix noise, domain_consolidation.py:102-132; real ingest also has
+    misspellings). Symmetric-deletion candidate generation (lossless for
+    lev ≤ 2) + JVM thresholded levenshtein verify; the oracle runs the
+    all-pairs theta join this operator exists to avoid."""
+    from importer_spark.operators.fuzzy import fuzzy_match_pairs
+
+    t = Tables(spark, sf_dir)
+    return fuzzy_match_pairs(t.part, "p_name", max_dist=2)
+
+
 def _representative_sql() -> str:
     return f"""
 WITH variants AS ({_VARIANTS_SQL}),
