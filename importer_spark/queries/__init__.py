@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "frequent_tokens",
     "embedding_pq_topk",
     "part_name_fuzzy_matches",
+    "bloom_pruned_revenue",
     # Spark-4 showpieces
     "customer_hierarchy_depth",
     "variant_payload_extract",

@@ -144,3 +144,43 @@ def salted_segment_revenue(spark, sf_dir):
         F.count("*").alias("n_orders"),
         out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
     )
+
+
+_BLOOM_SQL = """
+SELECT o.o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("bloom_pruned_revenue", oracle=_BLOOM_SQL)
+def bloom_pruned_revenue(spark, sf_dir):
+    """Selective dim→fact join with a Bloom pre-filter pushed into the fact
+    scan (`operators/bloom.py`): the high-balance BUILDING customers build
+    a distributed Bloom filter (driver holds n_bits/64 longs, never keys),
+    and the orders scan drops non-matching custkeys inside WholeStageCodegen
+    BEFORE the join's exchange — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice. The
+    real join still runs (false positives die there), so the result is
+    exactly the oracle's plain join."""
+    from importer_spark.functions import dec, out_double
+    from importer_spark.operators.bloom import bloom_semi_join
+
+    t = Tables(spark, sf_dir)
+    dim = t.customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    joined = bloom_semi_join(
+        t.orders.select("o_custkey", "o_orderpriority", "o_totalprice"),
+        dim,
+        fact_key="o_custkey",
+        build_key="c_custkey",
+        n_bits=1 << 14,
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+    )
