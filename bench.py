@@ -45,13 +45,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM + every table's footer/schema once so per-query numbers
     # measure the queries, not first-touch session costs.
-    from importer_spark.io import TABLES
+    from importer_spark.io import TABLES, Tables
 
+    warm = Tables(spark, sf_dir)
     for t in TABLES:
         try:
-            if t == "events":
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            getattr(warm, t).count()
         except Exception:
             pass
 

@@ -67,28 +67,38 @@ class Tables:
         if name not in self._dfs:
             path = f"{self.sf_dir}/{name}.parquet"
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-                # rejects; read nanos as long and truncate to microseconds —
-                # the same conversion DuckDB applies when reading nanos. The
-                # legacy flag is restored afterwards (the read captures the
-                # schema eagerly) so the session's behavior for other parquet
-                # sources is untouched.
-                conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-                prev = self.spark.conf.get(conf_key, None)
-                self.spark.conf.set(conf_key, "true")
-                try:
-                    df = self.spark.read.parquet(path).withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    )
-                finally:
-                    if prev is None:
-                        self.spark.conf.unset(conf_key)
-                    else:
-                        self.spark.conf.set(conf_key, prev)
+                df = self._read_events(path)
             else:
                 df = self.spark.read.parquet(path)
             self._dfs[name] = df
         return self._dfs[name]
+
+    def _read_events(self, path: str) -> DataFrame:
+        """events.ts has shipped as both parquet TIMESTAMP(MICROS) (read
+        directly) and TIMESTAMP(NANOS) (which Spark's reader rejects —
+        read nanos as long and truncate to microseconds, the same
+        conversion DuckDB applies). Handle either so the engine is not
+        coupled to one generator version. The legacy flag is restored
+        afterwards (the read captures the schema eagerly) so the
+        session's behavior for other parquet sources is untouched."""
+        try:
+            df = self.spark.read.parquet(path)
+            if df.schema["ts"].dataType.typeName().startswith("timestamp"):
+                return df
+        except Exception:
+            pass
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = self.spark.conf.get(conf_key, None)
+        self.spark.conf.set(conf_key, "true")
+        try:
+            return self.spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, prev)
 
 
 def read_jsonl(spark: SparkSession, path: str, blank_nulls: bool = True) -> DataFrame:
