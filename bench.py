@@ -55,18 +55,26 @@ def main() -> None:
             pass
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         if name in SLOW_EXCLUDE:
             continue
         start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - start, 3)
+        # One broken query must never zero the whole bench record: isolate
+        # failures per query and still emit the final parseable line.
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - start, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"BENCH_ERROR: {name}: {errors[name]}", file=sys.stderr)
     total = round(sum(times.values()), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "errors": errors,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -87,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "errors": len(errors),
             }
         )
     )

@@ -74,19 +74,32 @@ class Tables:
         return self._dfs[name]
 
     def _read_events(self, path: str) -> DataFrame:
-        """events.ts has shipped as both parquet TIMESTAMP(MICROS) (read
-        directly) and TIMESTAMP(NANOS) (which Spark's reader rejects —
-        read nanos as long and truncate to microseconds, the same
-        conversion DuckDB applies). Handle either so the engine is not
-        coupled to one generator version. The legacy flag is restored
+        """events.ts has shipped as parquet TIMESTAMP(MICROS) with and
+        without a timezone flag, and as TIMESTAMP(NANOS) (which Spark's
+        reader rejects — read nanos as long and truncate to microseconds,
+        the same conversion DuckDB applies). Normalize all variants to
+        TimestampType so downstream micros/window arithmetic
+        (``unix_micros`` rejects TIMESTAMP_NTZ) behaves identically:
+        the session timezone is pinned to UTC (session.py), so an NTZ →
+        instant cast is value-preserving and DuckDB parity holds. Only a
+        schema-rejection error falls through to the nanos path; storage
+        errors (missing path, corrupt footer) propagate, matching
+        read_parquet_if_exists policy. The legacy flag is restored
         afterwards (the read captures the schema eagerly) so the
         session's behavior for other parquet sources is untouched."""
         try:
             df = self.spark.read.parquet(path)
-            if df.schema["ts"].dataType.typeName().startswith("timestamp"):
+            if "ts" not in df.columns:
                 return df
-        except Exception:
-            pass
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type == "timestamp_ntz":
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            if ts_type.startswith("timestamp"):
+                return df
+        except Exception as e:
+            msg = str(e)
+            if "TIMESTAMP(NANOS" not in msg and "Illegal Parquet type" not in msg:
+                raise
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = self.spark.conf.get(conf_key, None)
         self.spark.conf.set(conf_key, "true")
