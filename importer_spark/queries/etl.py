@@ -336,7 +336,7 @@ def pivot_revenue(spark, sf_dir):
     return pivoted.na.fill(0.0, subset=_SEGMENTS)
 
 
-@query("approx_distinct_sketch")
+@query("approx_distinct_sketch", catalog=False)
 def approx_distinct_sketch(spark, sf_dir):
     """HLL approximate distinct + approximate quantiles per segment — the
     sketch path for 100 TB profiling. No SQL oracle: sketch values are

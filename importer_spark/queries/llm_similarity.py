@@ -251,7 +251,7 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_search(e, cell_ids, centroids)
 
 
-@query("kmeans_embeddings")
+@query("kmeans_embeddings", catalog=False)
 def kmeans_embeddings(spark, sf_dir):
     """Distributed k-means (3 Lloyd rounds, deterministic lowest-id seeds)
     over the embedding corpus — the trained version of embedding_ivf_topk's
@@ -385,7 +385,7 @@ PQ_SAMPLE_MOD = 2
 PQ_CAND_MULT = 8
 
 
-@query("embedding_pq_topk", oracle=None)
+@query("embedding_pq_topk", catalog=False)
 def embedding_pq_topk(spark, sf_dir):
     """Product-quantization ANN: per-subspace codebooks trained with the
     distributed k-means operator (iterative — not SQL-expressible, hence

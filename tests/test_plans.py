@@ -183,9 +183,11 @@ def test_no_complex_output_columns(spark):
     fine INSIDE a query; flatten (element_at / to_json) before returning."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    from importer_spark.queries import DIAGNOSTICS
+
     offenders = {}
-    for name in sorted(QUERIES):
-        df = QUERIES[name](spark, SF_DIR)
+    for name, fn in sorted({**QUERIES, **DIAGNOSTICS}.items()):
+        df = fn(spark, SF_DIR)
         complex_cols = [
             f.name
             for f in df.schema.fields

@@ -7,7 +7,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from importer_spark.operators.similarity import int_dot, max_abs, quantize_int8
-from importer_spark.queries import QUERIES
+from importer_spark.queries import DIAGNOSTICS, QUERIES
 from tests.conftest import SF_DIR
 
 
@@ -63,7 +63,7 @@ def test_pq_topk_recall_vs_exact(spark):
     }
     pq = {
         (r.probe_id, r.neighbor_id)
-        for r in QUERIES["embedding_pq_topk"](spark, SF_DIR).collect()
+        for r in DIAGNOSTICS["embedding_pq_topk"](spark, SF_DIR).collect()
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.5, f"PQ ANN recall {recall:.2f} < 0.5"

@@ -242,9 +242,9 @@ def test_approx_sketch_error_bound(spark):
     from pyspark.sql import functions as F
 
     from importer_spark.io import Tables
-    from importer_spark.queries import QUERIES
+    from importer_spark.queries import DIAGNOSTICS
 
-    df = QUERIES["approx_distinct_sketch"](spark, SF_DIR).toPandas().set_index("mktsegment")
+    df = DIAGNOSTICS["approx_distinct_sketch"](spark, SF_DIR).toPandas().set_index("mktsegment")
     t = Tables(spark, SF_DIR)
     exact = (
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
