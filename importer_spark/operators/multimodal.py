@@ -2,12 +2,13 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas functions over ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is STUBBED
-(``decode_media`` raises NotImplementedError for real media types) behind a
-deterministic fake ('text/fake-image' → the UTF-8 bytes themselves). The
-Spark-side plumbing — binary schema, batch iteration, UDF signatures, frame
-explosion — is real and oracle-tested; swapping in PIL/librosa is a local
-change inside ``decode_media``.
+Two REAL pure-stdlib codecs run end-to-end: RIFF/WAVE PCM audio (stdlib
+``wave``; 16-bit mono/stereo) and binary P6 PPM images (hand-written header
+parser, comment-tolerant). Compressed formats (JPEG/MP3/H.264) have no codec
+in this container, so ``decode_media`` raises NotImplementedError for them;
+swapping in PIL/ffmpeg/librosa is a local change inside ``decode_media``.
+A deterministic fake ('text/fake-image' → the UTF-8 bytes themselves) keeps
+the byte-level plumbing oracle-checkable against SQL string functions.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 feature extraction is embarrassingly parallel over input partitions — no
@@ -17,16 +18,88 @@ shuffle at all. Frame sampling multiplies rows partition-locally.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FAKE_IMAGE = "text/fake-image"
+WAV_TYPE = "audio/wav"
+PPM_TYPE = "image/x-portable-pixmap"
 
 FEATURES_SCHEMA = "doc_id long, media_type string, n_bytes long, content_digest string"
 FRAMES_SCHEMA = "doc_id long, frame_idx integer, frame_bytes long, frame_digest string"
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate integer, n_channels integer, n_samples bigint, "
+    "duration_s double, peak bigint, rms double"
+)
+IMAGE_SCHEMA = (
+    "doc_id long, width integer, height integer, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+# --- real codecs (pure stdlib/numpy) ---------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Encode int16 PCM samples to a RIFF/WAVE container (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a 16-bit PCM WAV: (interleaved int16 samples, rate, channels)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got {w.getsampwidth() * 8}-bit")
+        rate, nch = w.getframerate(), w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2"), rate, nch
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as binary P6 PPM."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError(f"P6 PPM is RGB; got {c} channels")
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + np.asarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode binary P6 PPM (comment- and whitespace-tolerant header) to
+    an HxWx3 uint8 array."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    raster = data[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"truncated raster: want {w * h * 3} bytes, have {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
 def to_media_table(docs: DataFrame) -> DataFrame:
@@ -45,11 +118,16 @@ def to_media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(data: bytes, media_type: str) -> bytes:
-    """Decode stub. Real codecs are not available in this environment; the
-    deterministic fake passes bytes through so downstream feature extraction
-    is testable. Swap this function for PIL/ffmpeg/librosa in production."""
+    """Uniform bytes→decoded-payload entry point: WAV → raw PCM bytes,
+    PPM → raw RGB raster, fake → passthrough. Compressed formats raise
+    NotImplementedError (no codec in this container); swap in
+    PIL/ffmpeg/librosa here in production."""
     if media_type == FAKE_IMAGE:
         return data
+    if media_type == WAV_TYPE:
+        return decode_wav(data)[0].tobytes()
+    if media_type == PPM_TYPE:
+        return decode_ppm(data).tobytes()
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; see module docstring"
     )
@@ -73,6 +151,58 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Real audio feature extraction: decode each WAV payload (stdlib codec)
+    and compute duration, peak amplitude, and RMS energy with numpy.
+
+    Integer sums of squares stay exact in float64 up to ~2^53 (int16² ≤ 2^30,
+    so ~2^23 samples/doc) — the emitted doubles are bit-reproducible and
+    SQL-oracle-checkable. Per-partition work, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                    "n_samples", "duration_s", "peak", "rms")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                samples, rate, nch = decode_wav(bytes(data))
+                s = samples.astype(np.int64)
+                n = len(s)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / (rate * nch))
+                rows["peak"].append(int(np.abs(s).max()) if n else 0)
+                rows["rms"].append(float(np.sqrt((s * s).sum() / n)) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Real image feature extraction: decode each P6 PPM payload and compute
+    dimensions + per-channel means (exact integer sums → reproducible
+    doubles). Per-partition work, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                px = decode_ppm(bytes(data))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(h * w)
+                for key, sval in zip(("mean_r", "mean_g", "mean_b"), sums):
+                    rows[key].append(float(sval) / (h * w))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_size: int = 256) -> DataFrame:

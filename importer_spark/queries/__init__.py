@@ -71,7 +71,9 @@ _PRIORITY: list[str] = [
     "order_options_kv",
     "priority_counts_json",
     "revenue_share",
-    # Round-3 additions get inserted here as they land (no driver evidence)
+    # Round-3 additions (no driver evidence yet)
+    "audio_wav_features",
+    "image_ppm_features",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
