@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     # Round-3 additions (no driver evidence yet)
     "audio_wav_features",
     "image_ppm_features",
+    "bloom_promo_attribution",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

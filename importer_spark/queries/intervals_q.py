@@ -87,3 +87,77 @@ def promo_period_revenue(spark, sf_dir):
         F.count("*").alias("n_lines"),
         out_double(F.sum(dec(disc_price, 4))).alias("promo_revenue"),
     )
+
+
+_BLOOM_PROMO_SQL = f"""
+WITH promos AS (
+  SELECT i AS promo_id,
+         {BASE_DAY} + {PROMO_STRIDE} * i AS start_day,
+         {BASE_DAY} + {PROMO_STRIDE} * i + 15 * ((i % 3) + 1) AS end_day
+  FROM generate_series(0, {N_PROMOS - 1}) AS t(i)
+),
+pts AS (
+  SELECT date_diff('day', DATE '1970-01-01', o.o_orderdate) AS order_day,
+         o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+)
+SELECT p.promo_id,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+FROM promos p
+JOIN pts ON order_day >= p.start_day AND order_day < p.end_day
+GROUP BY p.promo_id
+"""
+
+
+@query("bloom_promo_attribution", oracle=_BLOOM_PROMO_SQL)
+def bloom_promo_attribution(spark, sf_dir):
+    """Composed mart: Bloom-pruned selective join feeding an interval join —
+    the two scale operators proving they stack. High-balance BUILDING
+    customers build a distributed Bloom filter (operators/bloom.py) that
+    drops non-matching orders inside the fact scan's WholeStageCodegen
+    BEFORE any exchange; the surviving ~2% of orders then attribute into
+    the overlapping promo calendar through the bin-bucketed interval join
+    (operators/intervals.py) — one equi-shuffle of the already-pruned fact
+    side, promos broadcast after their bin explode. At 100 TB the scan→
+    bloom→bin pipeline is the whole fact-side cost; nothing full-size ever
+    shuffles. Oracle is the plain join + range join."""
+    from importer_spark.operators.bloom import bloom_semi_join
+
+    t = Tables(spark, sf_dir)
+    dim = t.customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    facts = bloom_semi_join(
+        t.orders.select("o_custkey", "o_orderdate", "o_totalprice"),
+        dim,
+        fact_key="o_custkey",
+        build_key="c_custkey",
+        n_bits=1 << 14,
+    )
+    pts = facts.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("order_day"),
+        "o_totalprice",
+    )
+    promos = spark.range(N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(BASE_DAY) + F.lit(PROMO_STRIDE) * F.col("id")).alias("start_day"),
+        (
+            F.lit(BASE_DAY)
+            + F.lit(PROMO_STRIDE) * F.col("id")
+            + F.lit(15) * (F.col("id") % 3 + 1)
+        ).alias("end_day"),
+    )
+    matched = interval_join(
+        pts, promos, point_col="order_day", start_col="start_day",
+        end_col="end_day", bin_width=BIN_DAYS,
+    )
+    return matched.groupBy("promo_id").agg(
+        F.count("*").alias("n_orders"),
+        out_double(F.sum(dec(F.col("o_totalprice")))).alias("promo_revenue"),
+    )

@@ -157,6 +157,9 @@ def test_semi_join_pushes_fact_filter(spark):
         # (the only nested loop is the 1-row total broadcast); quantized ANN
         # keeps the corpus unshuffled like the other probe-broadcast ANNs.
         ("promo_period_revenue", 2),
+        # Composed bloom+interval mart: bloom probe dies in the scan, promos
+        # broadcast → the single exchange is the final agg.
+        ("bloom_promo_attribution", 2),
         ("doc_chunks", 0),
         ("frequent_tokens", 4),
         ("embedding_quantized_topk", 2),
