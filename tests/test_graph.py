@@ -1,0 +1,64 @@
+"""connected_components: both regimes (local union-find / distributed
+propagation) must agree, converge, and release caches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from importer_spark.operators.graph import connected_components
+
+# Two components: {1,2,3,4} (chain → diameter 3) and {10,11}; 5 is absent
+# (no edges) so it must not appear.
+EDGES = [(1, 2), (2, 3), (3, 4), (10, 11)]
+
+
+def _rows(df):
+    return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+
+EXPECT = [(1, 1, 4), (2, 1, 4), (3, 1, 4), (4, 1, 4), (10, 10, 2), (11, 10, 2)]
+
+
+@pytest.fixture()
+def pairs(spark):
+    return spark.createDataFrame(EDGES, "id_a long, id_b long")
+
+
+def test_local_path(spark, pairs):
+    out = connected_components(pairs)  # 4 edges << default threshold
+    assert _rows(out) == EXPECT
+
+
+def test_distributed_path(spark, pairs):
+    out = connected_components(pairs, max_local_edges=0)
+    assert _rows(out) == EXPECT
+
+
+def test_paths_agree_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = _rows(connected_components(pairs))
+    dist = _rows(connected_components(pairs, max_local_edges=0))
+    assert local == dist
+
+
+def test_distributed_nonconvergence_raises(spark):
+    # A 6-node chain has diameter 5 > max_rounds=2 budget.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2, max_local_edges=0)
+
+
+def test_caches_released(spark, pairs):
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    connected_components(pairs).collect()
+    connected_components(pairs, max_local_edges=0).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
