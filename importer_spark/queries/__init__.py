@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "audio_wav_features",
     "image_ppm_features",
     "bloom_promo_attribution",
+    "domain_mixture_sample",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

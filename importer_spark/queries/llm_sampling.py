@@ -404,3 +404,73 @@ def curation_pipeline(spark, sf_dir):
         "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
     return with_pack_id(sampled).select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+# --- temperature-scaled domain mixture --------------------------------------
+_MIX_TOTAL = 600  # target corpus size after reweighting
+# alpha = 0.5 temperature: weight_d = isqrt(n_d). Integer square roots keep
+# the whole weight computation in exact integer arithmetic (IEEE sqrt of an
+# int is correctly rounded, so floor(sqrt(n)) is stable in both engines) —
+# no float summation order to diverge between Spark and the oracle.
+
+_MIX_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wt FROM counts),
+s AS (SELECT SUM(wt) AS total_wt FROM w),
+t AS (
+  SELECT source, n, CAST(LEAST(({_MIX_TOTAL} * wt) // s.total_wt, n) AS BIGINT) AS domain_target
+  FROM w, s
+),
+ranked AS (
+  SELECT d.doc_id, d.source, t.n AS domain_docs, t.domain_target,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d JOIN t USING (source)
+)
+SELECT doc_id, source, domain_docs, domain_target
+FROM ranked WHERE rn <= domain_target
+"""
+
+
+@query("domain_mixture_sample", oracle=_MIX_SQL)
+def domain_mixture_sample(spark, sf_dir):
+    """Temperature-scaled domain mixture (the Pile/DoReMi reweighting step):
+    sample each source domain proportionally to n_d^0.5, so rare domains are
+    upweighted relative to their natural share before training. Weights are
+    integer square roots and the per-domain quota is exact integer division
+    — bit-identical across engines — and the rows kept are the quota's
+    smallest md5(doc_id) values: a reproducible hash gate, not rand(), so
+    retries and backfills select the same sample.
+
+    Scale shape: the domain→quota table is a tiny broadcast; the corpus
+    pays one hash evaluation and one per-domain top-quota window. At 100 TB
+    the window is the only shuffle, keyed by domain — skewed domains are
+    exactly the capped ones, and the two-phase top-K rewrite used by
+    language_capped_sample applies unchanged if a single domain dominates."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.select(
+        "source", "n", F.floor(F.sqrt(F.col("n"))).cast("bigint").alias("wt")
+    )
+    s = w.agg(F.sum("wt").alias("total_wt"))
+    targets = w.crossJoin(F.broadcast(s)).select(
+        "source",
+        F.col("n").alias("domain_docs"),
+        F.least(
+            F.expr(f"({_MIX_TOTAL} * wt) div total_wt"), F.col("n")
+        ).alias("domain_target"),
+    )
+    ranked = docs.join(F.broadcast(targets), "source").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= F.col("domain_target")).select(
+        "doc_id", "source", "domain_docs", "domain_target"
+    )
