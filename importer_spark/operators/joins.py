@@ -22,27 +22,39 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the most recent right
-    row with ``right_ts <= left_ts`` within the same ``on`` key group.
+    """As-of join: for every left row, attach the nearest right row within
+    the same ``on`` key group — the most recent with ``right_ts <= left_ts``
+    (``direction="backward"``, default) or the earliest with ``right_ts >=
+    left_ts`` (``direction="forward"``). ``tolerance`` (a Column — e.g.
+    ``F.expr("INTERVAL 1 HOUR")`` for timestamps, a numeric literal for
+    numeric axes) bounds the match distance: matches farther than the
+    tolerance come back null, exactly pandas ``merge_asof`` semantics.
 
     Implementation is the union-and-fill pattern (reference J8 rewritten):
     tag both sides, union, and carry each right value forward with
-    ``last(ignorenulls=True)`` over (key, ts) order. Exactly ONE shuffle on
-    the key — no join explosion, no per-row subquery — and the in-partition
-    sort is linear. Equal timestamps match (right sorts before left at ties).
+    ``last(ignorenulls=True)`` over (key, ts) order — traversed descending
+    for forward matches. Exactly ONE shuffle on the key — no join explosion,
+    no per-row subquery — and the in-partition sort is linear. Equal
+    timestamps match in both directions (right sorts before left at ties).
 
     Returns the left rows with ``<col><suffix>`` columns appended (plus
     ``<left_ts>`` preserved); right-side misses are null, like a LEFT join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     tag = "_asof_side"
     ts = "_asof_ts"
+    mts = f"_asof_match_ts{suffix}"
     lcols = left.columns
     lhs = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias(ts),
         F.lit(1).alias(tag),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(mts),
     )
     rhs = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
@@ -50,27 +62,47 @@ def asof_join(
         F.col(right_ts).alias(ts),
         F.lit(0).alias(tag),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.col(right_ts).alias(mts),
     )
     unioned = lhs.unionByName(rhs)
     # Tie-break on the carried right values so two right rows sharing
     # (key, ts) resolve identically on every run (determinism convention);
     # for non-orderable value types, pre-dedup the right side instead.
     tiebreaks = [F.col(f"{c}{suffix}").asc_nulls_first() for c in right_value_cols]
+    order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(tag).asc(), *tiebreaks)
+        .orderBy(order, F.col(tag).asc(), *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = [*[f"{c}{suffix}" for c in right_value_cols], mts]
     filled = unioned.select(
         *[F.col(c) for c in lcols],
         F.col(ts),
         F.col(tag),
         *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in fill_cols
         ],
     )
-    return filled.filter(F.col(tag) == 1).drop(tag, ts)
+    out = filled.filter(F.col(tag) == 1)
+    if tolerance is not None:
+        dist = (
+            F.col(ts) - F.col(mts)
+            if direction == "backward"
+            else F.col(mts) - F.col(ts)
+        )
+        in_tol = F.col(mts).isNotNull() & (dist <= tolerance)
+        out = out.select(
+            *[F.col(c) for c in lcols],
+            F.col(ts),
+            F.col(tag),
+            *[
+                F.when(in_tol, F.col(c)).alias(c)
+                for c in fill_cols
+            ],
+        )
+    return out.drop(tag, ts, mts)
 
 
 def range_attribution(

@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "image_ppm_features",
     "bloom_promo_attribution",
     "domain_mixture_sample",
+    "asof_next_purchase",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -199,6 +199,67 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+_ASOF_FWD_SQL = """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+nxt AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         (SELECT MIN(p.ts) FROM p
+          WHERE p.user_id = v.user_id AND p.ts >= v.ts) AS m_ts
+  FROM v
+),
+tol AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN m_ts <= ts + INTERVAL 1 HOUR THEN m_ts END AS m_ts
+  FROM nxt
+)
+SELECT t.event_id AS view_event_id, t.user_id, t.ts AS view_ts,
+       (SELECT MAX(p.value) FROM p
+        WHERE p.user_id = t.user_id AND p.ts = t.m_ts) AS next_purchase_value,
+       date_diff('second', t.ts, t.m_ts) AS seconds_to_purchase
+FROM tol t
+"""
+
+
+@query("asof_next_purchase", oracle=_ASOF_FWD_SQL)
+def asof_next_purchase(spark, sf_dir):
+    """Forward as-of with tolerance (pandas merge_asof parity, the other
+    half of J8): each view gets the user's NEXT purchase, but only if it
+    lands within 1 hour — later matches null out. Same single-shuffle
+    union-and-fill plan as the backward form, traversed descending; the
+    tolerance mask is a post-fill column expression, so bounding the match
+    window costs nothing at 100 TB. Ties (several purchases at the matched
+    instant) resolve to the max value on both engines."""
+    t = Tables(spark, sf_dir)
+    views = t.events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    res = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="view_ts",
+        right_ts="p_ts",
+        right_value_cols=["value", "p_ts"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return res.select(
+        "view_event_id",
+        "user_id",
+        "view_ts",
+        F.col("value_asof").alias("next_purchase_value"),
+        (
+            F.unix_timestamp("p_ts_asof") - F.unix_timestamp("view_ts")
+        ).alias("seconds_to_purchase"),
+    )
+
+
 @query("asof_last_view", oracle=_ASOF_SQL)
 def asof_last_view(spark, sf_dir):
     """J8 as-of join: each purchase gets the user's most recent prior view

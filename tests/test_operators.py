@@ -171,6 +171,44 @@ def test_asof_join_equal_ts_matches(spark):
     assert out[0]["val_asof"] == "same-instant"
 
 
+def test_asof_join_forward_numeric_axis(spark):
+    left = spark.createDataFrame([Row(k="a", lts=3, payload="p1")])
+    right = spark.createDataFrame(
+        [Row(k="a", rts=1, val="past"), Row(k="a", rts=7, val="next"), Row(k="a", rts=9, val="later")]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_value_cols=["val"], direction="forward",
+    ).collect()
+    assert out[0]["val_asof"] == "next"  # earliest rts >= lts, not the later one
+
+
+def test_asof_join_tolerance_masks_far_matches(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [Row(k="a", lts=10, payload="near"), Row(k="b", lts=10, payload="far")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=8, val="ok"), Row(k="b", rts=1, val="stale")]
+    )
+    rows = {
+        r["payload"]: r["val_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_value_cols=["val"], tolerance=F.lit(3),
+        ).collect()
+    }
+    assert rows == {"near": "ok", "far": None}  # distance 2 kept, 9 masked
+
+
+def test_asof_join_bad_direction_raises(spark):
+    left = spark.createDataFrame([Row(k="a", lts=1)])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on=["k"], left_ts="lts", right_ts="lts",
+                  right_value_cols=[], direction="nearest")
+
+
 def test_quality_assertions(spark):
     df = spark.createDataFrame(
         [Row(id=1, status="A"), Row(id=2, status="B"), Row(id=2, status="Z")]
