@@ -84,3 +84,31 @@ def frequent_items(df: DataFrame, col: str, den: int) -> DataFrame:
         .filter(F.col("cnt") * den >= F.col("_n"))
         .select("item", "cnt", ratio(F.col("cnt"), F.col("_n")).alias("freq"))
     )
+
+
+# --- mergeable HLL sketches (incremental distinct at 100 TB) ---------------
+
+def hll_partial_sketches(
+    df: DataFrame, key_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group binary HLL sketches — the PERSISTABLE partial state of a
+    distinct count. At 100 TB this is the incremental-profiling shape: each
+    load window (day/partition/file batch) aggregates its own ~2^lg_k-byte
+    sketch once, and any later rollup unions sketches instead of rescanning
+    raw data. Sketch union is lossless for a fixed lg_k, so incrementally
+    merged estimates equal the estimate a full rescan would produce
+    (pinned in tests/test_sketch.py)."""
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, group_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Roll partial sketches up to coarser keys: union the binaries, then
+    estimate. Input volume is n_groups × sketch bytes — independent of raw
+    data size, which is the whole point."""
+    return sketches.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll_sketch"))).alias(out_col)
+    )

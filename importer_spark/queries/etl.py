@@ -336,6 +336,25 @@ def pivot_revenue(spark, sf_dir):
     return pivoted.na.fill(0.0, subset=_SEGMENTS)
 
 
+@query("incremental_distinct_sketch", catalog=False)
+def incremental_distinct_sketch(spark, sf_dir):
+    """Incremental distinct counting via mergeable HLL sketches
+    (operators/sketch.py::hll_partial_sketches): per-(event_type, day)
+    partial sketches — the state a daily load would persist — rolled up to
+    per-event_type distinct-user estimates by sketch union, never
+    rescanning events. Diagnostics (sketch values are engine-specific);
+    merge losslessness and error bounds are pinned in tests/test_sketch.py."""
+    from importer_spark.operators.sketch import hll_partial_sketches, hll_rollup_estimate
+
+    t = Tables(spark, sf_dir)
+    daily = hll_partial_sketches(
+        t.events.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return hll_rollup_estimate(daily, ["event_type"], out_col="approx_users")
+
+
 @query("approx_distinct_sketch", catalog=False)
 def approx_distinct_sketch(spark, sf_dir):
     """HLL approximate distinct + approximate quantiles per segment — the

@@ -55,3 +55,52 @@ def test_space_saving_superset_guarantee_property():
         _space_saving_update(counters, item, w, k)
     assert "hot" in counters  # 200 of 1000 > 1000/11
     assert len(counters) <= k
+
+
+def test_hll_rollup_equals_direct_sketch(spark):
+    """Sketch union is lossless at fixed lg_k: merging per-day partials must
+    give EXACTLY the estimate of sketching the whole table directly."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.sketch import hll_partial_sketches, hll_rollup_estimate
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    ev = t.events.withColumn("day", F.to_date("ts"))
+    daily = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_rollup_estimate(daily, ["event_type"], "approx_users").collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("approx_users"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_error_bound(spark):
+    """lg_k=12 → relative error ~1.6%; assert a generous 5% bound vs exact."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.sketch import hll_partial_sketches, hll_rollup_estimate
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    ev = t.events.withColumn("day", F.to_date("ts"))
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_rollup_estimate(
+            hll_partial_sketches(ev, ["event_type", "day"], "user_id"),
+            ["event_type"],
+            "approx_users",
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
