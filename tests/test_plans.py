@@ -160,6 +160,13 @@ def test_semi_join_pushes_fact_filter(spark):
         # Composed bloom+interval mart: bloom probe dies in the scan, promos
         # broadcast → the single exchange is the final agg.
         ("bloom_promo_attribution", 2),
+        # Real-codec multimodal: synthesis + decode are partition-local.
+        ("audio_wav_features", 0),
+        ("image_ppm_features", 0),
+        # counts agg + weight-sum + quota broadcast + per-domain window.
+        ("domain_mixture_sample", 4),
+        # As-of = ONE key shuffle (union-and-fill, no join operator).
+        ("asof_next_purchase", 2),
         ("doc_chunks", 0),
         ("frequent_tokens", 4),
         ("embedding_quantized_topk", 2),
