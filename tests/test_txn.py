@@ -1,0 +1,86 @@
+"""Transaction-log table format: atomic commits, snapshot isolation, time
+travel, optimistic concurrency, merge, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from importer_spark.txn import TxnTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_and_read(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    v0 = t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    v1 = t.commit_append(spark.createDataFrame([Row(id=2, x="b")]))
+    assert (v0, v1) == (0, 1)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_replace_hides_history_and_time_travel(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    t.commit_replace(spark.createDataFrame([Row(id=9, x="z")]))
+    assert _rows(t.read()) == [(9, "z")]
+    assert _rows(t.read(version=0)) == [(1, "a")]  # time travel
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a"), Row(id=2, x="b")]))
+    t.commit_merge(spark.createDataFrame([Row(id=2, x="B"), Row(id=3, x="c")]), keys=["id"])
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    snap = t.read()  # file list resolved NOW
+    t.commit_replace(spark.createDataFrame([Row(id=9, x="z")]))
+    assert _rows(snap) == [(1, "a")]  # the pinned snapshot is unchanged
+    assert _rows(t.read()) == [(9, "z")]
+
+
+def test_version_conflict_retries_on_top(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    # Simulate a racing writer that claimed version 1 with its own commit.
+    racing = {"version": 1, "action": "append", "adds": [], "removes": []}
+    with open(os.path.join(str(tmp_path / "t"), "_log", f"{1:020d}.json"), "w") as fh:
+        json.dump(racing, fh)
+    v = t.commit_append(spark.createDataFrame([Row(id=2, x="b")]))
+    assert v == 2  # lost the race for 1, retried on top
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_empty_replace_keeps_schema(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    t.commit_replace(t.read().filter("id < 0"))
+    out = t.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "x"}
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    t.commit_replace(spark.createDataFrame([Row(id=9, x="z")]))
+    deleted = t.vacuum(retain_from_version=1)
+    assert deleted  # v0's files are gone
+    assert _rows(t.read()) == [(9, "z")]  # current snapshot untouched
+    with pytest.raises(Exception):
+        t.read(version=0).collect()  # time travel below the floor is dead
+
+
+def test_read_before_any_commit_raises(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.read()
