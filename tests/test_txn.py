@@ -120,3 +120,13 @@ def test_streaming_exactly_once_through_real_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_change_data_feed(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))   # v0
+    t.commit_append(spark.createDataFrame([Row(id=2, x="b")]))   # v1
+    t.commit_append(spark.createDataFrame([Row(id=3, x="c")]))   # v2
+    assert _rows(t.read_changes(0)) == [(2, "b"), (3, "c")]      # after v0
+    assert _rows(t.read_changes(0, 1)) == [(2, "b")]             # bounded
+    assert t.read_changes(2).count() == 0                        # caught up
