@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "bloom_promo_attribution",
     "domain_mixture_sample",
     "asof_next_purchase",
+    "customer_retention_setops",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

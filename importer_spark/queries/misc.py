@@ -80,3 +80,43 @@ def order_cadence(spark, sf_dir):
             6,
         ).alias("avg_interval_days"),
     )
+
+
+_SETOPS_SQL = """
+WITH a AS (SELECT o_custkey AS cust_key FROM orders
+           WHERE EXTRACT(year FROM o_orderdate) = 1995),
+b AS (SELECT o_custkey AS cust_key FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1996)
+SELECT 'retained' AS cohort, cust_key
+FROM (SELECT cust_key FROM a INTERSECT SELECT cust_key FROM b)
+UNION ALL
+SELECT 'churned' AS cohort, cust_key
+FROM (SELECT cust_key FROM a EXCEPT SELECT cust_key FROM b)
+UNION ALL
+SELECT 'new' AS cohort, cust_key
+FROM (SELECT cust_key FROM b EXCEPT SELECT cust_key FROM a)
+"""
+
+
+@query("customer_retention_setops", oracle=_SETOPS_SQL)
+def customer_retention_setops(spark, sf_dir):
+    """Relational set operations (U-family completion): year-over-year
+    customer cohorts via INTERSECT (retained), EXCEPT (churned), and the
+    reversed EXCEPT (new). Spark's intersect/subtract compile to left-semi /
+    left-anti hash joins over distinct inputs — same one-shuffle shape as
+    any equi-join, so the cohort split scales like the joins it's made of."""
+    t = Tables(spark, sf_dir)
+
+    def year_keys(y):
+        return (
+            t.orders.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias("cust_key"))
+        )
+
+    a, b = year_keys(1995), year_keys(1996)
+    lab = lambda df, name: df.select(F.lit(name).alias("cohort"), "cust_key")  # noqa: E731
+    return (
+        lab(a.intersect(b), "retained")
+        .unionByName(lab(a.subtract(b), "churned"))
+        .unionByName(lab(b.subtract(a), "new"))
+    )
