@@ -160,16 +160,22 @@ class TxnTable:
 
     # --- read --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Snapshot read. The file list is resolved NOW (snapshot isolation:
         concurrent commits cannot change this query's rows); pass ``version``
-        for time travel."""
+        for time travel. ``merge_schema=True`` unions column sets across
+        commits (schema evolution: rows from before a column existed read it
+        as null), at the cost of a footer read per file — leave it off when
+        the schema is known stable."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
         files = [os.path.join(self.data_dir, f) for f in self._snapshot_files(v)]
         if files:
-            return self.spark.read.parquet(*files)
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*files)
         # Valid empty snapshot (e.g. replace with an empty frame): borrow the
         # schema from the most recent non-empty snapshot (pre-vacuum files).
         for prev in reversed([x for x in self._versions() if x <= v]):

@@ -130,3 +130,13 @@ def test_change_data_feed(spark, tmp_path):
     assert _rows(t.read_changes(0)) == [(2, "b"), (3, "c")]      # after v0
     assert _rows(t.read_changes(0, 1)) == [(2, "b")]             # bounded
     assert t.read_changes(2).count() == 0                        # caught up
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    t.commit_append(spark.createDataFrame([Row(id=2, x="b", y=7)]))  # new col
+    out = t.read(merge_schema=True)
+    assert set(out.columns) == {"id", "x", "y"}
+    got = {r["id"]: r["y"] for r in out.collect()}
+    assert got == {1: None, 2: 7}  # pre-evolution rows read the column as null
