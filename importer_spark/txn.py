@@ -30,9 +30,9 @@ Scale notes: commit cost is O(files touched) manifest bytes — independent of
 table size (the Delta property that makes 100 TB tables cheap to append to).
 Reads prune with normal parquet stats; the file list is explicit, so no
 directory listing happens on the hot path (object-store friendly). The
-manifest replay is O(total commits) JSON reads; production formats solve
-this with periodic checkpoints of the replayed state — the same move as
-``compact_merged_table`` and left as a documented extension.
+manifest replay starts from the newest ``checkpoint()`` at or below the
+target version — a materialized file list, the production-format move —
+so resolution is O(commits since the last checkpoint).
 """
 
 from __future__ import annotations
@@ -64,6 +64,8 @@ class TxnTable:
             int(f[: -len(".json")])
             for f in os.listdir(self.log_dir)
             if f.endswith(".json")
+            and not f.endswith(".checkpoint.json")
+            and not f.startswith("_tmp")
         )
 
     def latest_version(self) -> int | None:
@@ -74,9 +76,30 @@ class TxnTable:
         with open(os.path.join(self.log_dir, f"{version:020d}.json")) as fh:
             return json.load(fh)
 
+    def _checkpoints(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
+        )
+
     def _snapshot_files(self, version: int) -> list[str]:
+        """Replay the log up to ``version``, starting from the newest
+        checkpoint at or below it — resolution cost is O(commits since the
+        last checkpoint), not O(all commits) (the production-format move;
+        see checkpoint())."""
         live: list[str] = []
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= version]
+        if ckpts:
+            with open(
+                os.path.join(self.log_dir, f"{ckpts[-1]:020d}.checkpoint.json")
+            ) as fh:
+                live = json.load(fh)["files"]
+            start = ckpts[-1] + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > version:
                 break
             m = self._manifest(v)
@@ -84,6 +107,29 @@ class TxnTable:
             live = [f for f in live if f not in removed]
             live.extend(m.get("adds", []))
         return live
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Materialize the replayed file list at ``version`` (default
+        latest) so later reads start there. Write is atomic (link-claim);
+        an existing checkpoint at the same version is fine — the content is
+        deterministic, so the loser's work is identical."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        files = self._snapshot_files(v)
+        tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "files": files}, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # deterministic content — the existing one is identical
+        finally:
+            os.remove(tmp)
+        return v
 
     # --- write -------------------------------------------------------------
 

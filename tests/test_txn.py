@@ -140,3 +140,20 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     assert set(out.columns) == {"id", "x", "y"}
     got = {r["id"]: r["y"] for r in out.collect()}
     assert got == {1: None, 2: 7}  # pre-evolution rows read the column as null
+
+
+def test_checkpoint_replay_equivalence(spark, tmp_path):
+    """Reads through a checkpoint must equal full-log replay, including
+    commits after the checkpoint and time travel before it."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))   # v0
+    t.commit_replace(spark.createDataFrame([Row(id=2, x="b")]))  # v1
+    full_v1 = _rows(t.read(1))
+    t.checkpoint(1)
+    t.commit_append(spark.createDataFrame([Row(id=3, x="c")]))   # v2 after ckpt
+    assert _rows(t.read(1)) == full_v1                 # via checkpoint
+    assert _rows(t.read()) == [(2, "b"), (3, "c")]     # ckpt + tail replay
+    assert _rows(t.read(0)) == [(1, "a")]              # pre-ckpt time travel
+    t.checkpoint()                                      # idempotent re-claim
+    t.checkpoint()
+    assert _rows(t.read()) == [(2, "b"), (3, "c")]
