@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "domain_mixture_sample",
     "asof_next_purchase",
     "customer_retention_setops",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

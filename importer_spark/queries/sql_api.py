@@ -99,3 +99,72 @@ def order_options_kv(spark, sf_dir):
         FROM v_order_opts b, LATERAL parse_options(b.opts) p
         """
     )
+
+
+# --- classic TPC-H-shaped analytics, ONE SQL text for both engines ---------
+# The strongest portability statement the catalog makes: these strings run
+# UNCHANGED on Spark (temp views over the parquet tables) and on the DuckDB
+# oracle (driver-registered views of the same names). Decimal/date
+# conventions follow functions/core.py (exact-decimal sums cast to DOUBLE,
+# dates emitted as yyyy-MM-dd string slices).
+
+_TPCH_VIEWS = ("customer", "orders", "lineitem", "nation")
+
+
+def _register_tpch_views(t):
+    for name in _TPCH_VIEWS:
+        getattr(t, name).createOrReplaceTempView(name)
+
+
+_Q3_TEXT = """
+SELECT l_orderkey AS order_key,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue,
+  SUBSTR(CAST(o_orderdate AS STRING), 1, 10) AS order_date,
+  o_orderpriority AS order_priority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, SUBSTR(CAST(o_orderdate AS STRING), 1, 10), o_orderpriority
+"""
+
+
+@query("tpch_q3_shipping_priority", oracle=_Q3_TEXT)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (unshipped-order revenue by order): the oracle string
+    itself executes on Spark — zero translation. Catalyst broadcasts
+    customer/nation-sized dims and pushes both date predicates into the
+    scans (plan-audited family: test_plans.py)."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q3_TEXT)
+
+
+_Q10_TEXT = """
+SELECT c_custkey AS cust_key,
+  c_name AS cust_name,
+  n_name AS nation,
+  COUNT(*) AS n_return_lines,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS lost_revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+@query("tpch_q10_returned_items", oracle=_Q10_TEXT)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (revenue lost to returns per customer), same
+    one-text-two-engines contract as Q3."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q10_TEXT)
