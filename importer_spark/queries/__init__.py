@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "customer_retention_setops",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
+    "order_value_outliers",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -222,3 +222,49 @@ def key_skew_profile(spark, sf_dir):
         F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("share"),
         F.row_number().over(w).cast("int").alias("heavy_rank"),
     )
+
+
+_OUTLIER_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.25) AS q1,
+    quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey AS order_key,
+  o.o_orderpriority AS priority,
+  o.o_totalprice AS total_price,
+  q.q3 + 1.5 * (q.q3 - q.q1) AS upper_fence
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+WHERE o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@query("order_value_outliers", oracle=_OUTLIER_SQL)
+def order_value_outliers(spark, sf_dir):
+    """Per-group IQR outlier detection (the Tukey-fence data-quality screen):
+    orders above Q3 + 1.5·IQR within their priority class. Spark's exact
+    `percentile` is bit-identical to DuckDB's quantile_cont (same linear
+    interpolation), so the fence — and therefore the boundary rows — agree
+    exactly. Scale shape: the per-group quantile table is tiny and
+    broadcasts; the fact side is one scan + filter. (Exact percentile sorts
+    within groups at scale; swap percentile_approx in when a ±0.2% fence is
+    acceptable — same plan otherwise.)"""
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    q = t.orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        t.orders.join(F.broadcast(q), "o_orderpriority")
+        .filter(F.col("o_totalprice") > fence)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("total_price"),
+            fence.alias("upper_fence"),
+        )
+    )
