@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "order_value_outliers",
+    "rolling_median_value",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -308,3 +308,30 @@ def customer_spend_quartiles(spark, sf_dir):
     return ranked.select(
         "cust_key", "total_spend", ntile_col(4).alias("spend_quartile")
     )
+
+
+_ROLL_MED_SQL = """
+SELECT event_id, user_id,
+  quantile_cont(value, 0.5) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+  ) AS rolling_median_10
+FROM events
+"""
+
+
+@query("rolling_median_value", oracle=_ROLL_MED_SQL)
+def rolling_median_value(spark, sf_dir):
+    """Exact rolling median (robust smoother — the W8 rolling family with a
+    rank-based aggregate, which plain sum/avg frames can't express): median
+    of each user's last 10 event values. Spark's exact `percentile` as a
+    frame aggregate is bit-identical to DuckDB's quantile_cont (same linear
+    interpolation). One shuffle on user_id; frame is rows-bounded so state
+    per row is O(10)."""
+    t = Tables(spark, sf_dir)
+    return t.events.selectExpr(
+        "event_id",
+        "user_id",
+        "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_median_10",
+    )
