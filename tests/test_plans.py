@@ -185,6 +185,47 @@ def test_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}\n{plan}"
 
 
+def test_plan_snapshot_no_regressions(spark):
+    """Whole-catalog plan regression gate: every query's Exchange /
+    BroadcastExchange / nested-loop counts are pinned in
+    tests/plan_snapshot.json. A lost broadcast or an extra shuffle anywhere
+    in the catalog fails here with the query name — regenerate the snapshot
+    (script in the file header of plan_snapshot.json's git log) only when a
+    plan change is intentional and reviewed. New queries missing from the
+    snapshot fail too, so the gate can't silently thin out."""
+    import json
+    import os
+    import re
+
+    from importer_spark.queries import DIAGNOSTICS
+
+    with open(os.path.join(os.path.dirname(__file__), "plan_snapshot.json")) as fh:
+        baseline = json.load(fh)
+    catalog = {**QUERIES, **DIAGNOSTICS}
+    missing = sorted(set(catalog) - set(baseline))
+    assert not missing, f"queries missing from plan_snapshot.json: {missing}"
+    bad = {}
+    for name, fn in sorted(catalog.items()):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        got = {
+            "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+            "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+            "nested_loops": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
+        }
+        want = baseline[name]
+        # Regressions only: MORE exchanges/nested-loops or FEWER broadcasts.
+        if (
+            got["exchanges"] > want["exchanges"]
+            or got["nested_loops"] > want["nested_loops"]
+            or got["broadcasts"] < want["broadcasts"]
+        ):
+            bad[name] = {"want": want, "got": got}
+    assert not bad, f"plan regressions: {json.dumps(bad, indent=1)}"
+
+
 def test_no_complex_output_columns(spark):
     """Every registered query must emit only scalar top-level columns: the
     driver's order-insensitive canonicalizer sorts raw cells with pandas,
