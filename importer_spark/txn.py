@@ -204,6 +204,56 @@ class TxnTable:
             {"action": "merge", "adds": adds, "removes": self._snapshot_files(base)}
         )
 
+    def commit_delete(self, predicate) -> int:
+        """Row-level DELETE with file-granular copy-on-write (the Delta
+        model): one scan finds the data files that contain matching rows;
+        ONLY those files are rewritten without their matches — untouched
+        files carry over by reference, so delete cost scales with files hit,
+        not table size. ``predicate`` is a Column or SQL string."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        live = self._snapshot_files(base)
+        snap = self.read(base)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit_paths = {
+            os.path.basename(r["_f"])
+            for r in snap.withColumn("_f", F.input_file_name())
+            .filter(cond)
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+        if not hit_paths:
+            return base  # no-op: nothing matched, no new version needed
+        hit_full = [os.path.join(self.data_dir, f) for f in sorted(hit_paths)]
+        survivors = self.spark.read.parquet(*hit_full).filter(~cond)
+        hint = base + 1
+        adds = self._write_data_files(survivors, hint)
+        return self._publish(
+            {
+                "action": "delete",
+                "adds": adds,
+                "removes": sorted(f for f in live if f in hit_paths),
+            }
+        )
+
+    def commit_compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files — the
+        small-file compaction every streaming-append table eventually needs.
+        Readers on older versions are untouched (their files stay until
+        vacuum); the new snapshot is byte-equal row-wise."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        compacted = self.read(base).coalesce(target_files)
+        adds = self._write_data_files(compacted, base + 1)
+        return self._publish(
+            {"action": "compact", "adds": adds, "removes": self._snapshot_files(base)}
+        )
+
     # --- read --------------------------------------------------------------
 
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:

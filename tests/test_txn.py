@@ -157,3 +157,35 @@ def test_checkpoint_replay_equivalence(spark, tmp_path):
     t.checkpoint()                                      # idempotent re-claim
     t.checkpoint()
     assert _rows(t.read()) == [(2, "b"), (3, "c")]
+
+
+def test_delete_rewrites_only_hit_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a"), Row(id=2, x="b")]))  # file A
+    t.commit_append(spark.createDataFrame([Row(id=10, x="z")]))                   # file B
+    before = set(t._snapshot_files(t.latest_version()))
+    t.commit_delete("id = 2")
+    after = set(t._snapshot_files(t.latest_version()))
+    assert _rows(t.read()) == [(1, "a"), (10, "z")]
+    # file B (no matches) carried over BY REFERENCE; file A was rewritten
+    assert before & after, "untouched file should survive by reference"
+    assert before != after
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    v = t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    assert t.commit_delete("id = 99") == v  # no new version
+    assert _rows(t.read()) == [(1, "a")]
+
+
+def test_compaction_preserves_rows_and_history(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit_append(spark.createDataFrame([Row(id=i, x=str(i))]))
+    rows_before = _rows(t.read())
+    n_files_before = len(t._snapshot_files(t.latest_version()))
+    v = t.commit_compact(target_files=1)
+    assert _rows(t.read()) == rows_before
+    assert len(t._snapshot_files(v)) < n_files_before
+    assert _rows(t.read(version=1)) == rows_before[:2]  # time travel intact
