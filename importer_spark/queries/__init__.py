@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "tpch_q10_returned_items",
     "order_value_outliers",
     "rolling_median_value",
+    "cumulative_distinct_types",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -335,3 +335,41 @@ def rolling_median_value(spark, sf_dir):
         "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_median_10",
     )
+
+
+_CUMDIST_SQL = """
+SELECT event_id, user_id,
+  COUNT(DISTINCT event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS distinct_types_so_far
+FROM events
+"""
+
+
+@query("cumulative_distinct_types", oracle=_CUMDIST_SQL)
+def cumulative_distinct_types(spark, sf_dir):
+    """Running COUNT(DISTINCT) per user — a window Spark does NOT support
+    natively (DISTINCT aggregates are rejected in window frames). Rewrite:
+    flag each (user, type)'s FIRST occurrence with a row_number window,
+    then a cumulative sum of flags. Left alone, Catalyst shuffles twice
+    (hash(user, type) then hash(user)); the explicit user_id repartition
+    satisfies BOTH windows' clustering requirements (same-key rows stay
+    co-located under the coarser hash), so the plan is ONE shuffle + two
+    in-partition sorts — plan-pinned. The oracle runs DuckDB's native
+    distinct window, proving the rewrite equivalent."""
+    t = Tables(spark, sf_dir)
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = t.events.repartition("user_id").withColumn(
+        "_first", (F.row_number().over(first_w) == 1).cast("bigint")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("_first").over(cum_w).alias("distinct_types_so_far"),
+    )

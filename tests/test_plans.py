@@ -167,6 +167,9 @@ def test_semi_join_pushes_fact_filter(spark):
         ("domain_mixture_sample", 4),
         # As-of = ONE key shuffle (union-and-fill, no join operator).
         ("asof_next_purchase", 2),
+        # Distinct-count rewrite: explicit user_id repartition serves BOTH
+        # stacked windows (coarser hash satisfies the finer clustering).
+        ("cumulative_distinct_types", 1),
         ("doc_chunks", 0),
         ("frequent_tokens", 4),
         ("embedding_quantized_topk", 2),
