@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "order_value_outliers",
     "rolling_median_value",
     "cumulative_distinct_types",
+    "user_activity_streaks",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -373,3 +373,52 @@ def cumulative_distinct_types(spark, sf_dir):
         "user_id",
         F.sum("_first").over(cum_w).alias("distinct_types_so_far"),
     )
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+),
+islands AS (
+  SELECT user_id, day_num,
+    day_num - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_num)
+      AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS streak_days
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+  CAST(MAX(streak_days) AS BIGINT) AS longest_streak_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
+@query("user_activity_streaks", oracle=_STREAK_SQL)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands (the dual of user_event_gaps): longest run of
+    CONSECUTIVE active days per user. day_num − row_number(day_num) is
+    constant exactly within a consecutive run — the classic islands key —
+    then two cheap aggs. One user_id shuffle serves the distinct, the
+    window, and both aggregations (all key-compatible)."""
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    runs = islands.groupBy("user_id", "island").agg(F.count("*").alias("streak_days"))
+    return runs.groupBy("user_id").agg(
+        F.max("streak_days").cast("bigint").alias("longest_streak_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
