@@ -1,0 +1,37 @@
+"""CLI entry point (python -m importer_spark)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from importer_spark.__main__ import main
+
+
+def test_cli_list():
+    buf = io.StringIO()
+    assert main(["list"], out=buf) == 0
+    lines = buf.getvalue().splitlines()
+    assert "pricing_summary" in lines
+    assert any(line.startswith("kmeans_embeddings") and "[diagnostics]" in line for line in lines)
+
+
+def test_cli_oracle():
+    buf = io.StringIO()
+    assert main(["oracle", "pricing_summary"], out=buf) == 0
+    assert "SELECT" in buf.getvalue().upper()
+
+
+def test_cli_unknown_query():
+    assert main(["run", "nope"], out=io.StringIO()) == 2
+
+
+def test_cli_run_and_explain(spark):
+    # Reuses the test session via getOrCreate inside get_spark.
+    buf = io.StringIO()
+    assert main(["run", "doc_length_histogram", "--limit", "3"], out=buf) == 0
+    rows = [json.loads(line) for line in buf.getvalue().splitlines()]
+    assert rows and all("bucket" in r or r for r in rows)
+    buf = io.StringIO()
+    assert main(["explain", "pricing_summary"], out=buf) == 0
+    assert "Exchange" in buf.getvalue() or "Scan" in buf.getvalue()
