@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "rolling_median_value",
     "cumulative_distinct_types",
     "user_activity_streaks",
+    "sliding_window_counts",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -169,3 +169,28 @@ def stream_stream_view_purchase(
         "view_ts",
         "purchase_value",
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window counts per event_type: each event lands in
+    window/slide overlapping windows (F.window's third argument). Same
+    batch/stream duality as windowed_event_counts."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            out_double(F.sum(dec(F.col("value")))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

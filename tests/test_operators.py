@@ -104,6 +104,31 @@ def test_streaming_batch_equivalence(spark, tmp_path):
     assert b == s and len(b) > 0
 
 
+def test_sliding_window_streaming_batch_equivalence(spark, tmp_path):
+    """Sliding (hopping) windows: batch and availableNow-stream agree."""
+    from importer_spark.io import Tables
+    from importer_spark.streaming.incremental import sliding_window_counts
+
+    events = Tables(spark, SF_DIR).events
+    staged = str(tmp_path / "events_stream")
+    events.write.parquet(staged)
+    batch = sliding_window_counts(spark.read.parquet(staged))
+    stream = sliding_window_counts(
+        stream_events(spark, staged, events.schema), watermark="30 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in spark.sql("SELECT * FROM slide_counts").collect()}
+    assert b == s and len(b) > 0
+
+
 def test_ann_recall_vs_bruteforce(spark):
     """Multi-probe LSH recall@5 against brute force on sf0.001. These
     embeddings are near-uniform (brute-force neighbors share the probe's
