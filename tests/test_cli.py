@@ -35,3 +35,17 @@ def test_cli_run_and_explain(spark):
     buf = io.StringIO()
     assert main(["explain", "pricing_summary"], out=buf) == 0
     assert "Exchange" in buf.getvalue() or "Scan" in buf.getvalue()
+
+
+def test_query_docs_in_sync():
+    """QUERIES.md must list every registered query (regenerate with
+    tools/gen_query_docs.py when adding one)."""
+    import os
+
+    from importer_spark.queries import DIAGNOSTICS, QUERIES
+
+    path = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    with open(path) as fh:
+        doc = fh.read()
+    missing = [n for n in list(QUERIES) + list(DIAGNOSTICS) if f"`{n}`" not in doc]
+    assert not missing, f"regenerate QUERIES.md: missing {missing}"
