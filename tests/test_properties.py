@@ -114,3 +114,81 @@ def test_complete_group_frames_invariants(data, cuts):
         assert cat.values.tolist() == df.values.tolist()
     else:
         assert len(df) == 0
+
+
+# --- asof_join vs pandas merge_asof (the canonical reference implementation)
+
+_ASOF_TS = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lts=_ASOF_TS,
+    rts=_ASOF_TS,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from importer_spark.operators import asof_join
+
+    # Distinct right timestamps: at equal instants pandas keeps the last
+    # input row while our operator resolves ties by value order — both
+    # valid conventions; dedup isolates the as-of semantics under test.
+    rts = sorted(set(rts))
+    left = spark.createDataFrame([(1, i, t) for i, t in enumerate(lts)], "k long, lid long, lts long")
+    right = spark.createDataFrame([(1, t, t * 10) for t in rts], "k long, rts long, val long")
+    got = {
+        r["lid"]: r["val_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_value_cols=["val"], direction=direction,
+            tolerance=F.lit(tol) if tol is not None else None,
+        ).collect()
+    }
+    lp = pd.DataFrame({"k": 1, "lid": range(len(lts)), "lts": lts}).sort_values("lts", kind="stable")
+    rp = pd.DataFrame({"k": 1, "rts": rts, "val": [t * 10 for t in rts]}).sort_values("rts")
+    merged = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k",
+        direction=direction, tolerance=tol,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+# --- interval_join vs brute force -----------------------------------------
+
+_IVS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(-5, 20)), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=st.lists(st.integers(0, 45), min_size=0, max_size=15), ivs=_IVS)
+def test_interval_join_matches_brute_force(spark, points, ivs):
+    from importer_spark.operators.intervals import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)], "iid long, s long, e long"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, intervals, point_col="p", start_col="s", end_col="e", bin_width=7
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= p < s + ln
+    }
+    assert got == want
