@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "cumulative_distinct_types",
     "user_activity_streaks",
     "sliding_window_counts",
+    "cluster_balanced_sample",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

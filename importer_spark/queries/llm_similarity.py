@@ -431,3 +431,71 @@ def embedding_pq_topk(spark, sf_dir):
             F.round("adist", 6).alias("adist"),
         )
     )
+
+
+# --- cluster-balanced (semantic-diversity) sampling ------------------------
+CB_CAP = 40  # max vectors kept per cell
+
+
+def _cluster_balanced_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cemb FROM e WHERE vec_id % {N_LIST_STRIDE} = 0),
+nearest AS (
+  SELECT e.vec_id, cent.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.emb, cent.cemb) DESC, cent.cell_id) AS rn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cell_id FROM nearest WHERE rn = 1),
+sized AS (
+  SELECT vec_id, cell_id, COUNT(*) OVER (PARTITION BY cell_id) AS cell_n
+  FROM assign
+),
+ranked AS (
+  SELECT vec_id, cell_id, cell_n,
+    ROW_NUMBER() OVER (PARTITION BY cell_id
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hr
+  FROM sized
+)
+SELECT vec_id, cell_id, cell_n FROM ranked WHERE hr <= {CB_CAP}
+"""
+
+
+@query("cluster_balanced_sample", oracle=_cluster_balanced_sql())
+def cluster_balanced_sample(spark, sf_dir):
+    """Semantic-diversity sampling (the embedding-space twin of
+    language_capped_sample): assign every vector to its nearest coarse
+    cell, then cap each cell at CB_CAP via the reproducible md5 hash gate —
+    over-represented semantic regions are down-sampled, sparse regions keep
+    everything. Deterministic strided-seed cells keep the oracle exact (the
+    kmeans-trained quantizer drops in via kmeans_fit for production, same
+    plan). Scale shape: one matmul assignment pass (no shuffle), one
+    per-cell window — the capped cells are exactly the skewed ones, same
+    two-phase top-K escape hatch as the language cap if a cell dominates."""
+    from importer_spark.operators.clustering import nearest_cells_cosine
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    cent_rows = (
+        e.filter(F.col("vec_id") % N_LIST_STRIDE == 0).orderBy("vec_id").collect()
+    )
+    assign = nearest_cells_cosine(
+        e, "vec_id", "emb",
+        [r["vec_id"] for r in cent_rows],
+        [list(r["emb"]) for r in cent_rows],
+        n_best=1,
+    ).select("vec_id", "cell_id")
+    sized = assign.withColumn(
+        "cell_n", F.count("*").over(Window.partitionBy("cell_id"))
+    )
+    hr = F.row_number().over(
+        Window.partitionBy("cell_id").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+    )
+    return (
+        sized.withColumn("hr", hr)
+        .filter(F.col("hr") <= CB_CAP)
+        .select("vec_id", "cell_id", "cell_n")
+    )
