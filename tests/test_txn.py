@@ -189,3 +189,30 @@ def test_compaction_preserves_rows_and_history(spark, tmp_path):
     assert _rows(t.read()) == rows_before
     assert len(t._snapshot_files(v)) < n_files_before
     assert _rows(t.read(version=1)) == rows_before[:2]  # time travel intact
+
+
+def test_full_lifecycle_integration(spark, tmp_path):
+    """The whole table lifecycle in order: streamed appends -> merge ->
+    file-granular delete -> compaction -> checkpoint -> vacuum — every
+    stage preserving exactly the expected rows."""
+    from importer_spark.streaming.txn_sink import exactly_once_append
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    write = exactly_once_append(t, "life")
+    write(spark.createDataFrame([Row(id=1, x="a"), Row(id=2, x="b")]), 0)
+    write(spark.createDataFrame([Row(id=3, x="c")]), 1)
+    write(spark.createDataFrame([Row(id=3, x="c")]), 1)  # replay no-op
+    t.commit_merge(spark.createDataFrame([Row(id=2, x="B"), Row(id=4, x="d")]), keys=["id"])
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    t.commit_delete("id = 3")
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (4, "d")]
+    v = t.commit_compact(target_files=1)
+    assert len(t._snapshot_files(v)) == 1
+    t.checkpoint()
+    floor = t.latest_version()
+    deleted = t.vacuum(retain_from_version=floor)
+    assert deleted  # pre-compaction files physically gone
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (4, "d")]
+    # appends still work on the vacuumed, checkpointed table
+    t.commit_append(spark.createDataFrame([Row(id=9, x="z")]))
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (4, "d"), (9, "z")]
