@@ -114,6 +114,37 @@ class Tables:
                 self.spark.conf.set(conf_key, prev)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Typed CSV scan with dlt-style bad-row capture: rows that fail the
+    declared schema don't kill the load (FAILFAST) and don't silently
+    null-out (plain PERMISSIVE) — they come back as a second frame carrying
+    the raw line for quarantine/repair. Returns (good, rejects).
+
+    Implementation is PERMISSIVE + columnNameOfCorruptRecord: one scan
+    feeds both outputs, and the split predicate is a null-check on the
+    corrupt column, so at scale this is a single pass with no shuffle.
+    (Spark requires the corrupt column to be cached/materialized before
+    filtering on it alone — the .cache() below is on the raw scan, bounded
+    by the input split, released by the caller's first action lifecycle.)
+    """
+    corrupt = "_corrupt_record"
+    raw = (
+        spark.read.schema(f"{schema}, {corrupt} STRING")
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    rejects = raw.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, rejects
+
+
 def read_jsonl(spark: SparkSession, path: str, blank_nulls: bool = True) -> DataFrame:
     """JSONL scan (reference S4/S5: pipelines/quickbooks/pipeline.py:374-456):
     schema-inferred line-delimited JSON; optionally null→'' on string columns

@@ -376,3 +376,39 @@ def test_extract_path_subset():
 
     with _pytest.raises(ValueError, match="unsupported JSONPath"):
         extract_path(data, "a.b[foo].c")
+
+
+def test_read_csv_with_rejects(spark, tmp_path):
+    """Typed rows parse; malformed rows land in the reject frame with the
+    raw line preserved (dlt bad-record behavior, not FAILFAST/not silent)."""
+    from importer_spark.io import read_csv_with_rejects
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,amount,day\n"
+        "1,10.5,2024-01-02\n"
+        "2,notanumber,2024-01-03\n"
+        "3,7.25,2024-01-04\n"
+    )
+    good, rejects = read_csv_with_rejects(
+        spark, str(p), "id INT, amount DOUBLE, day DATE"
+    )
+    assert sorted((r.id, r.amount) for r in good.collect()) == [(1, 10.5), (3, 7.25)]
+    rej = [r.raw_line for r in rejects.collect()]
+    assert rej == ["2,notanumber,2024-01-03"]
+
+
+def test_read_csv_with_rejects_gzip(spark, tmp_path):
+    """Compressed inputs read transparently (the .gz drop-zone case)."""
+    import gzip
+
+    from importer_spark.io import read_csv_with_rejects
+
+    p = tmp_path / "in.csv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("id,amount,day\n1,2.5,2024-05-06\nbad,row,x\n")
+    good, rejects = read_csv_with_rejects(
+        spark, str(p), "id INT, amount DOUBLE, day DATE"
+    )
+    assert [(r.id, r.amount) for r in good.collect()] == [(1, 2.5)]
+    assert rejects.count() == 1
