@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "user_activity_streaks",
     "sliding_window_counts",
     "cluster_balanced_sample",
+    "metric_layer_summary",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -120,3 +120,49 @@ def customer_retention_setops(spark, sf_dir):
         .unionByName(lab(a.subtract(b), "churned"))
         .unionByName(lab(b.subtract(a), "new"))
     )
+
+
+_METRIC_SQL = """
+SELECT c_mktsegment AS segment,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_orders,
+  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS DOUBLE)
+    / NULLIF(CAST(COUNT(*) AS DOUBLE), 0) AS urgent_share
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("metric_layer_summary", oracle=_METRIC_SQL)
+def metric_layer_summary(spark, sf_dir):
+    """Semantic metric layer (importer_spark/metrics.py): five metrics —
+    plain, distinct, exact-decimal sum, condition-gated count, and a ratio —
+    declared once and compiled into ONE single-scan aggregation (the
+    conditional-agg shape, never one scan per metric). The reference's
+    marts restate these measures per model; here any (metrics × dims)
+    request shares the definitions and the plan."""
+    from importer_spark.metrics import Metric, compile_metrics
+
+    t = Tables(spark, sf_dir)
+    fact = t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+    out = compile_metrics(
+        fact,
+        metrics=[
+            Metric("n_orders", "count"),
+            Metric("n_customers", "count_distinct", "o_custkey"),
+            Metric("revenue", "sum", "CAST(o_totalprice AS DECIMAL(18,2))"),
+            Metric("urgent_orders", "count", where="o_orderpriority = '1-URGENT'"),
+            Metric("urgent_share", "ratio", num="urgent_orders", den="n_orders"),
+        ],
+        dimensions=["c_mktsegment"],
+    )
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_orders",
+        "n_customers",
+        F.col("revenue").cast("double").alias("revenue"),
+        "urgent_orders",
+        "urgent_share",
+    )
