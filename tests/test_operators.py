@@ -596,3 +596,46 @@ def test_winnowing_guarantee_on_near_dups(spark):
     for d, fpset in ref_sets.items():
         want = hashlib.md5(",".join(sorted(fpset)).encode()).hexdigest()
         assert fps.fp_digest[d] == want, d
+
+
+def test_session_window_streaming_batch_equivalence(spark, tmp_path):
+    """F.session_window sessions: batch and availableNow-stream agree (the
+    docstring's 'streaming-ready' claim, proven)."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.functions import dec, out_double
+    from importer_spark.io import Tables
+
+    def sessions(df, watermark=None):
+        src = df.withWatermark("ts", watermark) if watermark else df
+        return (
+            src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                out_double(F.sum(dec(F.col("value")))).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+                F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    events = Tables(spark, SF_DIR).events
+    staged = str(tmp_path / "events_sessions")
+    events.write.parquet(staged)
+    batch = sessions(spark.read.parquet(staged))
+    q = (
+        sessions(stream_events(spark, staged, events.schema), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in spark.sql("SELECT * FROM sess_native").collect()}
+    assert b == s and len(b) > 0
