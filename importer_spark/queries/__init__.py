@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "sliding_window_counts",
     "cluster_balanced_sample",
     "metric_layer_summary",
+    "user_funnel_stages",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

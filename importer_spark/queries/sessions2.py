@@ -6,6 +6,7 @@ grouped-pandas surfaces (SURVEY §2.9; BASELINE.json sessionization).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from importer_spark.functions import dec, out_double
@@ -167,4 +168,86 @@ def user_event_gaps_streamed(spark, sf_dir):
     )
     return ev.mapInPandas(
         gaps, schema="user_id bigint, event_id bigint, seq int, gap_us bigint"
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY 1
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+  CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+       WHEN c.click_ts IS NOT NULL THEN 2
+       ELSE 1 END AS funnel_stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("user_funnel_stages", oracle=_FUNNEL_SQL)
+def user_funnel_stages(spark, sf_dir):
+    """Ordered funnel (view -> click-after-view -> purchase-after-click)
+    per user: stage timestamps are conditional mins evaluated as THREE
+    STACKED window aggregates over the same user_id partitioning — one
+    shuffle total, no per-stage self-joins (the oracle's 3-CTE join chain
+    shows the shape this replaces; at 100 TB that's 3 event-table scans vs
+    1) and no per-user array materialization, so a power user with millions
+    of events costs sort time, not memory. Conditional mins nest: a click
+    counts only at/after the first view, a purchase only at/after that
+    click."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    e = t.events.select("user_id", "event_type", "ts")
+    staged = (
+        e.withColumn(
+            "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("view_ts").isNotNull())
+        .select("user_id", "view_ts", "click_ts", "purchase_ts")
+        .distinct()
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
     )

@@ -170,6 +170,8 @@ def test_semi_join_pushes_fact_filter(spark):
         # Distinct-count rewrite: explicit user_id repartition serves BOTH
         # stacked windows (coarser hash satisfies the finer clustering).
         ("cumulative_distinct_types", 1),
+        # Funnel: 3 stacked conditional-min windows, same user partitioning.
+        ("user_funnel_stages", 2),
         ("doc_chunks", 0),
         ("frequent_tokens", 4),
         ("embedding_quantized_topk", 2),
