@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "cluster_balanced_sample",
     "metric_layer_summary",
     "user_funnel_stages",
+    "daily_revenue_anomalies",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

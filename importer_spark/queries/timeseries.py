@@ -165,3 +165,64 @@ def revenue_share(spark, sf_dir):
             out_double(F.col("rev")) / F.sum("rev").over(w).cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+_ANOM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_d
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, rev_d,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(rev_d) OVER w AS DOUBLE) AS s1,
+    CAST(SUM(CAST(rev_d * rev_d AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT SUBSTR(CAST(day AS STRING), 1, 10) AS day,
+  CAST(rev_d AS DOUBLE) AS revenue,
+  ROUND((CAST(rev_d AS DOUBLE) - s1 / n)
+    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+FROM win
+WHERE n = 30 AND (s2 - s1 * s1 / n) > 0
+"""
+
+
+@query("daily_revenue_anomalies", oracle=_ANOM_SQL)
+def daily_revenue_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly screen over daily revenue (trailing 30 full
+    days). The determinism trick: the window carries EXACT DECIMAL power
+    sums (Σx, Σx² — decimal addition is associative, so DuckDB's
+    segment-tree window accumulation and Spark's sequential frame
+    accumulation cannot round differently), and the float mean/variance
+    derive from those two scalars; the only engine divergence left is the
+    final decimal→double cast (1 ulp), absorbed by the house 6-digit
+    rounding convention. The global window runs over the tiny
+    post-aggregation day series, never raw orders."""
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("rev_d"))
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    win = daily.select(
+        "day",
+        "rev_d",
+        F.count("*").over(w).alias("n"),
+        F.sum("rev_d").over(w).cast("double").alias("s1"),
+        F.sum((F.col("rev_d") * F.col("rev_d")).cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    return win.filter((F.col("n") == 30) & (var_num > 0)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_d").cast("double") - F.col("s1") / F.col("n"))
+            / F.sqrt(var_num / (F.col("n") - 1)),
+            6,
+        ).alias("zscore"),
+    )
