@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "metric_layer_summary",
     "user_funnel_stages",
     "daily_revenue_anomalies",
+    "cohort_retention_matrix",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

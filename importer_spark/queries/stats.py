@@ -97,3 +97,47 @@ def lineitem_stats_by_flag(spark, sf_dir):
             for name, expr in _FORMULAS.items()
         ],
     )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS act_month
+  FROM orders
+)
+SELECT strftime(f.cohort_month, '%Y-%m') AS cohort_month,
+  CAST(date_diff('month', f.cohort_month, a.act_month) AS INTEGER) AS months_since,
+  COUNT(*) AS active_customers
+FROM firsts f JOIN activity a USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention_matrix", oracle=_COHORT_SQL)
+def cohort_retention_matrix(spark, sf_dir):
+    """Cohort retention: customers bucketed by first-order month, counted in
+    every month they were active, keyed (cohort, months-since) — the classic
+    retention triangle. Two aggs + one equi-join on custkey; both sides are
+    per-customer reductions, so the join input is |customers|, never raw
+    orders. months_between on month-truncated dates is integral by
+    construction (cast int, no float fuzz)."""
+    t = Tables(spark, sf_dir)
+    firsts = t.orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    activity = t.orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("act_month")
+    ).distinct()
+    return (
+        firsts.join(activity, "o_custkey")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            F.months_between(F.col("act_month"), F.col("cohort_month"))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(F.count("*").alias("active_customers"))
+    )
