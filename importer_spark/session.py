@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_CONF = {
+    # local[N] runs every task inside the driver JVM, so the driver must be
+    # sized like an executor: the 1g JVM default OOMs ~6M-row hash
+    # aggregations at 32 threads (found by the 10x scaling run, PERF.md).
+    # Effective only when this session launches the JVM; harmless after.
+    "spark.driver.memory": "16g",
     # Adaptive execution: runtime re-planning, partition coalescing, skew-join
     # splitting. At 100 TB this is what absorbs hot keys (SURVEY §2.4 J11).
     "spark.sql.adaptive.enabled": "true",

@@ -1,0 +1,71 @@
+"""Derive a ~10× dataset from the driver's sf0.1 tables for SCALING
+measurements (PERF.md): union K key-offset copies of each table, keeping
+every foreign key consistent (copy i offsets all *key/id columns by
+i × stride). Output is multi-file parquet, so scans parallelize like real
+warehouse data (the shipped sf0.1 files are single-row-group → single-task
+scans; see PERF.md round 3).
+
+This data is for performance experiments only — correctness gates always
+run on the driver's own testdata.
+
+Usage: python tools/make_scaled_data.py [K] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STRIDE = 10_000_000  # far above any sf0.1 key
+
+# Columns to offset per table (join keys stay consistent across tables).
+KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from importer_spark.session import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
+    src = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="make-scaled", master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    for table, keys in KEY_COLS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        if keys and k > 1:
+            copies = []
+            for i in range(k):
+                c = df
+                for col in keys:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
+                copies.append(c)
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+            n_files = 16
+        else:
+            scaled = df  # dims without keys stay as-is (joins still match)
+            n_files = 1
+        scaled.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
+        print(f"{table}: x{k if keys else 1} -> {out}/{table}.parquet")
+
+
+if __name__ == "__main__":
+    main()
