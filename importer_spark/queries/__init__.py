@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "user_funnel_stages",
     "daily_revenue_anomalies",
     "cohort_retention_matrix",
+    "training_order_manifest",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -474,3 +474,53 @@ def domain_mixture_sample(spark, sf_dir):
     return ranked.filter(F.col("rn") <= F.col("domain_target")).select(
         "doc_id", "source", "domain_docs", "domain_target"
     )
+
+
+_ORDER_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wt FROM counts),
+s AS (SELECT SUM(wt) AS total_wt FROM w),
+t AS (
+  SELECT source, n, CAST(LEAST(({_MIX_TOTAL} * wt) // s.total_wt, n) AS BIGINT) AS domain_target
+  FROM w, s
+),
+ranked AS (
+  SELECT d.doc_id, d.source, t.domain_target,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d JOIN t USING (source)
+),
+sampled AS (SELECT doc_id, source, rn FROM ranked WHERE rn <= domain_target)
+SELECT doc_id, source,
+  CAST(ROW_NUMBER() OVER (ORDER BY rn, source) AS BIGINT) AS train_pos
+FROM sampled
+"""
+
+
+@query("training_order_manifest", oracle=_ORDER_SQL)
+def training_order_manifest(spark, sf_dir):
+    """Deterministic training-order manifest over the mixture sample:
+    round-robin interleave of domains (sort by per-domain sequence, then
+    domain) so no contiguous run of one domain appears in the training
+    stream — the data-ordering step after mixture sampling, reproducible
+    across retries because every key is a hash rank, not a shuffle. The
+    global position window runs over the SAMPLED rows only (quota-bounded,
+    tiny); at larger sample sizes the distributed-rank operator
+    (operators/ranks.py) swaps in for the final window unchanged."""
+    sampled = domain_mixture_sample(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    seq = sampled.withColumn("rn", rn)
+    return seq.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.orderBy("rn", "source"))
+        .cast("bigint")
+        .alias("train_pos"),
+    )
