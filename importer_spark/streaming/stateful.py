@@ -95,3 +95,56 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n bigint"
+
+
+def _update_sessions(gap_seconds: int):
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        rows = pd.concat(list(pdf_iter))
+        # Micro-batch order within a group is not ts-ordered; sort locally
+        # (single user's batch slice — bounded by the batch, not the stream).
+        for ts in sorted(int(t.value) // 1000 for t in pd.to_datetime(rows["ts"])):
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_seconds * 1_000_000:
+                closed.append((start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        out = pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+        yield out
+
+    return update
+
+
+def stateful_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer: per-user session state carries across
+    micro-batches, and a session is EMITTED when a later event arrives more
+    than ``gap_seconds`` after it ended — deterministic emission on data,
+    not on processing-time timeouts (still-open sessions remain in state;
+    add an EventTimeTimeout flush for production finalization). The
+    cross-batch twin of the batch `sessionization` query: a session split
+    across batch boundaries comes out whole."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions(gap_seconds),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

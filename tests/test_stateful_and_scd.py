@@ -189,3 +189,49 @@ def test_seed_then_incremental_orchestration(spark, tmp_path):
     assert final == {1: "a", 2: "b2", 3: "c"}
     with pytest.raises(ValueError):
         run_source_load(spark, v1, wh, keys=["id"], cursor_col="updated_at", mode="bogus")
+
+
+def test_stateful_sessions_stitch_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must come out WHOLE when a
+    later out-of-gap event closes it — per-user state carries the open
+    session across batch boundaries (maxFilesPerTrigger=1 forces the
+    split)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from importer_spark.streaming.stateful import stateful_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, minutes):
+        return Row(user_id=uid, ts=t0 + dt.timedelta(minutes=minutes))
+
+    batch1 = [ev(1, 0), ev(1, 10)]              # session A opens
+    batch2 = [ev(1, 20), ev(1, 120), ev(2, 0)]  # A continues, then closes at +120
+    src = tmp_path / "stream"
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(str(src / "b2"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_sessions(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_sessions").collect()
+    # Exactly one CLOSED session: user 1's A = [t0, t0+20min], 3 events —
+    # stitched across the two batches. (The +120 session and user 2's stay
+    # open in state.)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 3
+    assert r.session_start == t0 and r.session_end == t0 + dt.timedelta(minutes=20)
