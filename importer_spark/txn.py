@@ -263,9 +263,14 @@ class TxnTable:
         commits (schema evolution: rows from before a column existed read it
         as null), at the cost of a footer read per file — leave it off when
         the schema is known stable."""
-        v = self.latest_version() if version is None else version
-        if v is None:
+        latest = self.latest_version()
+        if latest is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
+        v = latest if version is None else version
+        if version is not None and v not in self._versions():
+            # Replaying past a missing version would silently return some
+            # OTHER snapshot — surface it instead.
+            raise ValueError(f"version {v} does not exist (latest is {latest})")
         files = [os.path.join(self.data_dir, f) for f in self._snapshot_files(v)]
         if files:
             reader = self.spark.read
@@ -311,6 +316,14 @@ class TxnTable:
         """Delete data files not referenced by ANY snapshot >=
         ``retain_from_version`` (older time travel stops working, reads at or
         after the floor are untouched). Returns deleted file names."""
+        latest = self.latest_version()
+        if latest is None or retain_from_version > latest:
+            # A floor above the newest commit would retain NOTHING and
+            # delete the live snapshot's files — refuse.
+            raise ValueError(
+                f"retain_from_version {retain_from_version} exceeds latest "
+                f"version {latest}; nothing would be retained"
+            )
         keep: set[str] = set()
         for v in self._versions():
             if v >= retain_from_version:

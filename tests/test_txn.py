@@ -216,3 +216,18 @@ def test_full_lifecycle_integration(spark, tmp_path):
     # appends still work on the vacuumed, checkpointed table
     t.commit_append(spark.createDataFrame([Row(id=9, x="z")]))
     assert _rows(t.read()) == [(1, "a"), (2, "B"), (4, "d"), (9, "z")]
+
+
+def test_read_nonexistent_version_raises(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(version=7)
+
+
+def test_vacuum_floor_above_latest_refuses(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a")]))
+    with pytest.raises(ValueError, match="exceeds latest"):
+        t.vacuum(retain_from_version=99)
+    assert _rows(t.read()) == [(1, "a")]  # nothing was deleted
