@@ -185,19 +185,81 @@ class TxnTable:
         removes = self._snapshot_files(base) if base is not None else []
         return self._publish({"action": "replace", "adds": adds, "removes": removes})
 
-    def commit_merge(self, source: DataFrame, keys: list[str]) -> int:
-        """Upsert by key: current snapshot rows whose key matches a source
-        row are replaced; unmatched rows survive; new keys append. This
-        simple form rewrites the whole snapshot through the log (correct,
-        atomic); the bucket-pruned rewrite in io.merge_by_key is the
-        targeted-IO variant and composes by committing only changed
+    def commit_merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        version_col: str | None = None,
+        delete_col: str | None = None,
+    ) -> int:
+        """Upsert by key — the CDC changelog-apply form:
+
+        - plain: matched target rows are replaced, unmatched survive, new
+          keys append (source wins).
+        - ``version_col``: a matched target row survives if its version is
+          NEWER than the source row's (late-arriving changelog entries
+          cannot regress state — WHEN MATCHED AND s.v >= t.v THEN UPDATE).
+        - ``delete_col``: source rows with this boolean column true DELETE
+          their key instead of upserting (the changelog tombstone;
+          the column is dropped from stored rows).
+
+        This simple form rewrites the whole snapshot through the log
+        (correct, atomic); the bucket-pruned rewrite in io.merge_by_key is
+        the targeted-IO variant and composes by committing only changed
         buckets' files."""
+        from pyspark.sql import functions as F
+
         base = self.latest_version()
         if base is None:
-            return self.commit_append(source)
+            upserts = source
+            if delete_col is not None:
+                upserts = upserts.filter(~F.col(delete_col)).drop(delete_col)
+            return self.commit_append(upserts)
         current = self.read(base)
-        survivors = current.join(source.select(*keys).distinct(), keys, "left_anti")
-        merged = survivors.unionByName(source)
+        upserts = source
+        if delete_col is not None:
+            upserts = upserts.filter(~F.col(delete_col)).drop(delete_col)
+        if version_col is None:
+            survivors = current.join(source.select(*keys).distinct(), keys, "left_anti")
+        else:
+            # A target row survives if no source row for its key has an
+            # equal-or-newer version (deletes always win at any version).
+            beats = source.groupBy(*keys).agg(
+                F.max(version_col).alias("_src_ver"),
+                *( [F.max(F.col(delete_col).cast("int")).alias("_src_del")]
+                   if delete_col is not None else [] ),
+            )
+            joined = current.join(F.broadcast(beats), keys, "left")
+            overridden = F.col("_src_ver").isNotNull() & (
+                F.col("_src_ver") >= F.col(version_col)
+            )
+            if delete_col is not None:
+                overridden = overridden | (F.col("_src_del") == 1)
+            survivors = joined.filter(~F.coalesce(overridden, F.lit(False))).select(
+                *current.columns
+            )
+            # Only the NEWEST source row per key lands (deterministic: ties
+            # on version break on the remaining columns), and it must not be
+            # older than a surviving target row.
+            from pyspark.sql import Window
+
+            other = [c for c in upserts.columns if c not in keys]
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(version_col).desc(), F.struct(*other).desc()
+            )
+            upserts = (
+                upserts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            upserts = upserts.join(
+                survivors.select(*keys, F.col(version_col).alias("_tgt_ver")),
+                keys,
+                "left",
+            ).filter(
+                F.col("_tgt_ver").isNull() | (F.col(version_col) >= F.col("_tgt_ver"))
+            ).drop("_tgt_ver")
+        merged = survivors.unionByName(upserts)
         hint = base + 1
         adds = self._write_data_files(merged, hint)
         return self._publish(

@@ -231,3 +231,37 @@ def test_vacuum_floor_above_latest_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="exceeds latest"):
         t.vacuum(retain_from_version=99)
     assert _rows(t.read()) == [(1, "a")]  # nothing was deleted
+
+
+def test_merge_version_guard_ignores_stale_updates(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="v5", ver=5)]))
+    # Late-arriving older changelog entry must NOT regress state…
+    t.commit_merge(spark.createDataFrame([Row(id=1, x="v3", ver=3)]), keys=["id"], version_col="ver")
+    assert _rows(t.read()) == [(1, "v5", 5)]
+    # …but a newer one applies, and only the newest of several lands.
+    t.commit_merge(
+        spark.createDataFrame([Row(id=1, x="v6", ver=6), Row(id=1, x="v8", ver=8)]),
+        keys=["id"], version_col="ver",
+    )
+    assert _rows(t.read()) == [(1, "v8", 8)]
+
+
+def test_merge_delete_markers_remove_keys(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a", ver=1), Row(id=2, x="b", ver=1)]))
+    changelog = spark.createDataFrame(
+        [Row(id=1, x=None, ver=2, deleted=True), Row(id=3, x="c", ver=2, deleted=False)]
+    )
+    t.commit_merge(changelog, keys=["id"], version_col="ver", delete_col="deleted")
+    assert _rows(t.read()) == [(2, "b", 1), (3, "c", 2)]
+    assert "deleted" not in t.read().columns
+
+
+def test_merge_delete_on_bootstrap_is_filtered(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    changelog = spark.createDataFrame(
+        [Row(id=1, x="a", deleted=False), Row(id=2, x="dead", deleted=True)]
+    )
+    t.commit_merge(changelog, keys=["id"], delete_col="deleted")
+    assert _rows(t.read()) == [(1, "a")]
