@@ -33,6 +33,33 @@ def committed_batch_ids(table: TxnTable, query_id: str) -> set[int]:
     return out
 
 
+def exactly_once_merge(
+    table: TxnTable,
+    query_id: str,
+    keys: list[str],
+    version_col: str | None = None,
+    delete_col: str | None = None,
+):
+    """foreachBatch callback factory: applies each micro-batch as a CDC
+    changelog merge (version-guarded upserts + tombstones — see
+    TxnTable.commit_merge) exactly once per (query_id, batchId). The
+    batchId guard makes replays version-free no-ops, so a crash between
+    sink write and checkpoint commit cannot double-apply or bloat the log."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table, query_id):
+            return
+        table.commit_merge(
+            batch_df,
+            keys=keys,
+            version_col=version_col,
+            delete_col=delete_col,
+            txn={"query_id": query_id, "batch_id": int(batch_id)},
+        )
+
+    return write
+
+
 def exactly_once_append(table: TxnTable, query_id: str):
     """foreachBatch callback factory: appends each micro-batch to ``table``
     exactly once, keyed by (query_id, batchId). Use:
@@ -43,15 +70,8 @@ def exactly_once_append(table: TxnTable, query_id: str):
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids(table, query_id):
             return  # replayed epoch — rows are already durable
-        hint = (table.latest_version() or 0) + 1
-        adds = table._write_data_files(batch_df, hint)
-        table._publish(
-            {
-                "action": "append",
-                "adds": adds,
-                "removes": [],
-                "txn": {"query_id": query_id, "batch_id": int(batch_id)},
-            }
+        table.commit_append(
+            batch_df, txn={"query_id": query_id, "batch_id": int(batch_id)}
         )
 
     return write

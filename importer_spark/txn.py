@@ -173,17 +173,23 @@ class TxnTable:
                 os.remove(tmp)
         raise TxnConflict(f"could not claim a version after {retries} attempts")
 
-    def commit_append(self, df: DataFrame) -> int:
+    def commit_append(self, df: DataFrame, txn: dict | None = None) -> int:
         hint = (self.latest_version() or 0) + 1
         adds = self._write_data_files(df, hint)
-        return self._publish({"action": "append", "adds": adds, "removes": []})
+        m = {"action": "append", "adds": adds, "removes": []}
+        if txn:
+            m["txn"] = txn
+        return self._publish(m)
 
-    def commit_replace(self, df: DataFrame) -> int:
+    def commit_replace(self, df: DataFrame, txn: dict | None = None) -> int:
         hint = (self.latest_version() or 0) + 1
         adds = self._write_data_files(df, hint)
         base = self.latest_version()
         removes = self._snapshot_files(base) if base is not None else []
-        return self._publish({"action": "replace", "adds": adds, "removes": removes})
+        m = {"action": "replace", "adds": adds, "removes": removes}
+        if txn:
+            m["txn"] = txn
+        return self._publish(m)
 
     def commit_merge(
         self,
@@ -191,6 +197,7 @@ class TxnTable:
         keys: list[str],
         version_col: str | None = None,
         delete_col: str | None = None,
+        txn: dict | None = None,
     ) -> int:
         """Upsert by key — the CDC changelog-apply form:
 
@@ -214,7 +221,7 @@ class TxnTable:
             upserts = source
             if delete_col is not None:
                 upserts = upserts.filter(~F.col(delete_col)).drop(delete_col)
-            return self.commit_append(upserts)
+            return self.commit_append(upserts, txn=txn)
         current = self.read(base)
         upserts = source
         if delete_col is not None:
@@ -262,9 +269,10 @@ class TxnTable:
         merged = survivors.unionByName(upserts)
         hint = base + 1
         adds = self._write_data_files(merged, hint)
-        return self._publish(
-            {"action": "merge", "adds": adds, "removes": self._snapshot_files(base)}
-        )
+        m = {"action": "merge", "adds": adds, "removes": self._snapshot_files(base)}
+        if txn:
+            m["txn"] = txn
+        return self._publish(m)
 
     def commit_delete(self, predicate) -> int:
         """Row-level DELETE with file-granular copy-on-write (the Delta

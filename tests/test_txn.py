@@ -265,3 +265,25 @@ def test_merge_delete_on_bootstrap_is_filtered(spark, tmp_path):
     )
     t.commit_merge(changelog, keys=["id"], delete_col="deleted")
     assert _rows(t.read()) == [(1, "a")]
+
+
+def test_streaming_exactly_once_merge(spark, tmp_path):
+    """CDC changelog batches applied exactly once: replayed epochs are
+    version-free no-ops; version guard + tombstones flow through."""
+    from importer_spark.streaming.txn_sink import exactly_once_merge
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    apply = exactly_once_merge(t, "cdc", keys=["id"], version_col="ver", delete_col="dead")
+    b0 = spark.createDataFrame(
+        [Row(id=1, x="a", ver=1, dead=False), Row(id=2, x="b", ver=1, dead=False)]
+    )
+    b1 = spark.createDataFrame(
+        [Row(id=1, x="a2", ver=2, dead=False), Row(id=2, x=None, ver=2, dead=True)]
+    )
+    apply(b0, 0)
+    apply(b0, 0)  # replay
+    v_after_b0 = t.latest_version()
+    apply(b1, 1)
+    apply(b1, 1)  # replay
+    assert _rows(t.read()) == [(1, "a2", 2)]
+    assert t.latest_version() == v_after_b0 + 1  # replays created no versions
