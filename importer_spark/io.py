@@ -240,6 +240,17 @@ def write_zorder(
     leaves the other columns' per-file spans at ~full range). Column min/max
     come from one scalar agg broadcast back into the plan — no driver
     round-trip, no single-task window."""
+    zorder_frame(df, zorder_cols, bits=bits, n_files=n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_frame(
+    df: DataFrame, zorder_cols: list[str], bits: int = 12, n_files: int = 8
+) -> DataFrame:
+    """The layout transformation behind :func:`write_zorder`, reusable by
+    any sink (e.g. TxnTable.commit_compact): range-partition + in-partition
+    sort on the Morton key, helper columns dropped before write."""
     stats = df.agg(
         *[F.min(c).alias(f"_mn_{c}") for c in zorder_cols],
         *[F.max(c).alias(f"_mx_{c}") for c in zorder_cols],
@@ -250,14 +261,12 @@ def write_zorder(
         [F.col(f"_mx_{c}") for c in zorder_cols],
         bits=bits,
     )
-    (
+    return (
         df.crossJoin(F.broadcast(stats))
         .withColumn("_zkey", z)
         .repartitionByRange(n_files, F.col("_zkey"))
         .sortWithinPartitions("_zkey")
         .drop("_zkey", *[f"_mn_{c}" for c in zorder_cols], *[f"_mx_{c}" for c in zorder_cols])
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 

@@ -310,15 +310,27 @@ class TxnTable:
             }
         )
 
-    def commit_compact(self, target_files: int = 1) -> int:
+    def commit_compact(
+        self, target_files: int = 1, zorder_cols: list[str] | None = None
+    ) -> int:
         """Rewrite the current snapshot into ``target_files`` files — the
         small-file compaction every streaming-append table eventually needs.
-        Readers on older versions are untouched (their files stay until
-        vacuum); the new snapshot is byte-equal row-wise."""
+        ``zorder_cols`` additionally clusters the rewrite on those columns'
+        Morton key (io.zorder_frame — the Delta Z-ORDER maintenance form),
+        so post-compaction scans skip files on range predicates over any
+        clustered column. Readers on older versions are untouched (their
+        files stay until vacuum); the new snapshot is byte-equal row-wise."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
-        compacted = self.read(base).coalesce(target_files)
+        if zorder_cols:
+            from importer_spark.io import zorder_frame
+
+            compacted = zorder_frame(
+                self.read(base), zorder_cols, n_files=target_files
+            )
+        else:
+            compacted = self.read(base).coalesce(target_files)
         adds = self._write_data_files(compacted, base + 1)
         return self._publish(
             {"action": "compact", "adds": adds, "removes": self._snapshot_files(base)}

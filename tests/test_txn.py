@@ -287,3 +287,27 @@ def test_streaming_exactly_once_merge(spark, tmp_path):
     apply(b1, 1)  # replay
     assert _rows(t.read()) == [(1, "a2", 2)]
     assert t.latest_version() == v_after_b0 + 1  # replays created no versions
+
+
+def test_compaction_with_zorder_tightens_layout(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os as _os
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    rows = [Row(id=i, a=i % 50, b=(i * 7) % 50) for i in range(2000)]
+    t.commit_append(spark.createDataFrame(rows))
+    v = t.commit_compact(target_files=4, zorder_cols=["a", "b"])
+    # Rows preserved...
+    assert t.read().count() == 2000
+    # ...and per-file spans on BOTH clustered columns shrink vs full range.
+    spans = []
+    for f in t._snapshot_files(v):
+        md = pq.ParquetFile(_os.path.join(str(tmp_path / "t"), "data", f)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rg = md.row_group(0)
+        sa = rg.column(cols["a"]).statistics
+        sb = rg.column(cols["b"]).statistics
+        spans.append(((sa.max - sa.min), (sb.max - sb.min)))
+    avg_a = sum(s[0] for s in spans) / len(spans)
+    avg_b = sum(s[1] for s in spans) / len(spans)
+    assert avg_a < 49 * 0.8 and avg_b < 49 * 0.8, spans
