@@ -311,3 +311,21 @@ def test_compaction_with_zorder_tightens_layout(spark, tmp_path):
     avg_a = sum(s[0] for s in spans) / len(spans)
     avg_b = sum(s[1] for s in spans) / len(spans)
     assert avg_a < 49 * 0.8 and avg_b < 49 * 0.8, spans
+
+
+def test_concurrent_writers_no_lost_updates(spark, tmp_path):
+    """4 threads x 3 appends racing for versions: every commit must land
+    (optimistic retries), producing exactly 12 versions and all 12 rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+
+    def writer(i):
+        for j in range(3):
+            t.commit_append(spark.createDataFrame([Row(id=i * 10 + j, x=f"w{i}")]))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(writer, range(4)))
+    assert t.latest_version() == 11  # 12 commits, versions 0..11
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == sorted(i * 10 + j for i in range(4) for j in range(3))
