@@ -329,3 +329,38 @@ def test_concurrent_writers_no_lost_updates(spark, tmp_path):
     assert t.latest_version() == 11  # 12 commits, versions 0..11
     ids = sorted(r.id for r in t.read().collect())
     assert ids == sorted(i * 10 + j for i in range(4) for j in range(3))
+
+
+def test_merge_engines_agree_on_random_sequences(spark, tmp_path):
+    """The two upsert engines — bucket-pruned merge_by_key and the
+    txn-log commit_merge — must converge to the same table from the same
+    random versioned batch sequence (cross-implementation consistency)."""
+    import random
+
+    from importer_spark.io import merge_by_key
+
+    rng = random.Random(11)
+    t = TxnTable(spark, str(tmp_path / "txn"))
+    mbk_path = str(tmp_path / "mbk")
+    for batch_no in range(4):
+        rows = [
+            Row(
+                k=rng.randrange(8),
+                v=f"b{batch_no}r{i}",
+                ver=batch_no * 10 + rng.randrange(5),
+            )
+            for i in range(6)
+        ]
+        # Within-batch key collisions: keep highest version (deterministic
+        # tie-break on v) so both engines see an unambiguous batch.
+        best = {}
+        for r in rows:
+            cur = best.get(r.k)
+            if cur is None or (r.ver, r.v) > (cur.ver, cur.v):
+                best[r.k] = r
+        batch = spark.createDataFrame(list(best.values()))
+        merge_by_key(spark, batch, mbk_path, keys=["k"], version_col="ver", n_buckets=4)
+        t.commit_merge(batch, keys=["k"], version_col="ver")
+    mbk = sorted(tuple(r) for r in spark.read.parquet(mbk_path).select("k", "v", "ver").collect())
+    txn = sorted(tuple(r) for r in t.read().select("k", "v", "ver").collect())
+    assert mbk == txn and len(mbk) > 0
