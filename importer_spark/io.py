@@ -116,18 +116,21 @@ class Tables:
 
 def read_csv_with_rejects(
     spark: SparkSession, path: str, schema: str, header: bool = True
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Typed CSV scan with dlt-style bad-row capture: rows that fail the
     declared schema don't kill the load (FAILFAST) and don't silently
     null-out (plain PERMISSIVE) — they come back as a second frame carrying
-    the raw line for quarantine/repair. Returns (good, rejects).
+    the raw line for quarantine/repair. Returns (good, rejects, release).
 
     Implementation is PERMISSIVE + columnNameOfCorruptRecord: one scan
     feeds both outputs, and the split predicate is a null-check on the
     corrupt column, so at scale this is a single pass with no shuffle.
-    (Spark requires the corrupt column to be cached/materialized before
-    filtering on it alone — the .cache() below is on the raw scan, bounded
-    by the input split, released by the caller's first action lifecycle.)
+    Spark requires the corrupt column to be cached before filtering on it
+    alone, and caches persist for the SESSION, not the first action — so
+    the third element is an explicit ``release()`` that unpersists the raw
+    scan once both outputs are consumed; call it (or wrap in
+    ``contextlib.closing``-style finally) to avoid pinning one
+    InMemoryRelation per load in a long-lived session.
     """
     corrupt = "_corrupt_record"
     raw = (
@@ -142,7 +145,11 @@ def read_csv_with_rejects(
     rejects = raw.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
-    return good, rejects
+
+    def release() -> None:
+        raw.unpersist()
+
+    return good, rejects, release
 
 
 def read_jsonl(spark: SparkSession, path: str, blank_nulls: bool = True) -> DataFrame:

@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TxnConflict(RuntimeError):
-    """Another writer committed this version first (after retries)."""
+    """Another writer committed this version first (after retries), or —
+    for snapshot-dependent commits (merge/replace/delete/compact) — the
+    base snapshot changed between read and publish, so the prepared
+    adds/removes are stale. Callers handling the latter should re-read the
+    snapshot, recompute, and retry (the Delta protocol's conflict rule:
+    only blind appends may auto-retry on top of a moved log)."""
 
 
 class TxnTable:
@@ -152,11 +157,34 @@ class TxnTable:
         os.rmdir(stage)
         return names
 
-    def _publish(self, manifest: dict, retries: int = 20) -> int:
+    # Sentinel: distinguishes "no base check" from "base is the empty table
+    # (None)" — a replace of an empty table still conflicts if a concurrent
+    # append created version 0 first.
+    _NO_BASE_CHECK = object()
+
+    def _publish(
+        self, manifest: dict, retries: int = 20, expected_base=_NO_BASE_CHECK
+    ) -> int:
         """Atomically claim the next version: os.link fails if another
-        writer got there first → re-read the log and retry on top."""
+        writer got there first → re-read the log and retry on top.
+
+        ``expected_base`` (a version int or None-for-empty) makes the claim
+        snapshot-conditional: if the log has moved past the base the
+        manifest's adds/removes were computed against, the removes are
+        stale — blindly retrying would silently drop the concurrent
+        commit's rows (two racing merges duplicating the table, a delete
+        racing a compact resurrecting rows). Such commits raise
+        TxnConflict instead; only append-shaped manifests (removes
+        independent of any snapshot) may retry on top."""
         for _ in range(retries):
-            version = (self.latest_version() if self.latest_version() is not None else -1) + 1
+            latest = self.latest_version()
+            if expected_base is not TxnTable._NO_BASE_CHECK and latest != expected_base:
+                raise TxnConflict(
+                    f"snapshot moved: commit computed against version "
+                    f"{expected_base} but log is now at {latest}; re-read "
+                    f"the snapshot and recompute before retrying"
+                )
+            version = (latest if latest is not None else -1) + 1
             manifest["version"] = version
             tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as fh:
@@ -189,7 +217,7 @@ class TxnTable:
         m = {"action": "replace", "adds": adds, "removes": removes}
         if txn:
             m["txn"] = txn
-        return self._publish(m)
+        return self._publish(m, expected_base=base)
 
     def commit_merge(
         self,
@@ -216,18 +244,61 @@ class TxnTable:
         buckets' files."""
         from pyspark.sql import functions as F
 
+        def _dedup_plain(df: DataFrame) -> DataFrame:
+            # One row per key, deterministic tie-break (max struct of the
+            # non-key columns) — matching the versioned path's semantics
+            # instead of landing every duplicate source row in the snapshot.
+            # (Delta MERGE errors on multiple source matches; we resolve
+            # deterministically, which is the changelog-friendly choice.)
+            other = [c for c in df.columns if c not in keys]
+            if not other:
+                return df.distinct()
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.struct(*other).desc())
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
         base = self.latest_version()
         if base is None:
             upserts = source
             if delete_col is not None:
-                upserts = upserts.filter(~F.col(delete_col)).drop(delete_col)
-            return self.commit_append(upserts, txn=txn)
+                upserts = upserts.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            if version_col is None:
+                upserts = _dedup_plain(upserts)
+            else:
+                from pyspark.sql import Window
+
+                other = [c for c in upserts.columns if c not in keys]
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col(version_col).desc(), F.struct(*other).desc()
+                )
+                upserts = (
+                    upserts.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            adds = self._write_data_files(upserts, 0)
+            m = {"action": "merge", "adds": adds, "removes": []}
+            if txn:
+                m["txn"] = txn
+            # Conditional even for the bootstrap: a concurrent version-0
+            # commit means "no current rows" was a stale assumption.
+            return self._publish(m, expected_base=None)
         current = self.read(base)
         upserts = source
         if delete_col is not None:
-            upserts = upserts.filter(~F.col(delete_col)).drop(delete_col)
+            upserts = upserts.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         if version_col is None:
             survivors = current.join(source.select(*keys).distinct(), keys, "left_anti")
+            upserts = _dedup_plain(upserts)
         else:
             # A target row survives if no source row for its key has an
             # equal-or-newer version (deletes always win at any version).
@@ -272,7 +343,7 @@ class TxnTable:
         m = {"action": "merge", "adds": adds, "removes": self._snapshot_files(base)}
         if txn:
             m["txn"] = txn
-        return self._publish(m)
+        return self._publish(m, expected_base=base)
 
     def commit_delete(self, predicate) -> int:
         """Row-level DELETE with file-granular copy-on-write (the Delta
@@ -299,7 +370,13 @@ class TxnTable:
         if not hit_paths:
             return base  # no-op: nothing matched, no new version needed
         hit_full = [os.path.join(self.data_dir, f) for f in sorted(hit_paths)]
-        survivors = self.spark.read.parquet(*hit_full).filter(~cond)
+        # SQL DELETE semantics under three-valued logic: filter(cond) and
+        # filter(~cond) are NOT complements — a row whose predicate
+        # evaluates NULL (e.g. `x = 2` with x IS NULL) must SURVIVE, not
+        # vanish from both sets. coalesce(cond, false) makes the split total.
+        survivors = self.spark.read.parquet(*hit_full).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
         hint = base + 1
         adds = self._write_data_files(survivors, hint)
         return self._publish(
@@ -307,7 +384,8 @@ class TxnTable:
                 "action": "delete",
                 "adds": adds,
                 "removes": sorted(f for f in live if f in hit_paths),
-            }
+            },
+            expected_base=base,
         )
 
     def commit_compact(
@@ -333,7 +411,8 @@ class TxnTable:
             compacted = self.read(base).coalesce(target_files)
         adds = self._write_data_files(compacted, base + 1)
         return self._publish(
-            {"action": "compact", "adds": adds, "removes": self._snapshot_files(base)}
+            {"action": "compact", "adds": adds, "removes": self._snapshot_files(base)},
+            expected_base=base,
         )
 
     # --- read --------------------------------------------------------------

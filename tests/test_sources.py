@@ -390,12 +390,15 @@ def test_read_csv_with_rejects(spark, tmp_path):
         "2,notanumber,2024-01-03\n"
         "3,7.25,2024-01-04\n"
     )
-    good, rejects = read_csv_with_rejects(
+    good, rejects, release = read_csv_with_rejects(
         spark, str(p), "id INT, amount DOUBLE, day DATE"
     )
     assert sorted((r.id, r.amount) for r in good.collect()) == [(1, 10.5), (3, 7.25)]
     rej = [r.raw_line for r in rejects.collect()]
     assert rej == ["2,notanumber,2024-01-03"]
+    release()  # unpersists the raw scan — no InMemoryRelation pinned per load
+    release()  # idempotent
+
 
 
 def test_read_csv_with_rejects_gzip(spark, tmp_path):
@@ -407,8 +410,9 @@ def test_read_csv_with_rejects_gzip(spark, tmp_path):
     p = tmp_path / "in.csv.gz"
     with gzip.open(p, "wt") as fh:
         fh.write("id,amount,day\n1,2.5,2024-05-06\nbad,row,x\n")
-    good, rejects = read_csv_with_rejects(
+    good, rejects, release = read_csv_with_rejects(
         spark, str(p), "id INT, amount DOUBLE, day DATE"
     )
     assert [(r.id, r.amount) for r in good.collect()] == [(1, 2.5)]
     assert rejects.count() == 1
+    release()

@@ -364,3 +364,125 @@ def test_merge_engines_agree_on_random_sequences(spark, tmp_path):
     mbk = sorted(tuple(r) for r in spark.read.parquet(mbk_path).select("k", "v", "ver").collect())
     txn = sorted(tuple(r) for r in t.read().select("k", "v", "ver").collect())
     assert mbk == txn and len(mbk) > 0
+
+
+# --- round-4 conflict-safety fixes (ADVICE r3) ------------------------------
+
+
+def test_merge_racing_commit_raises_conflict_not_duplicates(spark, tmp_path):
+    """Two racing snapshot-dependent commits: the loser's removes are stale
+    (computed against the pre-race snapshot), so blindly retrying on top
+    would duplicate nearly the whole table. The loser must raise
+    TxnConflict instead (Delta conflict rule)."""
+    from importer_spark.txn import TxnConflict
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="a"), Row(id=2, x="b")]))
+
+    # Deterministic race: hijack the data-file write so a concurrent append
+    # lands BETWEEN commit_merge's snapshot read and its publish.
+    t2 = TxnTable(spark, str(tmp_path / "t"))
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df, hint):
+        names = orig(df, hint)
+        if not fired:
+            fired.append(True)
+            t2.commit_append(spark.createDataFrame([Row(id=99, x="concurrent")]))
+        return names
+
+    t._write_data_files = hijack
+    with pytest.raises(TxnConflict, match="snapshot moved"):
+        t.commit_merge(spark.createDataFrame([Row(id=2, x="B")]), keys=["id"])
+    t._write_data_files = orig
+    # The concurrent append survived untouched; the failed merge left no
+    # manifest (only vacuumable garbage files).
+    assert _rows(t.read().select("id", "x")) == [(1, "a"), (2, "b"), (99, "concurrent")]
+    # Recompute-and-retry against the fresh snapshot now succeeds.
+    t.commit_merge(spark.createDataFrame([Row(id=2, x="B")]), keys=["id"])
+    assert _rows(t.read().select("id", "x")) == [(1, "a"), (2, "B"), (99, "concurrent")]
+
+
+def test_delete_racing_compact_raises_conflict(spark, tmp_path):
+    """delete vs compact race: compact's removes reference the pre-delete
+    files, so publishing it after the delete would resurrect deleted rows."""
+    from importer_spark.txn import TxnConflict
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=i, x=str(i)) for i in range(10)]))
+    t2 = TxnTable(spark, str(tmp_path / "t"))
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df, hint):
+        names = orig(df, hint)
+        if not fired:
+            fired.append(True)
+            t2.commit_delete("id = 3")
+        return names
+
+    t._write_data_files = hijack
+    with pytest.raises(TxnConflict, match="snapshot moved"):
+        t.commit_compact(target_files=1)
+    t._write_data_files = orig
+    assert sorted(r.id for r in t.read().collect()) == [i for i in range(10) if i != 3]
+    t.commit_compact(target_files=1)  # retry on the fresh snapshot works
+    assert sorted(r.id for r in t.read().collect()) == [i for i in range(10) if i != 3]
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued logic: a row whose predicate evaluates NULL
+    is NOT deleted — filter(cond)/filter(~cond) are not complements, so the
+    survivors rewrite must coalesce NULL to false. The NULL row shares a
+    data file with a matching row to force the rewrite path."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(id=1, x=2), Row(id=2, x=None), Row(id=3, x=7)],
+        schema="id INT, x INT",
+    ).coalesce(1)  # one file: the NULL row co-locates with the x=2 match
+    t.commit_append(df)
+    t.commit_delete("x = 2")
+    got = sorted(((r.id, r.x) for r in t.read().collect()), key=str)
+    assert got == sorted([(2, None), (3, 7)], key=str)
+
+
+def test_merge_plain_path_dedups_source_keys(spark, tmp_path):
+    """Plain (no version_col) merge with duplicated source keys lands
+    exactly ONE row per key, chosen deterministically (max over the non-key
+    columns) — consistent with the versioned path instead of landing every
+    duplicate."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([Row(id=1, x="old")]))
+    src = spark.createDataFrame(
+        [Row(id=1, x="a"), Row(id=1, x="z"), Row(id=2, x="m"), Row(id=2, x="b")]
+    )
+    t.commit_merge(src, keys=["id"])
+    assert _rows(t.read()) == [(1, "z"), (2, "m")]
+    # Bootstrap (empty-table) path dedups identically.
+    t2 = TxnTable(spark, str(tmp_path / "t2"))
+    t2.commit_merge(src, keys=["id"])
+    assert _rows(t2.read()) == [(1, "z"), (2, "m")]
+
+
+def test_streaming_sink_caches_high_water_mark(spark, tmp_path):
+    """The exactly-once guard consults the log newest-first and caches the
+    last batchId between batches — replays skip without a full log scan."""
+    from importer_spark.streaming.txn_sink import (
+        exactly_once_append,
+        last_committed_batch_id,
+    )
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    write = exactly_once_append(t, "q1")
+    write(spark.createDataFrame([Row(id=1)]), 0)
+    write(spark.createDataFrame([Row(id=2)]), 1)
+    write(spark.createDataFrame([Row(id=2)]), 1)  # replay: cached skip
+    write(spark.createDataFrame([Row(id=3)]), 2)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert last_committed_batch_id(t, "q1") == 2
+    assert last_committed_batch_id(t, "nope") is None
+    # A fresh process (new callback, cold cache) still skips replays.
+    write2 = exactly_once_append(t, "q1")
+    write2(spark.createDataFrame([Row(id=99)]), 2)  # replayed epoch
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
