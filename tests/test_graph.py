@@ -30,12 +30,14 @@ def test_local_path(spark, pairs):
     assert _rows(out) == EXPECT
 
 
-def test_distributed_path(spark, pairs):
-    out = connected_components(pairs, max_local_edges=0)
+@pytest.mark.parametrize("algorithm", ["star", "propagation"])
+def test_distributed_path(spark, pairs, algorithm):
+    out = connected_components(pairs, max_local_edges=0, algorithm=algorithm)
     assert _rows(out) == EXPECT
 
 
-def test_paths_agree_on_random_graph(spark):
+@pytest.mark.parametrize("algorithm", ["star", "propagation"])
+def test_paths_agree_on_random_graph(spark, algorithm):
     import random
 
     rng = random.Random(7)
@@ -43,17 +45,58 @@ def test_paths_agree_on_random_graph(spark):
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     local = _rows(connected_components(pairs))
-    dist = _rows(connected_components(pairs, max_local_edges=0))
+    dist = _rows(connected_components(pairs, max_local_edges=0, algorithm=algorithm))
     assert local == dist
 
 
 def test_distributed_nonconvergence_raises(spark):
-    # A 6-node chain has diameter 5 > max_rounds=2 budget.
+    # A 6-node chain has diameter 5 > max_rounds=2 budget (per-hop variant;
+    # the star variant converges well inside 2 rounds on this graph).
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_rounds=2, max_local_edges=0)
+        connected_components(
+            chain, max_rounds=2, max_local_edges=0, algorithm="propagation"
+        )
+
+
+def test_star_completes_on_diameter_1000_chain(spark):
+    """The scale-robustness property the star algorithm buys: a
+    chain-shaped (diameter-1000) dup graph finishes within the default
+    15-round budget — O(log d) rounds — where per-hop min-label
+    propagation needs ~1000 rounds and must raise. Node ids are permuted
+    so convergence can't ride on a sorted-id shortcut."""
+    import random
+
+    n = 1001
+    perm = list(range(n))
+    random.Random(13).shuffle(perm)
+    chain = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(chain, max_local_edges=0)  # default star
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}  # min id labels the component
+    assert all(r.cluster_size == n for r in rows)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_local_edges=0, algorithm="propagation")
+
+
+def test_star_handles_self_pairs_and_singletons(spark):
+    """A node whose only pair is (a, a) is a singleton component in every
+    path (node-universe parity with the local union-find)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    expect = [(1, 1, 2), (2, 1, 2), (7, 7, 1)]
+    assert _rows(connected_components(pairs)) == expect
+    assert _rows(connected_components(pairs, max_local_edges=0)) == expect
+    assert (
+        _rows(connected_components(pairs, max_local_edges=0, algorithm="propagation"))
+        == expect
+    )
 
 
 def test_caches_released(spark, pairs):
