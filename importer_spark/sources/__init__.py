@@ -3,6 +3,7 @@ from importer_spark.sources.files import (  # noqa: F401
     discover_files,
     optional_column,
     read_xlsx,
+    read_xlsx_distributed,
     with_ingest_metadata,
 )
 from importer_spark.sources.graphql import GraphQLCursorSource, extract_path  # noqa: F401

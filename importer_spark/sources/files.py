@@ -202,6 +202,79 @@ def read_xlsx(spark, path: str, sheet: str | None = None) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+def read_xlsx_distributed(
+    spark,
+    path_glob: str,
+    sheet: str | None = None,
+    columns: list[str] | None = None,
+    source_col: str = "_source_file",
+) -> DataFrame:
+    """Many-workbook XLSX ingest as ONE distributed job — the 100 TB
+    posture for reference S1 (the driver-side read_xlsx stays the
+    per-file decoder). ``binaryFile`` scans the glob so workbook BYTES ship
+    to executors (one input split per file — Spark never splits binaryFile
+    rows), and an Arrow-batched mapInPandas parses each workbook with the
+    same pure-stdlib SpreadsheetML parser, so N workbooks parse in
+    parallel across the cluster with the driver never holding file
+    contents.
+
+    ``columns``: the target schema (header names). When omitted, the
+    first workbook (by path order) is probed on the driver — one small
+    file read, NOT the whole corpus. Per-workbook header drift is aligned
+    BY NAME against the target: missing columns surface as null, extra
+    columns are dropped (the remap/typing projection is the caller's next
+    step, as with read_xlsx). Every value is a string; ``source_col``
+    carries the originating file for lineage/debugging.
+    """
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(path_glob)
+    if columns is None:
+        # Schema probe: collect ONE workbook's bytes (works on any
+        # Spark-readable filesystem — file://, hdfs://, s3a://), parse its
+        # header row. One small file, never the corpus.
+        import io
+
+        first = binary.select("path", "content").orderBy("path").limit(1).collect()
+        if not first:
+            raise FileNotFoundError(f"no files match {path_glob}")
+        head_rows = _xlsx_rows(io.BytesIO(first[0]["content"]), sheet)
+        if not head_rows:
+            raise ValueError(f"empty worksheet in {first[0]['path']}")
+        head = head_rows[0]
+        columns = [h if h else f"col_{i}" for i, h in enumerate(head)]
+    out_cols = list(columns) + [source_col]
+    schema = ", ".join(f"`{c}` string" for c in out_cols)
+
+    def parse(batches):
+        import io
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = _xlsx_rows(io.BytesIO(row["content"]), sheet)
+                if not rows:
+                    continue
+                width = max(len(r) for r in rows)
+                head = list(rows[0]) + [None] * (width - len(rows[0]))
+                header = [h if h else f"col_{i}" for i, h in enumerate(head)]
+                pos = {h: i for i, h in enumerate(header)}
+                data = {
+                    c: [
+                        (r[pos[c]] if pos.get(c) is not None and pos[c] < len(r) else None)
+                        for r in rows[1:]
+                    ]
+                    if c in pos
+                    else [None] * (len(rows) - 1)
+                    for c in columns
+                }
+                data[source_col] = [row["path"]] * (len(rows) - 1)
+                yield pd.DataFrame(data, columns=out_cols)
+
+    # content+path only: column pruning keeps modificationTime/length out of
+    # the Arrow transfer.
+    return binary.select("path", "content").mapInPandas(parse, schema=schema)
+
+
 HEADER_REMAP = {
     # Reference S11 (trade_shows/pipeline.py:122-141): human headers → snake.
     "First Name": "first_name",

@@ -416,3 +416,72 @@ def test_read_csv_with_rejects_gzip(spark, tmp_path):
     assert [(r.id, r.amount) for r in good.collect()] == [(1, 2.5)]
     assert rejects.count() == 1
     release()
+
+
+def test_read_xlsx_distributed_matches_driver_path(spark, tmp_path):
+    """The binaryFile+mapInPandas many-workbook path (the 100 TB posture
+    for S1) yields the same rows as the driver-side parser per file, in one
+    distributed job, aligning drifted headers by name (missing -> null,
+    extra -> dropped) and stamping source lineage."""
+    from importer_spark.sources import read_xlsx, read_xlsx_distributed
+
+    books = {
+        "a.xlsx": [
+            ["First Name", "Email", "Score"],
+            ["Ada", "ada@example.com", 97],
+            ["Alan", "alan@example.com", 85.5],
+        ],
+        # Header drift: reordered + an extra column + a missing one.
+        "b.xlsx": [
+            ["Email", "Extra", "First Name"],
+            ["grace@example.com", "x", "Grace"],
+        ],
+        "c.xlsx": [
+            ["First Name", "Email", "Score"],
+            ["Edsger", "ew@example.com", 72],
+        ],
+    }
+    for name, rows in books.items():
+        _write_minimal_xlsx(str(tmp_path / name), {"Leads": rows})
+
+    dist = read_xlsx_distributed(
+        spark, str(tmp_path / "*.xlsx"), columns=["First Name", "Email", "Score"]
+    )
+    assert dist.columns == ["First Name", "Email", "Score", "_source_file"]
+    got = sorted(
+        (r["First Name"], r["Email"], r["Score"], r["_source_file"].rsplit("/", 1)[-1])
+        for r in dist.collect()
+    )
+    assert got == [
+        ("Ada", "ada@example.com", "97", "a.xlsx"),
+        ("Alan", "alan@example.com", "85.5", "a.xlsx"),
+        ("Edsger", "ew@example.com", "72", "c.xlsx"),
+        ("Grace", "grace@example.com", None, "b.xlsx"),
+    ]
+    # Per-file parity with the driver parser on the no-drift books.
+    for name in ("a.xlsx", "c.xlsx"):
+        drv = sorted(tuple(r) for r in read_xlsx(spark, str(tmp_path / name)).collect())
+        d = sorted(
+            (r["First Name"], r["Email"], r["Score"])
+            for r in dist.collect()
+            if r["_source_file"].endswith(name)
+        )
+        assert d == [tuple(x) for x in drv]
+
+
+def test_read_xlsx_distributed_probes_schema(spark, tmp_path):
+    """With no explicit columns, the target schema probes from the first
+    workbook by path order (one small file read, never the corpus)."""
+    from importer_spark.sources import read_xlsx_distributed
+
+    _write_minimal_xlsx(
+        str(tmp_path / "x1.xlsx"),
+        {"S": [["A", "B"], ["1", "2"]]},
+    )
+    _write_minimal_xlsx(
+        str(tmp_path / "x2.xlsx"),
+        {"S": [["A", "B"], ["3", "4"]]},
+    )
+    df = read_xlsx_distributed(spark, str(tmp_path / "*.xlsx"))
+    assert df.columns == ["A", "B", "_source_file"]
+    assert sorted((r.A, r.B) for r in df.collect()) == [("1", "2"), ("3", "4")]
