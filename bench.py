@@ -15,9 +15,14 @@ concurrency the reference's own dbt profiles.yml configures) under Spark's
 FAIR scheduler. The bench-scale parquet ships one row group per table, so a
 single query's scan stage is one task no matter the plan; concurrent
 queries are how the engine (like any warehouse) soaks the remaining cores.
-Per-query times are each query's own wall duration under that concurrency
-(contention included); the headline is total wall-clock for the catalog.
-Set SPARK_GRAFT_BENCH_THREADS=1 for isolated per-query latencies.
+Per-query times under that concurrency are contention-inflated and NOT
+comparable round-over-round, so the bench is dual-mode: after the
+concurrent headline pass it re-runs the catalog sequentially
+(threads=1) and records BOTH maps — "queries" (concurrent, explains the
+headline) and "queries_isolated" (sequential, the per-query regression
+signal gated by tests/test_bench_regression.py). Set
+SPARK_GRAFT_BENCH_ISOLATED=0 to skip the second pass (quick runs), or
+SPARK_GRAFT_BENCH_THREADS=1 for a single sequential pass.
 """
 
 from __future__ import annotations
@@ -82,35 +87,50 @@ def main() -> None:
     except Exception:
         pass
 
-    times: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def run_one(name: str) -> None:
-        # FAIR pool per thread so no query starves behind a long stage.
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bench")
-        start = time.perf_counter()
-        # One broken query must never zero the whole bench record: isolate
-        # failures per query and still emit the final parseable line.
-        try:
-            BENCH_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - start, 3)
-        except Exception as e:
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"BENCH_ERROR: {name}: {errors[name]}", file=sys.stderr)
+    def run_catalog(names: list[str], threads: int, record: dict) -> float:
+        def run_one(name: str) -> None:
+            # FAIR pool per thread so no query starves behind a long stage.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bench")
+            start = time.perf_counter()
+            # One broken query must never zero the whole bench record:
+            # isolate failures per query and still emit the final line.
+            try:
+                BENCH_QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                record[name] = round(time.perf_counter() - start, 3)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"BENCH_ERROR: {name}: {errors[name]}", file=sys.stderr)
+
+        wall_start = time.perf_counter()
+        if threads <= 1:
+            for name in names:
+                run_one(name)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                list(pool.map(run_one, names))
+        return round(time.perf_counter() - wall_start, 3)
 
     names = [n for n in sorted(BENCH_QUERIES) if n not in SLOW_EXCLUDE]
     threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
-    wall_start = time.perf_counter()
-    if threads <= 1:
-        for name in names:
-            run_one(name)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    times: dict[str, float] = {}
+    total = run_catalog(names, threads, times)
 
-        with ThreadPoolExecutor(max_workers=threads) as pool:
-            list(pool.map(run_one, names))
-    wall = round(time.perf_counter() - wall_start, 3)
-    total = wall
+    # Second, sequential pass: contention-free per-query latencies — the
+    # round-over-round regression signal. The headline number stays the
+    # concurrent wall above.
+    iso_mode = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "auto")
+    run_isolated = (threads > 1) if iso_mode == "auto" else iso_mode not in ("0", "false")
+    times_isolated: dict[str, float] = {}
+    isolated_wall = None
+    if run_isolated:
+        isolated_wall = run_catalog(names, 1, times_isolated)
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -118,6 +138,8 @@ def main() -> None:
         "queries": times,
         "sum_query_seconds": round(sum(times.values()), 3),
         "bench_threads": threads,
+        "queries_isolated": times_isolated,
+        "isolated_wall_seconds": isolated_wall,
         "errors": errors,
         "sf": sf,
     }
@@ -129,6 +151,8 @@ def main() -> None:
         # Read-only checkout: the per-query map still lands on stdout below.
         pass
     print("BENCH_DETAIL: " + json.dumps(times, sort_keys=True))
+    if times_isolated:
+        print("BENCH_ISOLATED: " + json.dumps(times_isolated, sort_keys=True))
     spark.stop()
     # The short headline line goes LAST so a tail-of-stdout capture parses.
     print(

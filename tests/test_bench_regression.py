@@ -1,0 +1,72 @@
+"""Per-query latency regression gate.
+
+The bench's concurrent per-query times are contention-inflated and not
+comparable round-over-round (r3 verdict), so bench.py records a second,
+SEQUENTIAL map (queries_isolated) in BENCH_DETAIL.json. This gate compares
+the most recent recorded isolated map against the pinned baseline
+(tests/bench_isolated_baseline.json, sf0.1): any query slower than
+TOLERANCE× its baseline (and by more than the absolute noise floor) fails.
+
+Artifact-driven by design — no Spark session here: the gate makes the LAST
+bench run's record the regression evidence, and skips (visibly) when the
+record is absent or from a different scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(HERE, "bench_isolated_baseline.json")
+DETAIL_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.json")
+
+TOLERANCE = 1.5  # fail when current > 1.5x baseline ...
+NOISE_FLOOR_SEC = 0.75  # ... and the absolute delta exceeds this
+
+
+def _load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_baseline_exists_and_covers_catalog():
+    from importer_spark.queries import DIAGNOSTICS, QUERIES
+
+    base = _load(BASELINE_PATH)
+    assert base["sf"] == 0.1
+    covered = set(base["queries_isolated"])
+    expected = set(QUERIES) | set(DIAGNOSTICS)
+    # New queries may not be baselined yet (the next official bench run
+    # re-pins them) but the baseline must never cover LESS than 90% of the
+    # catalog, and every baselined name must still exist.
+    assert len(covered & expected) >= 0.9 * len(expected)
+    stale = sorted(covered - expected)
+    assert not stale, f"baseline entries for removed queries: {stale}"
+
+
+def test_no_isolated_latency_regressions():
+    if not os.path.exists(DETAIL_PATH):
+        pytest.skip("no BENCH_DETAIL.json recorded yet")
+    detail = _load(DETAIL_PATH)
+    base = _load(BASELINE_PATH)
+    if detail.get("sf") != base["sf"]:
+        pytest.skip(
+            f"latest bench ran at sf={detail.get('sf')}, baseline is sf={base['sf']}"
+        )
+    current = detail.get("queries_isolated") or {}
+    if not current:
+        pytest.skip("latest bench ran without the isolated pass")
+    regressions = []
+    for name, t_base in base["queries_isolated"].items():
+        t_now = current.get(name)
+        if t_now is None:
+            continue
+        if t_now > t_base * TOLERANCE and (t_now - t_base) > NOISE_FLOOR_SEC:
+            regressions.append((name, t_base, t_now))
+    assert not regressions, (
+        "isolated per-query latency regressions (name, baseline_s, now_s): "
+        f"{sorted(regressions, key=lambda r: r[2] - r[1], reverse=True)}"
+    )

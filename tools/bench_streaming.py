@@ -1,0 +1,130 @@
+"""Streaming micro-bench: rows/s for the two stateful streaming surfaces
+(r3 verdict item 7 — streaming had correctness tests but no recorded
+throughput, so regressions were invisible).
+
+Measured at $SPARK_GRAFT_SF_DIR (default sf0.1, events = 100k rows):
+
+1. ``exactly_once_merge`` — txn-log CDC apply throughput: the sf events
+   table split into K micro-batches of upserts keyed by event_id, applied
+   through the exactly-once foreachBatch callback (includes the commit-log
+   fsync + snapshot rewrite per batch — the real cost profile of the sink).
+2. ``stateful_sessions`` — applyInPandasWithState sessionizer throughput:
+   the events table streamed from parquet with Trigger.AvailableNow through
+   the per-user session operator into a noop-equivalent memory sink.
+
+Prints one JSON line: {"exactly_once_merge_rows_per_s": N,
+"stateful_sessions_rows_per_s": N, "rows": ..., "sf": ...}.
+Recorded in PERF.md; tests/test_streaming_bench.py asserts conservative
+floors so a 10x throughput collapse fails CI while machine noise does not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_exactly_once_merge(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    from pyspark.sql import functions as F
+
+    from importer_spark.streaming.txn_sink import exactly_once_merge
+    from importer_spark.txn import TxnTable
+
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("_b", F.pmod(F.col("event_id"), F.lit(n_batches)))
+    )
+    n_rows = events.count()
+    tmp = tempfile.mkdtemp(prefix="bench_txn_")
+    try:
+        table = TxnTable(spark, os.path.join(tmp, "t"))
+        write = exactly_once_merge(table, "bench", keys=["event_id"])
+        start = time.perf_counter()
+        for b in range(n_batches):
+            write(events.filter(F.col("_b") == b).drop("_b"), b)
+        wall = time.perf_counter() - start
+        final = table.read().count()
+        assert final == n_rows, (final, n_rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"rows": n_rows, "wall_s": round(wall, 3), "rows_per_s": round(n_rows / wall)}
+
+
+def bench_stateful_sessions(spark, sf_dir: str) -> dict:
+    from importer_spark.streaming.stateful import stateful_sessions
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    n_rows = spark.read.parquet(src).count()
+    ckpt = tempfile.mkdtemp(prefix="bench_sessions_")
+    try:
+        # FileStreamSource wants a DIRECTORY; stage the single sf file into
+        # one (hardlink when possible — no data copy).
+        stage = os.path.join(ckpt, "in")
+        os.makedirs(stage)
+        try:
+            os.link(src, os.path.join(stage, "events.parquet"))
+        except OSError:
+            shutil.copy(src, os.path.join(stage, "events.parquet"))
+        stream = spark.readStream.schema(schema).parquet(stage)
+        sessions = stateful_sessions(stream.select("user_id", "ts"), gap_seconds=1800)
+        start = time.perf_counter()
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("bench_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - start
+        emitted = spark.sql("select count(*) n from bench_sessions").first()["n"]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(n_rows / wall),
+        "sessions_emitted": int(emitted),
+    }
+
+
+def main() -> None:
+    from importer_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(
+        app_name="importer-spark-streaming-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    merge = bench_exactly_once_merge(spark, sf_dir)
+    sessions = bench_stateful_sessions(spark, sf_dir)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "exactly_once_merge_rows_per_s": merge["rows_per_s"],
+                "stateful_sessions_rows_per_s": sessions["rows_per_s"],
+                "detail": {"exactly_once_merge": merge, "stateful_sessions": sessions},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
