@@ -45,11 +45,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def tws_available() -> bool:
-    """transformWithStateInPandas needs protobuf in the Python worker
-    (its state-server protocol is protobuf-framed); absent here, so the
-    Spark-4-native variant below is import-gated rather than stubbed."""
+    """transformWithStateInPandas needs the protobuf runtime in the Python
+    worker (its state-server protocol is protobuf-framed): without it the
+    query fails at runtime with 'TransformWithStateInPySpark driver worker
+    exited unexpectedly (crashed)'. Gate on the EXACT module the worker
+    loads — pyspark's generated StateMessage_pb2, whose import is what
+    raises ModuleNotFoundError('google') when protobuf is absent (root
+    cause + repro: COVERAGE.md §2.9)."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
     except ImportError:
