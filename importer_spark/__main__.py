@@ -5,13 +5,21 @@ Commands:
   run <query>               execute a query and print rows (JSON lines)
   explain <query>           print the formatted physical plan
   oracle <query>            print the query's DuckDB oracle SQL
+  pipeline                  end-to-end run: source loads → model DAG →
+                            mart writes → declarative quality gates
+                            (the orchestrator.py-equivalent front door)
 
 Options: --sf-dir (default /root/testdata/sf0.001), --limit N (default 20,
-0 = no limit), --master (default local[*]).
+0 = no limit), --master (default local[*]); pipeline adds --warehouse DIR
+(required), --mode seed|incremental|auto (default auto: seed when the
+warehouse is empty), --skip-quality.
 
-The reference's surface is an orchestrator CLI (orchestrator.py); this is
-the equivalent front door for ad-hoc use — the programmatic API remains
-importer_spark.queries.QUERIES.
+The reference's surface is an orchestrator CLI (orchestrator.py:580-629:
+sources in priority order, seed/incremental modes, then dbt build + test);
+`pipeline` is that loop composed from this library: run_source_load per
+source, ModelGraph topological build, write marts, quality_manifest suites
+on the BUILT frames. Exit code 1 = a quality gate failed (the dbt-test
+contract); the programmatic API remains importer_spark.queries.QUERIES.
 """
 
 from __future__ import annotations
@@ -32,7 +40,16 @@ def main(argv: list[str] | None = None, out=None) -> int:
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--master", default="local[*]")
+    pp = sub.add_parser("pipeline")
+    pp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pp.add_argument("--warehouse", required=True)
+    pp.add_argument("--mode", choices=["seed", "incremental", "auto"], default="auto")
+    pp.add_argument("--master", default="local[*]")
+    pp.add_argument("--skip-quality", action="store_true")
     args = p.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        return _pipeline(args, out)
 
     from importer_spark.queries import DIAGNOSTICS, ORACLES, QUERIES
 
@@ -72,6 +89,84 @@ def main(argv: list[str] | None = None, out=None) -> int:
     for r in rows:
         print(json.dumps(r.asDict(), default=str, sort_keys=True), file=out)
     return 0
+
+
+def _pipeline(args, out) -> int:
+    """Seed/incremental source loads → model DAG build → mart writes →
+    quality suites, as one command. Each stage prints a JSON line; the
+    final line is a summary (tail-capture friendly, like bench.py)."""
+    import os
+
+    from importer_spark.io import Tables, write_replace
+    from importer_spark.plans import models  # noqa: F401 — registers GRAPH models
+    from importer_spark.plans.dag import GRAPH
+    from importer_spark.plans.pipeline import run_source_load
+    from importer_spark.quality_manifest import MANIFEST
+    from importer_spark.session import get_spark
+
+    spark = get_spark(app_name="importer-spark-pipeline", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = Tables(spark, args.sf_dir)
+
+    # --- stage 1: source loads (orchestrator.py source loop analog) -------
+    sources = {
+        "orders": (t.orders, ["o_orderkey"], "o_orderdate"),
+        "events": (t.events, ["event_id"], "ts"),
+    }
+    loads = {}
+    for name, (df, keys, cursor) in sources.items():
+        target = os.path.join(args.warehouse, "sources", name)
+        mode = args.mode
+        if mode == "auto":
+            mode = "incremental" if os.path.exists(target) else "seed"
+        res = run_source_load(spark, df, target, keys=keys, cursor_col=cursor, mode=mode)
+        loads[name] = {"mode": res.mode, "rows_loaded": res.rows_loaded,
+                       "target_rows": res.target_rows}
+        print(json.dumps({"stage": "source_load", "source": name, **loads[name]}),
+              file=out)
+
+    # --- stage 2: model DAG build + mart materialization ------------------
+    outputs = GRAPH.run(spark, args.sf_dir)
+    marts = {}
+    try:
+        for name, df in outputs.items():
+            if not name.startswith("mart_"):
+                continue  # staging/intermediate stay lazy (dbt view layers)
+            path = os.path.join(args.warehouse, "marts", name)
+            write_replace(df, path)
+            marts[name] = spark.read.parquet(path).count()
+            print(json.dumps({"stage": "mart", "model": name, "rows": marts[name],
+                              "path": path}), file=out)
+
+        # --- stage 3: quality suites on the BUILT frames ------------------
+        failed = []
+        checked = 0
+        if not args.skip_quality:
+            from importer_spark.quality import run_suite
+
+            for name in marts:
+                checks = MANIFEST.get(name)
+                if not checks:
+                    continue
+                res = run_suite(outputs[name], checks).collect()
+                checked += len(res)
+                bad = [(r.check_name, r.n_violations) for r in res if not r.passed]
+                failed.extend((name, c, n) for c, n in bad)
+                print(json.dumps({"stage": "quality", "model": name,
+                                  "checks": len(res), "failed": bad}), file=out)
+    finally:
+        GRAPH.release(outputs)
+
+    summary = {
+        "stage": "summary",
+        "sources": loads,
+        "marts": marts,
+        "quality_checks": checked,
+        "quality_failures": len(failed),
+        "ok": not failed,
+    }
+    print(json.dumps(summary, sort_keys=True), file=out)
+    return 0 if not failed else 1
 
 
 if __name__ == "__main__":

@@ -49,3 +49,26 @@ def test_query_docs_in_sync():
         doc = fh.read()
     missing = [n for n in list(QUERIES) + list(DIAGNOSTICS) if f"`{n}`" not in doc]
     assert not missing, f"regenerate QUERIES.md: missing {missing}"
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path):
+    """The orchestrator front door: seed run loads sources, builds marts,
+    passes quality; the rerun flips to incremental and is idempotent
+    (0 new rows, same mart counts, still green)."""
+    wh = str(tmp_path / "wh")
+    buf = io.StringIO()
+    assert main(["pipeline", "--warehouse", wh], out=buf) == 0
+    lines = [json.loads(line) for line in buf.getvalue().splitlines()]
+    summary = lines[-1]
+    assert summary["stage"] == "summary" and summary["ok"]
+    assert summary["sources"]["orders"]["mode"] == "seed"
+    assert summary["marts"]["mart_customer_health"] > 0
+    assert summary["quality_checks"] >= 16 and summary["quality_failures"] == 0
+
+    buf2 = io.StringIO()
+    assert main(["pipeline", "--warehouse", wh], out=buf2) == 0
+    summary2 = [json.loads(line) for line in buf2.getvalue().splitlines()][-1]
+    assert summary2["sources"]["orders"]["mode"] == "incremental"
+    assert summary2["sources"]["orders"]["rows_loaded"] == 0  # nothing new
+    assert summary2["marts"] == summary["marts"]
+    assert summary2["ok"]
