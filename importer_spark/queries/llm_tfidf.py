@@ -98,3 +98,17 @@ def near_dup_clusters(spark, sf_dir):
 
     pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
     return connected_components(pairs, out_id="doc_id")
+
+
+@query("near_dup_clusters_star", oracle=_CLUSTERS_SQL)
+def near_dup_clusters_star(spark, sf_dir):
+    """Same dedup groups via the DISTRIBUTED large-star/small-star
+    contraction (Kiveris et al., O(log d) rounds — the 100 TB regime of
+    connected_components, which small graphs normally bypass for local
+    union-find). Forcing max_local_edges=0 makes the driver's oracle gate
+    certify the star algorithm itself against the recursive-CTE closure:
+    three independent evaluation strategies, one fixpoint."""
+    from importer_spark.operators.graph import connected_components
+
+    pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
+    return connected_components(pairs, out_id="doc_id", max_local_edges=0)
