@@ -45,14 +45,19 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Registration order = external-verification sampling order. A verifier that
 # checks a prefix of the catalog should hit the queries with the least prior
-# driver evidence first. Rounds 1+2 sampled disjoint 50-query prefixes and
-# left exactly 16 queries with no driver row plus one FAIL to re-certify
-# (rolling_range_window, red in r2 on the since-fixed events-NTZ bug) — the
-# round-3 list leads with those; everything else keeps its original
-# registration order behind them.
+# driver evidence first. After rounds 1-3 every then-registered query had a
+# green driver row, so the round-4 list leads with the queries added since
+# (the star connected components and the four new TPC-H shapes); everything
+# else keeps the round-3 order behind them.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # FAIL in CORRECTNESS_r02 (events-NTZ regression, fixed) — re-certify first
+    # Round-4 additions: no driver evidence yet
+    "near_dup_clusters_star",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    # Everything below is driver-green across r1-r3 (r3 order retained)
     "rolling_range_window",
     # The 16 queries with no driver evidence after rounds 1+2
     "product_pricing_history",

@@ -108,7 +108,7 @@ def order_options_kv(spark, sf_dir):
 # conventions follow functions/core.py (exact-decimal sums cast to DOUBLE,
 # dates emitted as yyyy-MM-dd string slices).
 
-_TPCH_VIEWS = ("customer", "orders", "lineitem", "nation")
+_TPCH_VIEWS = ("customer", "orders", "lineitem", "nation", "supplier", "region", "part")
 
 
 def _register_tpch_views(t):
@@ -168,3 +168,131 @@ def tpch_q10_returned_items(spark, sf_dir):
     t = Tables(spark, sf_dir)
     _register_tpch_views(t)
     return spark.sql(_Q10_TEXT)
+
+
+_Q5_TEXT = """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_local_supplier_volume", oracle=_Q5_TEXT)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (revenue by nation where supplier and customer share a
+    nation, one region, one order year). Six-table star: Catalyst broadcasts
+    supplier/nation/region, the orders date filter pushes to the scan, and
+    the only large shuffle keys on orderkey — the same plan a 100 TB run
+    wants. The extra c_nationkey = s_nationkey equi-condition rides the
+    supplier join, not a post-filter."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q5_TEXT)
+
+
+_Q7_TEXT = """
+SELECT supp_nation, cust_nation, ship_year,
+  CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=_Q7_TEXT)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (bilateral trade volume by ship year): the same
+    dimension joined twice under different aliases (supplier's nation vs
+    customer's nation) with a symmetric OR pair predicate. Both nation
+    copies broadcast; the OR does not block pushdown because each branch is
+    a constant test on broadcast-joined columns."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q7_TEXT)
+
+
+# Q14's headline is a ratio. Both engines sum in exact DECIMAL, cast the two
+# exact sums to DOUBLE, and perform the identical IEEE multiply+divide — so
+# the float compares bitwise across engines (the repo-wide convention:
+# decimals until the last operation).
+_Q14_TEXT = """
+SELECT CAST(
+    100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        AS DOUBLE)
+  AS DOUBLE) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_effect", oracle=_Q14_TEXT)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share for one ship month): a
+    conditional-aggregate ratio over a fact-dim join. One scan computes both
+    sums (no per-branch re-scan); the month predicate pushes to the
+    lineitem scan so only ~1/60 of the fact is read."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q14_TEXT)
+
+
+# The HAVING subquery compares exact decimals (l_quantity is integral-valued
+# but stored as DOUBLE; summing doubles is addition-order-dependent, so both
+# engines cast to DECIMAL inside SUM to make the >150 threshold exact).
+_Q18_TEXT = """
+SELECT c_name AS cust_name,
+  c_custkey AS cust_key,
+  o_orderkey AS order_key,
+  SUBSTR(CAST(o_orderdate AS STRING), 1, 10) AS order_date,
+  CAST(o_totalprice AS DOUBLE) AS total_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey,
+  SUBSTR(CAST(o_orderdate AS STRING), 1, 10), o_totalprice
+"""
+
+
+@query("tpch_q18_large_volume_customers", oracle=_Q18_TEXT)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (orders above a total-quantity threshold, with
+    customer detail): IN over a grouped-HAVING subquery. Catalyst plans the
+    subquery as an aggregate + left-semi join on orderkey — the same key the
+    outer join and group use, so AQE reuses one partitioning end to end
+    instead of re-shuffling per stage."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q18_TEXT)
