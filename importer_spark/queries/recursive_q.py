@@ -39,6 +39,14 @@ def customer_hierarchy_depth(spark, sf_dir):
     expanding at the root guard), so total work is O(rows × depth), and
     depth is logarithmic here. For unbounded/deep graphs prefer the
     checkpointed DataFrame loop (near_dup_clusters) — recursion depth is a
-    config-bounded resource."""
+    config-bounded resource.
+
+    Spark guards recursive CTEs with TWO limits: a level limit (100, kept —
+    this walk needs ⌈log10(max key)⌉ ≤ 20 levels for any BIGINT key) and a
+    total-row limit (default 1e6, which a 150k-customer input legitimately
+    exceeds: total rows = n × depth, linear in data — hit at the sf1 gate).
+    The row limit is lifted here because the level limit already bounds the
+    work to n × 100; a true runaway still terminates."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     Tables(spark, sf_dir).customer.createOrReplaceTempView("customer")
     return spark.sql(_HIERARCHY_SQL)

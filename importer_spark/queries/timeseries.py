@@ -177,7 +177,8 @@ win AS (
   SELECT day, rev_d,
     COUNT(*) OVER w AS n,
     CAST(SUM(rev_d) OVER w AS DOUBLE) AS s1,
-    CAST(SUM(CAST(rev_d * rev_d AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+    CAST(SUM(CAST(rev_d AS DECIMAL(19,2)) * CAST(rev_d AS DECIMAL(19,2)))
+      OVER w AS DOUBLE) AS s2
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
@@ -211,7 +212,13 @@ def daily_revenue_anomalies(spark, sf_dir):
         "rev_d",
         F.count("*").over(w).alias("n"),
         F.sum("rev_d").over(w).cast("double").alias("s1"),
-        F.sum((F.col("rev_d") * F.col("rev_d")).cast("decimal(38,4)"))
+        # Operands widened BEFORE the multiply: both engines then produce an
+        # exact DECIMAL(38,4) product (a bare DECIMAL(18,2)² overflows
+        # DuckDB's 18-digit multiply once daily revenue crosses ~1e9 — found
+        # by the sf1 gate; headroom now extends past rev_d ~1e15).
+        F.sum(
+            F.col("rev_d").cast("decimal(19,2)") * F.col("rev_d").cast("decimal(19,2)")
+        )
         .over(w)
         .cast("double")
         .alias("s2"),
