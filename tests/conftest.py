@@ -48,9 +48,12 @@ def _cell(v) -> str:
     if isinstance(v, (np.bool_,)):
         v = bool(v)
     if isinstance(v, float):
-        return repr(v)
+        # IEEE -0.0 == 0.0; engines disagree on the sign of a rounded zero
+        # (Spark ROUND normalizes via BigDecimal to +0.0, DuckDB keeps -0.0
+        # — surfaced by the sf1 gate on 10x-diluted ratio shares).
+        return repr(v + 0.0 if v == 0 else v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return repr(float(v) + 0.0 if v == 0 else float(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):

@@ -5,6 +5,23 @@ i × stride). Output is multi-file parquet, so scans parallelize like real
 warehouse data (the shipped sf0.1 files are single-row-group → single-task
 scans; see PERF.md round 3).
 
+Document text and embedding vectors are PERTURBED per copy (copy 0 stays
+byte-identical to the source). Verbatim copies would make every doc a
+near-dup of its 9 twins, blowing the near-dup pair count up ~K² — a
+data-generation artifact that turns every similarity operator (and its
+DuckDB oracle) quadratic in K instead of linear in rows. Perturbation
+keeps the dup structure per-copy: 10× rows → 10× similarity work, which
+is the scaling a real 10× corpus exhibits.
+  - documents: every token in copy i>0 gets an `_i` suffix (one
+    regexp_replace), so cross-copy shingle sets are disjoint (Jaccard 0)
+    while within-copy near-dup pairs replicate the source corpus exactly.
+  - embeddings: copy i>0 multiplies every vector by ONE deterministic
+    ±1 sign vector s_i (from xxhash64(dim_index, i)). dot(s⊙x, s⊙y) =
+    dot(x, y), so each copy is an exact isometry of the source corpus —
+    within-copy similarity structure (near-dup pairs, top-k, clusters)
+    replicates sf0.1 exactly — while cross-copy cosines collapse to ~0
+    (independent sign vectors decorrelate the copies).
+
 This data is for performance experiments only — correctness gates always
 run on the driver's own testdata.
 
@@ -53,6 +70,28 @@ def main() -> None:
                 c = df
                 for col in keys:
                     c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
+                if i > 0 and table == "documents":
+                    # Disjoint shingle space per copy (see module docstring).
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1_{i}")
+                    ).withColumn("n_chars", F.length("text").cast("long"))
+                if i > 0 and table == "embeddings":
+                    # ONE ±1 sign vector per copy (per-dim, NOT per-vector):
+                    # an isometry on dot products within the copy.
+                    def _sign_flip(copy_idx):
+                        def flip(x, j):
+                            sign = F.when(
+                                F.pmod(F.xxhash64(j, F.lit(copy_idx)), 2) == 0,
+                                F.lit(1.0),
+                            ).otherwise(F.lit(-1.0))
+                            return x * sign
+
+                        return flip
+
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform("embedding", _sign_flip(i)).cast("array<float>"),
+                    )
                 copies.append(c)
             scaled = copies[0]
             for c in copies[1:]:

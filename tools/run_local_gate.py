@@ -15,6 +15,15 @@ queries so the sample tracks LIVE objects, not garbage), the count of
 persistent RDDs, and the Python RSS. A leak shows as monotonic growth in
 the GC'd samples; plan/state churn shows as sawtooth.
 
+Every DuckDB oracle runs under a watchdog (SPARK_GRAFT_ORACLE_TIMEOUT
+seconds, default 600): single-threaded SQL re-derivations of bucketed
+similarity operators can be orders of magnitude slower than the engine at
+10x scale, and one runaway oracle must not starve the rest of the
+certification. A timed-out oracle is recorded in "oracle_timeouts" (with
+the Spark side's rows + seconds, which DID complete) — distinct from
+"fails", because it is evidence about the oracle's cost, not the engine's
+correctness; those queries stay value-certified at the driver scales.
+
 Usage: python tools/run_local_gate.py [sf_dir] [out_json] [--cpus N]
 """
 
@@ -23,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -31,6 +41,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def used_heap_mb(spark) -> float:
     rt = spark._jvm.java.lang.Runtime.getRuntime()
     return round((rt.totalMemory() - rt.freeMemory()) / 1e6, 1)
+
+
+class OracleTimeout(RuntimeError):
+    pass
+
+
+def run_oracle_with_timeout(con, sql: str, timeout_s: float):
+    """Execute a DuckDB query, interrupting it from a watchdog thread if it
+    exceeds the budget (duckdb raises InterruptException, surfaced here as
+    OracleTimeout)."""
+    done = threading.Event()
+    timed_out = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            timed_out.set()
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    except Exception:
+        if timed_out.is_set():
+            raise OracleTimeout(f"oracle exceeded {timeout_s:.0f}s") from None
+        raise
+    finally:
+        done.set()
+        t.join()
 
 
 def rss_mb() -> float:
@@ -62,7 +101,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
+    oracle_timeout_s = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
     fails: dict[str, str] = {}
+    oracle_timeouts: dict[str, dict] = {}
     seconds: dict[str, list[float]] = {}
     heap_samples: list[dict] = []
     names = sorted(QUERIES)
@@ -71,10 +112,27 @@ def main() -> None:
         try:
             sdf = QUERIES[name](spark, sf_dir).toPandas()
             t1 = time.perf_counter()
-            odf = con.execute(ORACLES[name]).df()
+            try:
+                odf = run_oracle_with_timeout(con, ORACLES[name], oracle_timeout_s)
+            except OracleTimeout:
+                seconds[name] = [round(t1 - t0, 3), -1.0]
+                oracle_timeouts[name] = {
+                    "spark_rows": len(sdf),
+                    "spark_seconds": round(t1 - t0, 3),
+                    "oracle_budget_s": oracle_timeout_s,
+                }
+                print(
+                    f"ORACLE_TIMEOUT {name} (spark ok: {len(sdf)} rows in "
+                    f"{t1 - t0:.1f}s)",
+                    file=sys.stderr,
+                )
+                odf = None
             t2 = time.perf_counter()
-            seconds[name] = [round(t1 - t0, 3), round(t2 - t1, 3)]
-            if sorted(sdf.columns) != sorted(odf.columns):
+            if odf is not None:
+                seconds[name] = [round(t1 - t0, 3), round(t2 - t1, 3)]
+            if odf is None:
+                pass
+            elif sorted(sdf.columns) != sorted(odf.columns):
                 fails[name] = (
                     f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
                 )
@@ -92,6 +150,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record, keep gating
             fails[name] = f"{type(e).__name__}: {e}"[:300]
             seconds[name] = [round(time.perf_counter() - t0, 3), -1.0]
+        if name in fails:
+            print(f"FAIL {name}: {fails[name][:200]}", file=sys.stderr)
         if (i + 1) % 10 == 0 or i + 1 == len(names):
             spark._jvm.java.lang.System.gc()
             heap_samples.append(
@@ -113,7 +173,8 @@ def main() -> None:
     artifact = {
         "sf_dir": sf_dir,
         "n": len(names),
-        "passes": len(names) - len(fails),
+        "passes": len(names) - len(fails) - len(oracle_timeouts),
+        "oracle_timeouts": oracle_timeouts,
         "fails": fails,
         "seconds": seconds,
         "heap": heap_samples,
@@ -123,7 +184,7 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
     print(json.dumps({"n": artifact["n"], "passes": artifact["passes"],
-                      "out": out_path}))
+                      "oracle_timeouts": len(oracle_timeouts), "out": out_path}))
     sys.exit(0 if not fails else 1)
 
 
