@@ -34,7 +34,12 @@ SELECT part_key, ship_date, l_orderkey AS order_key, l_linenumber AS line_number
         / NULLIF(LAG(obs_price) OVER w_seq, 0) * 100.0, 6) AS price_change_pct,
   COUNT(*) OVER w_range AS obs_30d,
   ROUND(MAX(obs_price) OVER w_run, 8) AS running_max_price,
-  ROUND(obs_price / NULLIF(p_retailprice, 0), 6) AS retail_ratio
+  -- FLOOR(x*1e6 + 0.5)/1e6, not ROUND(x, 6): an 8dp/2dp quotient double can
+  -- land exactly on a 7th-digit '5' (sf0.1 hits two), and the engines'
+  -- ROUNDs then disagree (binary-expansion HALF_UP vs shortest-repr). The
+  -- floor formula is the same IEEE mul/add/floor/div in both engines.
+  FLOOR(obs_price / NULLIF(p_retailprice, 0) * 1000000 + 0.5) / 1000000
+    AS retail_ratio
 FROM obs
 WINDOW
   w_seq AS (PARTITION BY part_key ORDER BY l_shipdate, l_orderkey, l_linenumber),
@@ -84,9 +89,15 @@ def product_pricing_history(spark, sf_dir):
         growth_pct(F.col("obs_price"), prev).alias("price_change_pct"),
         F.count("*").over(w_range).alias("obs_30d"),
         F.round(F.max("obs_price").over(w_run), 8).alias("running_max_price"),
-        F.round(F.col("obs_price") / F.nullif(F.col("p_retailprice"), F.lit(0)), 6).alias(
-            "retail_ratio"
-        ),
+        # Portable half-up (see the oracle text): identical IEEE op sequence
+        # on both engines, immune to the decimal-boundary ROUND divergence.
+        (
+            F.floor(
+                F.col("obs_price") / F.nullif(F.col("p_retailprice"), F.lit(0)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("retail_ratio"),
     )
 
 
