@@ -1,9 +1,12 @@
 """Dedup queries over documents (BASELINE.json LLM-pipeline operators).
 
-The near-dup oracle is intentionally a DIFFERENT algorithm (brute-force
-all-pairs Jaccard in DuckDB) than the Spark implementation (MinHash+LSH):
-agreement proves both the candidate generation's recall and the verify step's
-precision, not just expression parity.
+The near-dup oracle is intentionally a DIFFERENT algorithm (exact Jaccard
+over an inverted shingle index in DuckDB — no MinHash, no banding) than the
+Spark implementation (MinHash+LSH): agreement proves both the candidate
+generation's recall and the verify step's precision, not just expression
+parity. The index formulation is pinned ≡ brute-force all-pairs at sf0.01 by
+tools/verify_scaled_similarity.py, which also certifies this family at 10×
+bench scale where all-pairs is infeasible.
 """
 
 from __future__ import annotations
@@ -74,39 +77,53 @@ def minhash_signatures_q(spark, sf_dir):
     return minhash_signatures(t.documents, "doc_id", "text")
 
 
-_NEAR_DUP_SQL = (
-    _SHINGLE_CTE
-    + """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-"""
+# Ground-truth near-dup pairs via an inverted shingle index, NOT an
+# all-pairs join: a pair can only reach Jaccard >= 0.8 > 0 by sharing a
+# shingle, so joining exploded (distinct) shingle lists and counting
+# co-occurrences gives |A∩B| for exactly the candidate pairs, and
+# |A∪B| = |A|+|B|−|A∩B|. Semantically identical to brute force (equality
+# pinned at sf0.01 by tools/verify_scaled_similarity.py) but index-join
+# cost — the all-pairs formulation took hours in DuckDB at 5k docs and
+# timed out the sf1 gate. Still implementation-free: no MinHash/LSH here.
+def _index_pairs_cte(extra_pred: str = "") -> str:
+    return (
+        _SHINGLE_CTE
+        + f"""
+, sz AS (SELECT doc_id, len(sh) AS n FROM s),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+    ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+  FROM co
+  JOIN sz sa ON sa.doc_id = co.id_a
+  JOIN sz sb ON sb.doc_id = co.id_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8 {extra_pred}
 )
+"""
+    )
+
+
+_NEAR_DUP_SQL = _index_pairs_cte() + "SELECT id_a, id_b, jaccard FROM pairs"
 
 
 @query("near_dup_pairs", oracle=_NEAR_DUP_SQL)
 def near_dup_pairs_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs at Jaccard >= 0.8. Spark runs the scalable
-    banded-LSH path (no all-pairs join); the oracle brute-forces all pairs —
-    value agreement certifies LSH recall AND precision on this data."""
+    banded-LSH path (no all-pairs join); the oracle computes exact Jaccard
+    for every shingle-sharing pair — value agreement certifies LSH recall
+    AND precision on this data."""
     t = Tables(spark, sf_dir)
     return near_dup_pairs(t.documents, "doc_id", "text")
 
 
 _INCR_NEAR_DUP_SQL = (
-    _SHINGLE_CTE
-    + """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-"""
+    _index_pairs_cte("AND (id_a % 5 = 0 OR id_b % 5 = 0)")
+    + "SELECT id_a, id_b, jaccard FROM pairs"
 )
 
 
@@ -115,8 +132,8 @@ def near_dup_pairs_incremental_q(spark, sf_dir):
     """Incremental LSH dedup: docs with doc_id % 5 == 0 play the NEW daily
     batch; the rest are the already-indexed corpus whose persisted band
     store is probed without recomputing its signatures. The oracle is the
-    full brute-force all-pairs Jaccard restricted to pairs touching a new
-    doc — agreement proves the incremental path returns EXACTLY the batch
+    full exact-Jaccard answer restricted to pairs touching a new doc —
+    agreement proves the incremental path returns EXACTLY the batch
     slice of the full answer (deterministic banding), at batch cost."""
     t = Tables(spark, sf_dir)
     is_new = F.col("doc_id") % 5 == 0

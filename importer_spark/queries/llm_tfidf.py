@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
 from importer_spark.operators.dedup import near_dup_pairs
-from importer_spark.queries.llm_dedup import _SHINGLE_CTE
+from importer_spark.queries.llm_dedup import _index_pairs_cte
 from importer_spark.queries.registry import query
 
 _TFIDF_SQL = """
@@ -60,15 +60,11 @@ def tfidf_weights(spark, sf_dir):
     )
 
 
+# Pairs come from the inverted-index ground truth (see llm_dedup._index_pairs_cte);
+# the recursive closure over them is unchanged.
 _CLUSTERS_SQL = (
-    _SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    _index_pairs_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
     + """,
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
