@@ -53,6 +53,11 @@ from importer_spark.queries import windows  # noqa: F401,E402
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "near_dup_clusters_star",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_types",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "tpch_q14_promo_effect",

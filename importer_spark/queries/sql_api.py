@@ -296,3 +296,158 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
     t = Tables(spark, sf_dir)
     _register_tpch_views(t)
     return spark.sql(_Q18_TEXT)
+
+
+# The shipped schema has no l_commitdate/l_receiptdate, so "late" is a line
+# shipped more than 60 days after its order date — same correlated-EXISTS
+# shape as the spec's Q4 (priority-order checking).
+_Q4_TEXT = """
+SELECT o_orderpriority AS order_priority,
+  COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=_Q4_TEXT)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (priority counts for orders with a late line):
+    correlated EXISTS with an inequality on both tables' columns. Catalyst
+    decorrelates it into a left-semi join on orderkey (the inequality rides
+    as the join's extra condition) — one fact shuffle, never a per-order
+    subquery loop; the quarter predicate prunes the orders scan first."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q4_TEXT)
+
+
+# No l_shipmode column — l_returnflag plays the two-valued ship-group role;
+# the shape is Q12's: one fact join, CASE-split dual counts by priority class.
+_Q12_TEXT = """
+SELECT l_returnflag AS ship_group,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("tpch_q12_shipmode_priority", oracle=_Q12_TEXT)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (priority-class counts per ship group): both CASE
+    branches evaluate in ONE pass over the joined fact (no per-branch
+    re-scan), and the ship-year predicate pushes into the lineitem scan so
+    the join only sees one year of lines."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q12_TEXT)
+
+
+# No partsupp table — lineitem's (l_partkey, l_suppkey) pairs are the
+# supplier-part relation; the shape is Q16's: negated dim predicates, an
+# IN size list, a NOT IN supplier blacklist subquery, COUNT(DISTINCT).
+_Q16_TEXT = """
+SELECT p_brand AS brand,
+  p_type AS part_type,
+  p_size AS part_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_part_types", oracle=_Q16_TEXT)
+def tpch_q16_supplier_part_types(spark, sf_dir):
+    """TPC-H Q16 shape (distinct suppliers per excluded-part group): NOT IN
+    over a subquery plans as a null-aware anti join (broadcast — the
+    blacklist is tiny), the <>/IN dim predicates push into the part scan,
+    and COUNT(DISTINCT) expands to a two-level aggregate, partial-combined
+    map-side before the one shuffle on the group keys."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q16_TEXT)
+
+
+# No p_container — each OR branch gates on (brand, size range, quantity
+# range) only; the shape is Q19's: a disjunction of conjunctive range
+# predicates spanning both join sides.
+_Q19_TEXT = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_discounted_revenue", oracle=_Q19_TEXT)
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (revenue under a disjunction of brand/size/quantity
+    windows): the classic pushdown stress — Catalyst factors the
+    single-side conjuncts out of the OR, so the part scan prunes on
+    (brand OR brand OR brand) and the lineitem scan on the quantity hull,
+    before the join evaluates the full disjunction."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q19_TEXT)
+
+
+# Q22's "rich but inactive" shape. The average-balance threshold is computed
+# in exact arithmetic (balance × count > sum over positive balances) so the
+# cut compares identically on both engines — a double AVG would be
+# addition-order-dependent and could flip boundary customers.
+_Q22_TEXT = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_pos,
+    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum
+  FROM customer
+  WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment,
+  COUNT(*) AS n_rich_inactive,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > bal_sum
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", oracle=_Q22_TEXT)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (above-average-balance customers with no recent
+    orders, by segment): a one-row aggregate broadcast via CROSS JOIN plus
+    NOT EXISTS planned as a left-anti join on custkey. The anti join's
+    build side is the date-pruned orders slice, broadcast at dim size."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q22_TEXT)
