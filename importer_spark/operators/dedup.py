@@ -238,3 +238,72 @@ def near_dup_pairs_incremental(
     )
     pairs = verify_candidates(corpus, candidates, id_col, text_col, shingle_k, threshold)
     return pairs, bands_new
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr shape,
+    re-expressed relationally): every maximal token span covered by n-grams
+    that occur in >= min_docs distinct documents.
+
+    Plan shape (the suffix-array-free 100 TB formulation):
+      1. ONE window pass per document builds position-stamped n-grams via
+         posexplode + (n-1) leads — no per-row arrays, stays in codegen.
+      2. Grams shuffle ONCE on a 128-bit md5 key (16 bytes instead of the
+         ~n*avg_token gram text; collision-free at any realistic corpus —
+         a 64-bit key would start colliding near 2^32 distinct grams).
+      3. The duplicated-key set semi-joins back to positions (AQE
+         broadcasts it when the dup set is small, as in a mostly-clean
+         corpus).
+      4. Overlapping/adjacent hits merge into maximal spans with the
+         gaps-and-islands running sum, partitioned per document.
+    Returns (id, span_start, span_end) in 0-based token positions, both
+    inclusive.
+    """
+    toks = F.split(F.col(text_col), " ")
+    tok = df.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "_tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("gram_key"),
+            parts[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .drop("_full")
+    )
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_key")
+    )
+    hits = grams.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
+    wp = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(wp))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("_brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+    ).drop("island")

@@ -53,6 +53,7 @@ from importer_spark.queries import windows  # noqa: F401,E402
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "near_dup_clusters_star",
+    "exact_substring_spans",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_types",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from importer_spark.io import Tables
 from importer_spark.operators.dedup import (
     band_index,
+    duplicate_ngram_spans,
     exact_dedup,
     minhash_signatures,
     near_dup_pairs,
@@ -198,4 +199,69 @@ def benchmark_contamination(spark, sf_dir):
         F.col("n_shared").cast("bigint").alias("n_shared"),
         F.round(ratio, 12).alias("overlap_ratio"),
         (ratio >= 0.5).alias("contaminated"),
+    )
+
+
+_SUBSTR_DEDUP_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS gram_key
+  FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram_key FROM grams GROUP BY gram_key HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram_key)),
+lagged AS (SELECT doc_id, pos,
+  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+isl AS (SELECT doc_id, pos,
+  SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged),
+spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM isl GROUP BY doc_id, island),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+SELECT d2.doc_id,
+  CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(string_split(d2.text, ' '))
+    AS dup_share,
+  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(string_split(d2.text, ' ')) < 0.2
+    AS keep
+FROM documents d2 LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("exact_substring_spans", oracle=_SUBSTR_DEDUP_SQL)
+def exact_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr, relationally):
+    token spans covered by 8-grams occurring in >= 2 distinct documents,
+    merged into maximal islands, rolled up to a per-doc duplicated-token
+    share with a keep/drop gate at 20%. Complements the MinHash/SimHash
+    family: those flag near-identical DOCUMENTS; this surgically locates
+    repeated PASSAGES (boilerplate, licenses, quotations) inside otherwise
+    unique ones. The dup-share here is exact, not an estimate — the oracle
+    re-derives it from raw SQL with no hashing shortcuts beyond the
+    collision-free 128-bit gram key both engines share."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    spans = duplicate_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    share = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            "n_tokens",
+            share.alias("dup_share"),
+            (share < 0.2).alias("keep"),
+        )
     )
