@@ -72,7 +72,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_k: int = 3
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{n-1}.
 
@@ -100,7 +100,7 @@ def band_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 8,
+    n_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
@@ -120,7 +120,7 @@ def near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 8,
+    n_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
     threshold: float = 0.8,
@@ -134,7 +134,13 @@ def near_dup_pairs(
       3. distinct candidate pairs; shingle sets are built ONLY for docs that
          appear in a candidate pair (semi-join prune), then exact Jaccard
          keeps pairs >= threshold.
-    With j≈0.99 dups and (8,2) parameters, recall ≈ 1-(1-j²)⁴ ≈ 1-2e-7.
+    With (16,2) parameters — 8 bands of 2 — recall is 1-(1-j²)⁸: ≈1-8e-9
+    at j=0.95, ≈1-2e-3 at the j=0.8 threshold edge. The defaults were
+    raised from (8,2) after the 10× certification caught a real j=0.95
+    pair missed by 4 bands (P≈9e-5 per pair — expected once per ~10k
+    pairs, observed once at sf1); doubling the bands buys back the tail
+    for one extra md5 per shingle row and twice the (id, band_key)
+    candidate-join volume, which stays the only thing shuffled.
     """
     banded = band_index(df, id_col, text_col, n_hashes, band_size, shingle_k)
     candidates = (
@@ -200,7 +206,7 @@ def near_dup_pairs_incremental(
     band_store: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 8,
+    n_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
     threshold: float = 0.8,

@@ -64,7 +64,7 @@ _MINHASH_SIG_SQL = (
     + ",\n".join(
         "  list_aggregate(list_transform(sh, x -> substr(md5('{m}:' || x), {start}, 8)),"
         " 'min') AS mh{j}".format(m=j // 4, start=(j % 4) * 8 + 1, j=j)
-        for j in range(8)
+        for j in range(16)
     )
     + "\nFROM s"
 )
@@ -72,7 +72,7 @@ _MINHASH_SIG_SQL = (
 
 @query("minhash_signatures", oracle=_MINHASH_SIG_SQL)
 def minhash_signatures_q(spark, sf_dir):
-    """MinHash signatures (8 components over 3-word shingles) — the
+    """MinHash signatures (16 components over 3-word shingles) — the
     permutation-stable sketch that powers LSH dedup."""
     t = Tables(spark, sf_dir)
     return minhash_signatures(t.documents, "doc_id", "text")

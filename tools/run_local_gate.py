@@ -81,10 +81,16 @@ def rss_mb() -> float:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:  # delta-certify new queries, merge into the artifact
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     out_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        argv[1]
+        if len(argv) > 1
         else f"LOCAL_GATE_{os.path.basename(sf_dir.rstrip('/'))}.json"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
@@ -107,6 +113,11 @@ def main() -> None:
     seconds: dict[str, list[float]] = {}
     heap_samples: list[dict] = []
     names = sorted(QUERIES)
+    if only is not None:
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in catalog: {sorted(unknown)}")
+        names = sorted(only)
     for i, name in enumerate(names):
         t0 = time.perf_counter()
         try:
@@ -170,10 +181,21 @@ def main() -> None:
                 f"rdds={heap_samples[-1]['persistent_rdds']}",
                 file=sys.stderr,
             )
+    if only is not None and os.path.exists(out_path):
+        # Delta run: fold the new rows into the existing artifact.
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        assert prior.get("sf_dir") == sf_dir, (
+            f"artifact {out_path} is for {prior.get('sf_dir')}, not {sf_dir}"
+        )
+        fails = {**prior.get("fails", {}), **fails}
+        oracle_timeouts = {**prior.get("oracle_timeouts", {}), **oracle_timeouts}
+        seconds = {**prior.get("seconds", {}), **seconds}
+        heap_samples = prior.get("heap", []) + heap_samples
     artifact = {
         "sf_dir": sf_dir,
-        "n": len(names),
-        "passes": len(names) - len(fails) - len(oracle_timeouts),
+        "n": len(seconds),
+        "passes": len(seconds) - len(fails) - len(oracle_timeouts),
         "oracle_timeouts": oracle_timeouts,
         "fails": fails,
         "seconds": seconds,
