@@ -19,8 +19,14 @@ is the scaling a real 10× corpus exhibits.
     ±1 sign vector s_i (from xxhash64(dim_index, i)). dot(s⊙x, s⊙y) =
     dot(x, y), so each copy is an exact isometry of the source corpus —
     within-copy similarity structure (near-dup pairs, top-k, clusters)
-    replicates sf0.1 exactly — while cross-copy cosines collapse to ~0
-    (independent sign vectors decorrelate the copies).
+    replicates sf0.1 exactly. Cross-copy cosines decorrelate only in
+    EXPECTATION: the twin cosine x·(s⊙x)/|x|² has σ ≈ 1/√d_eff (≈0.21
+    for this corpus's effective dimension ~23), so a low pair threshold
+    (0.45 here) still admits a tail of real cross-copy pairs. Those are
+    genuine properties of the scaled dataset — the similarity gate
+    certifies the embedding family per-copy plus against the exact
+    oracle run at scale, rather than expecting zero cross-copy pairs
+    (tools/verify_scaled_similarity.py).
 
 This data is for performance experiments only — correctness gates always
 run on the driver's own testdata.

@@ -188,8 +188,16 @@ def main() -> None:
         assert prior.get("sf_dir") == sf_dir, (
             f"artifact {out_path} is for {prior.get('sf_dir')}, not {sf_dir}"
         )
-        fails = {**prior.get("fails", {}), **fails}
-        oracle_timeouts = {**prior.get("oracle_timeouts", {}), **oracle_timeouts}
+        rerun = set(names)  # a re-run name's NEW outcome replaces its old one
+        fails = {
+            **{k: v for k, v in prior.get("fails", {}).items() if k not in rerun},
+            **fails,
+        }
+        oracle_timeouts = {
+            **{k: v for k, v in prior.get("oracle_timeouts", {}).items()
+               if k not in rerun},
+            **oracle_timeouts,
+        }
         seconds = {**prior.get("seconds", {}), **seconds}
         heap_samples = prior.get("heap", []) + heap_samples
     artifact = {

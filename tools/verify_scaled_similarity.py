@@ -45,6 +45,42 @@ TARGETS = {
     "near_dup_clusters_star": ["doc_id", "cluster_id"],
 }
 
+# The embedding twins need a DIFFERENT certification shape. Copy i multiplies
+# every vector by one ±1 sign vector (make_scaled_data.py) — an exact
+# dot-product isometry, so each copy's WITHIN-copy pair set replicates copy 0
+# bitwise. But unlike the text side (token suffixing ⇒ provably-disjoint
+# shingle spaces ⇒ zero cross-copy pairs), sign flips only decorrelate
+# cross-copy cosines in expectation: with effective dimension ~23 the twin
+# cosine has σ≈0.21, so at the 0.45 threshold a few percent of the 225k
+# cross-copy twin pairs land above it. Those pairs are REAL properties of the
+# scaled dataset (the exact oracle reports them too), not engine errors — so
+# the gate (a) checks the within-copy restriction of every copy equals the
+# sf0.1-certified answer exactly, (b) checks the full sf1 pair set against
+# the exact DuckDB oracle run AT sf1, and (c) checks the sf1 clusters against
+# a recursive closure computed over that certified sf1 pair set (the full
+# cluster oracle — brute-force pairs + closure — times out the main gate;
+# factoring it through the certified pairs is the same ground truth at
+# tractable cost). Cross-copy pair counts are recorded as data facts.
+EMB_PAIRS = "embedding_near_dups"
+EMB_CLUSTERS = "embedding_dup_clusters"
+
+_EMB_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT id_a AS src, id_b AS dst FROM certified_pairs
+  UNION ALL SELECT id_b, id_a FROM certified_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
 
 def _bruteforce_pairs_cte(extra_pred: str = "") -> str:
     """All-pairs exact-Jaccard reference (O(n²) list intersections — only
@@ -161,12 +197,68 @@ def main() -> None:
         report[name] = entry
         print(name, json.dumps(entry), file=sys.stderr)
 
-    ok = all(
+    text_ok = all(
         e["rewrite_faithful_sf001"]
         and e["sf01_oracle_match"]
         and e["copy0_match"]
         and e["cross_copy_rows"] == 0
         for e in report.values()
+    )
+
+    # --- embedding family (see the module-level rationale) -----------------
+    con1 = duck_con(sf1)
+    base_pairs = con.execute(ORACLES[EMB_PAIRS]).df()  # sf0.1 exact oracle
+
+    pe: dict = {}
+    t0 = time.perf_counter()
+    big_pairs = QUERIES[EMB_PAIRS](spark, sf1).toPandas()
+    pe["sf1_spark_rows"] = len(big_pairs)
+    pe["sf1_spark_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    oracle_pairs = con1.execute(ORACLES[EMB_PAIRS]).df()
+    pe["sf1_oracle_rows"] = len(oracle_pairs)
+    pe["sf1_oracle_s"] = round(time.perf_counter() - t0, 1)
+    pe["sf1_oracle_match"] = bool(
+        len(big_pairs) == len(oracle_pairs)
+        and canonical(big_pairs).equals(canonical(oracle_pairs))
+    )
+    ca, cb = big_pairs["id_a"] // STRIDE, big_pairs["id_b"] // STRIDE
+    n_copies = int(max(ca.max(), cb.max())) + 1 if len(big_pairs) else 1
+    pe["cross_copy_rows"] = int((ca != cb).sum())  # data fact, not an error
+    within_ok = []
+    for c in range(n_copies):
+        sel = big_pairs[(ca == c) & (cb == c)].copy()
+        sel["id_a"] -= c * STRIDE
+        sel["id_b"] -= c * STRIDE
+        within_ok.append(
+            len(sel) == len(base_pairs)
+            and canonical(sel.reset_index(drop=True)).equals(canonical(base_pairs))
+        )
+    pe["within_copy_rows"] = [int(((ca == c) & (cb == c)).sum()) for c in range(n_copies)]
+    pe["within_copy_match_all"] = bool(all(within_ok))
+    report[EMB_PAIRS] = pe
+    print(EMB_PAIRS, json.dumps(pe), file=sys.stderr)
+
+    ce: dict = {}
+    t0 = time.perf_counter()
+    big_clusters = QUERIES[EMB_CLUSTERS](spark, sf1).toPandas()
+    ce["sf1_spark_rows"] = len(big_clusters)
+    ce["sf1_spark_s"] = round(time.perf_counter() - t0, 1)
+    con1.register("certified_pairs", oracle_pairs)
+    closure = con1.execute(_EMB_CLOSURE_SQL).df()
+    ce["sf1_closure_rows"] = len(closure)
+    ce["sf1_closure_match"] = bool(
+        len(big_clusters) == len(closure)
+        and canonical(big_clusters).equals(canonical(closure))
+    )
+    report[EMB_CLUSTERS] = ce
+    print(EMB_CLUSTERS, json.dumps(ce), file=sys.stderr)
+
+    ok = (
+        text_ok
+        and pe["sf1_oracle_match"]
+        and pe["within_copy_match_all"]
+        and ce["sf1_closure_match"]
     )
     artifact = {"sf01_dir": sf01, "sf1_dir": sf1, "ok": ok, "queries": report}
     with open(out_path, "w") as fh:
