@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "near_dup_clusters_star",
     "exact_substring_spans",
+    "unigram_logprob_scores",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_types",

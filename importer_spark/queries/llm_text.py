@@ -516,3 +516,67 @@ def frequent_tokens(spark, sf_dir):
     t = Tables(spark, sf_dir)
     toks = t.documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return frequent_items(toks, "tok", HH_DEN)
+
+
+_UNIGRAM_LM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok,
+    CAST(ROUND(ln(cnt::DOUBLE / total), 9) AS DECIMAL(18,9)) AS lp
+  FROM vocab, tot
+),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lp) AS s
+  FROM tok t JOIN lp l USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logprob,
+  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) >= -3.5 AS keep
+FROM per
+"""
+
+
+@query("unigram_logprob_scores", oracle=_UNIGRAM_LM_SQL)
+def unigram_logprob_scores(spark, sf_dir):
+    """Unigram language-model quality scores (the CCNet/KenLM perplexity
+    filter's shape, with the corpus itself as the LM): token log-probs from
+    corpus frequencies, each document scored by its mean token log-prob,
+    gated at a fluency threshold. Wildly improbable token streams (boiler-
+    plate noise, encoding garbage) score low and drop.
+
+    Scale shape: one token explode feeds BOTH the vocabulary build and the
+    scoring join; the vocab aggregates with map-side partials, its one-row
+    total broadcasts back, and the score join keys on the token (AQE
+    broadcasts the vocab while it fits, shuffle-joins beyond). Cross-engine
+    determinism: log-probs are rounded to 9 places then summed as exact
+    DECIMAL(18,9) — double summation order never matters — with ONE final
+    double divide (the repo-wide exact-decimal convention,
+    functions/core.py)."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    per = (
+        tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
+    )
+    avg = F.round(F.col("s").cast("double") / F.col("n_tokens"), 6)
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        avg.alias("avg_logprob"),
+        (avg >= -3.5).alias("keep"),
+    )
