@@ -278,6 +278,22 @@ def duplicate_ngram_spans(
     Returns (id, span_start, span_end) in 0-based token positions, both
     inclusive.
     """
+    grams = position_ngrams(df, id_col, text_col, n)
+    dup_keys = (
+        grams.groupBy("_k1", "_k2")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k1", "_k2")
+    )
+    hits = grams.join(dup_keys, ["_k1", "_k2"], "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, n)
+
+
+def position_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """(id, pos, _k1, _k2): position-stamped n-grams under the two-longs
+    128-bit key (see duplicate_ngram_spans). One window pass per document."""
     toks = F.split(F.col(text_col), " ")
     tok = df.filter(F.size(toks) >= n).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "_tok")
@@ -285,7 +301,7 @@ def duplicate_ngram_spans(
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
     gram = F.concat_ws(" ", *parts)
-    grams = (
+    return (
         tok.select(
             F.col(id_col),
             F.col("pos"),
@@ -296,13 +312,11 @@ def duplicate_ngram_spans(
         .filter(F.col("_full"))
         .drop("_full")
     )
-    dup_keys = (
-        grams.groupBy("_k1", "_k2")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_k1", "_k2")
-    )
-    hits = grams.join(dup_keys, ["_k1", "_k2"], "left_semi").select(id_col, "pos")
+
+
+def _merge_hit_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of fixed-length-n hit positions into maximal
+    (id, span_start, span_end) spans, partitioned per document."""
     wp = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         hits.withColumn("_prev", F.lag("pos").over(wp))
@@ -321,3 +335,95 @@ def duplicate_ngram_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + F.lit(n - 1)).alias("span_end"),
     ).drop("island")
+
+
+def ngram_store(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """The persistable gram-store STATE for incremental exact-substring
+    dedup: per distinct gram key, the distinct-holder count CAPPED at 2
+    (only "one doc" vs "already duplicated" matters downstream — the cap
+    keeps the store a fixed-width row regardless of how hot a gram is) and,
+    for single-holder grams, that holder's id (so re-processing the same
+    document is idempotent rather than self-duplicating)."""
+    return (
+        position_ngrams(df, id_col, text_col, n)
+        .groupBy("_k1", "_k2")
+        .agg(
+            F.least(F.countDistinct(id_col), F.lit(2)).alias("n_docs"),
+            F.min(id_col).alias("solo_id"),
+        )
+    )
+
+
+def merge_ngram_stores(store: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a batch's gram-store delta into the persisted store: capped
+    counts add (then re-cap), and solo_id survives only while the merged
+    count is 1. At scale this is io.merge_by_key on (_k1, _k2) — a
+    bucket-pruned rewrite proportional to the batch's key set."""
+    s = store.select(
+        "_k1", "_k2",
+        F.col("n_docs").alias("_ns"), F.col("solo_id").alias("_ss"),
+    )
+    d = delta.select(
+        "_k1", "_k2",
+        F.col("n_docs").alias("_nd"), F.col("solo_id").alias("_sd"),
+    )
+    both = s.join(d, ["_k1", "_k2"], "full_outer")
+    ns, nd = F.coalesce(F.col("_ns"), F.lit(0)), F.coalesce(F.col("_nd"), F.lit(0))
+    # Disjoint-id assumption only matters when both sides are solo with the
+    # SAME holder (a re-ingested doc): that stays count 1.
+    same_solo = (ns == 1) & (nd == 1) & (F.col("_ss") == F.col("_sd"))
+    merged_n = F.when(same_solo, F.lit(1)).otherwise(F.least(ns + nd, F.lit(2)))
+    return both.select(
+        "_k1", "_k2",
+        merged_n.alias("n_docs"),
+        F.when(merged_n == 1, F.coalesce(F.col("_ss"), F.col("_sd")))
+        .otherwise(F.least(F.col("_ss"), F.col("_sd")))
+        .alias("solo_id"),
+    )
+
+
+def duplicate_ngram_spans_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-substring dedup: duplicated spans of a NEW batch
+    against an already-indexed corpus, at batch cost.
+
+    A new doc's position is duplicated iff its gram is held by >= 2 distinct
+    documents across corpus ∪ batch:
+      - the store says n_docs >= 2 (corpus already duplicated it), or
+      - the store says n_docs == 1 by a DIFFERENT holder (the new doc is
+        the second), or
+      - >= 2 distinct batch docs carry it (batch-internal duplication).
+    Only the batch is tokenized; the store probe is an equi-join on the
+    16-byte gram key (at scale: store partitioned by key bucket, probe
+    prunes). Returns (spans, store_delta); callers fold the delta in with
+    :func:`merge_ngram_stores`. With disjoint doc ids this returns EXACTLY
+    the full-corpus duplicate_ngram_spans restricted to batch docs
+    (property-tested), and re-processing an already-indexed doc is
+    idempotent thanks to the solo_id guard."""
+    grams = position_ngrams(new_docs, id_col, text_col, n)
+    batch_stats = grams.groupBy("_k1", "_k2").agg(
+        F.countDistinct(id_col).alias("_bn")
+    )
+    st = store.select(
+        "_k1", "_k2", F.col("n_docs").alias("_sn"), F.col("solo_id").alias("_sid")
+    )
+    hits = (
+        grams.join(batch_stats, ["_k1", "_k2"])
+        .join(st, ["_k1", "_k2"], "left")
+        .filter(
+            (F.col("_sn") >= 2)
+            | ((F.col("_sn") == 1) & (F.col("_sid") != F.col(id_col)))
+            | (F.col("_bn") >= 2)
+        )
+        .select(id_col, "pos")
+    )
+    delta = grams.groupBy("_k1", "_k2").agg(
+        F.least(F.countDistinct(id_col), F.lit(2)).alias("n_docs"),
+        F.min(id_col).alias("solo_id"),
+    )
+    return _merge_hit_spans(hits, id_col, n), delta

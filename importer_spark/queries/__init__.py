@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "near_dup_clusters_star",
     "exact_substring_spans",
+    "exact_substring_spans_incremental",
     "unigram_logprob_scores",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",

@@ -265,3 +265,51 @@ def exact_substring_spans(spark, sf_dir):
             (share < 0.2).alias("keep"),
         )
     )
+
+
+_SUBSTR_INCR_SQL = _SUBSTR_DEDUP_SQL.replace(
+    "FROM documents d2 LEFT JOIN per_doc p USING (doc_id)",
+    "FROM documents d2 LEFT JOIN per_doc p USING (doc_id)\nWHERE d2.doc_id % 5 = 0",
+)
+
+
+@query("exact_substring_spans_incremental", oracle=_SUBSTR_INCR_SQL)
+def exact_substring_spans_incremental_q(spark, sf_dir):
+    """Incremental exact-substring dedup: docs with doc_id % 5 == 0 play the
+    NEW daily batch; the rest are the indexed corpus, represented ONLY by
+    the persisted gram store (capped-count + solo-holder rows — fixed-width
+    state regardless of gram popularity). Only the batch tokenizes; the
+    store probe is one equi-join on the 16-byte gram key. The oracle is the
+    FULL-corpus computation restricted to batch docs — agreement proves the
+    incremental path returns exactly the batch slice of the full answer, at
+    batch cost (the same contract as near_dup_pairs_incremental)."""
+    from importer_spark.operators.dedup import (
+        duplicate_ngram_spans_incremental,
+        ngram_store,
+    )
+
+    t = Tables(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    store = ngram_store(t.documents.filter(~is_new), "doc_id", "text")
+    new_docs = t.documents.filter(is_new)
+    spans, _delta = duplicate_ngram_spans_incremental(
+        new_docs, store, "doc_id", "text"
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    share = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
+    return (
+        new_docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            "n_tokens",
+            share.alias("dup_share"),
+            (share < 0.2).alias("keep"),
+        )
+    )

@@ -639,3 +639,63 @@ def test_session_window_streaming_batch_equivalence(spark, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in spark.sql("SELECT * FROM sess_native").collect()}
     assert b == s and len(b) > 0
+
+
+def test_incremental_substring_spans_matches_batch_slice(spark):
+    """Incremental exact-substring contract: probing the persisted gram
+    store returns EXACTLY the full-corpus duplicate spans restricted to
+    batch docs; chaining a second batch through merge_ngram_stores keeps
+    the contract; re-processing an already-indexed doc is idempotent
+    (solo_id guard — a doc is never its own duplicate)."""
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        duplicate_ngram_spans_incremental,
+        merge_ngram_stores,
+        ngram_store,
+    )
+
+    docs = Tables(spark, SF_DIR).documents
+    full = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_ngram_spans(docs, "doc_id", "text").collect()
+    }
+    assert full  # planted near-dups share passages
+
+    b1 = F.col("doc_id") % 5 == 0
+    b2 = F.col("doc_id") % 5 == 1
+    base = docs.filter(~b1 & ~b2)
+    store = ngram_store(base, "doc_id", "text")
+
+    # Full run over base ∪ batch1, restricted to batch1 docs.
+    spans1, delta1 = duplicate_ngram_spans_incremental(
+        docs.filter(b1), store, "doc_id", "text"
+    )
+    got1 = {(r.doc_id, r.span_start, r.span_end) for r in spans1.collect()}
+    want1 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_ngram_spans(docs.filter(~b2), "doc_id", "text")
+        .filter(b1)
+        .collect()
+    }
+    assert got1 == want1
+
+    # Chain: merged store sees base ∪ batch1; batch2 vs full answer.
+    store2 = merge_ngram_stores(store, delta1)
+    spans2, _ = duplicate_ngram_spans_incremental(
+        docs.filter(b2), store2, "doc_id", "text"
+    )
+    got2 = {(r.doc_id, r.span_start, r.span_end) for r in spans2.collect()}
+    want2 = {t for t in full if t[0] % 5 == 1}
+    assert got2 == want2
+
+    # Idempotence: re-processing base docs against their own store adds no
+    # self-duplicates — the result equals the full-base answer (true dups
+    # among base docs), not "everything is a dup of itself".
+    respans, _ = duplicate_ngram_spans_incremental(base, store, "doc_id", "text")
+    regot = {(r.doc_id, r.span_start, r.span_end) for r in respans.collect()}
+    rewant = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_ngram_spans(base, "doc_id", "text").collect()
+    }
+    assert regot == rewant
