@@ -201,3 +201,81 @@ def test_streaming_incremental_near_dup_via_foreachbatch(spark, tmp_path):
     }
     assert want  # planted dups exist
     assert got == want
+
+
+def test_streaming_incremental_substring_via_foreachbatch(spark, tmp_path):
+    """Streaming exact-substring dedup: document batches arrive as a file
+    stream; each foreachBatch probes the PERSISTED gram store (fixed-width
+    capped-count rows), appends the batch's duplicate spans, and merges the
+    batch's gram delta in (io.merge_by_key on the 16-byte key — batch cost,
+    not corpus cost). Streaming semantics are prefix semantics: a doc's
+    spans reflect the corpus as of its arrival (a later-arriving twin makes
+    the LATER doc's spans, not retroactive ones) — so the accumulated
+    result must equal the union over waves of the full-batch answer on that
+    wave's prefix, restricted to the wave."""
+    from importer_spark.io import Tables, merge_by_key, read_parquet_if_exists
+    from importer_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        duplicate_ngram_spans_incremental,
+    )
+
+    docs = Tables(spark, SF_DIR).documents.select("doc_id", "lang", "text")
+    store_path = str(tmp_path / "gram_store")
+    spans_path = str(tmp_path / "spans")
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+
+    for wave in range(3):
+        docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stream_in))
+
+    def process_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        store = read_parquet_if_exists(s, store_path)
+        if store is None:
+            store = s.createDataFrame(
+                [], "_k1 bigint, _k2 bigint, n_docs int, solo_id bigint"
+            )
+        spans, delta = duplicate_ngram_spans_incremental(
+            batch, store.select("_k1", "_k2", "n_docs", "solo_id"),
+            "doc_id", "text",
+        )
+        spans.write.mode("append").parquet(spans_path)
+        # merge_by_key upserts whole rows by key; fold counts first so the
+        # store row reflects store ∪ delta, then upsert.
+        from importer_spark.operators.dedup import merge_ngram_stores
+
+        merged_delta = merge_ngram_stores(
+            store.join(delta.select("_k1", "_k2"), ["_k1", "_k2"], "left_semi"),
+            delta,
+        )
+        merge_by_key(s, merged_delta, store_path, keys=["_k1", "_k2"], n_buckets=4)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_in))
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(spans_path).collect()
+    }
+    want = set()
+    for wave in range(3):
+        prefix = docs.filter(F.col("doc_id") % 3 <= wave)
+        want |= {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_ngram_spans(prefix, "doc_id", "text")
+            .filter(F.col("doc_id") % 3 == wave)
+            .collect()
+        }
+    assert want  # planted dups share passages
+    assert got == want
