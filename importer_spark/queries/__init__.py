@@ -56,6 +56,17 @@ _PRIORITY: list[str] = [
     "exact_substring_spans",
     "exact_substring_spans_incremental",
     "unigram_logprob_scores",
+    "tpch_q1_pricing_summary_sql",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_types",

@@ -451,3 +451,413 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
     t = Tables(spark, sf_dir)
     _register_tpch_views(t)
     return spark.sql(_Q22_TEXT)
+
+
+# --- round-4 part 2: the sweep completes — every remaining TPC-H shape -----
+# (Q1, Q6, Q13, Q15, Q17, Q8, Q9, Q2, Q11, Q20, Q21, adapted to the shipped
+# schema where a spec column/table is absent; each keeps the SPEC query's
+# relational shape and runs the identical text on both engines.)
+
+_Q1_TEXT = """
+SELECT l_returnflag AS return_flag,
+  l_linestatus AS line_status,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * CAST(1 - l_discount AS DECIMAL(8,2))
+          * CAST(1 + l_tax AS DECIMAL(8,2))) * 100 + 0.5) AS DECIMAL(38,0))
+      * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS sum_charge,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing_summary_sql", oracle=_Q1_TEXT)
+def tpch_q1_pricing_summary_sql(spark, sf_dir):
+    """TPC-H Q1 as ONE SQL text (the DataFrame form of the same semantics
+    is `pricing_summary`): the canonical map-side-partial aggregation —
+    six aggregates over two low-cardinality keys, one scan, one tiny
+    shuffle of partial states. The 3-factor charge is computed entirely
+    in exact decimals (each FACTOR cast to decimal, then decimal
+    multiplies), and its 6-decimal total is emitted as half-up cents via
+    floor(x*100 + 0.5) IN DECIMAL SPACE before the double cast. Two
+    real cross-engine traps, both caught by the sf1 gate at 6M rows and
+    invisible below it: (1) casting the double product to DECIMAL(18,6)
+    hits the engines' different double->decimal conversions at the 6th
+    decimal; (2) a 6-decimal total above ~9e9 scales past 2^53, where
+    decimal->double conversion itself diverges by 1 ulp (and decimal
+    RESCALING can't fix it: Spark rescales ties half-up, DuckDB
+    half-even — measured). The floor trick uses only exact decimal ops,
+    so no rounding mode is ever consulted; the cents total is back under
+    2^53 and converts exactly."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q1_TEXT)
+
+
+_Q6_TEXT = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", oracle=_Q6_TEXT)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pushdown benchmark — every
+    predicate is scan-evaluable, so the whole query is a parquet scan with
+    three pushed filters feeding one codegen'd aggregate. No join, no
+    wide shuffle; the plan's only exchange carries one partial-agg row per
+    partition."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q6_TEXT)
+
+
+# No o_comment column — the spec's NOT LIKE '%special%requests%' exclusion
+# becomes an order-priority exclusion; the customer-distribution shape
+# (LEFT join so zero-order customers count, two-level aggregation) is intact.
+_Q13_TEXT = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", oracle=_Q13_TEXT)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join with an
+    extra join-side predicate (NOT a WHERE — zero-order customers must
+    survive with count 0), then a second aggregation over the first's
+    output. Both aggregations key small (custkey, then count), and the
+    join's filter rides the join condition so it never turns the LEFT join
+    inner."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q13_TEXT)
+
+
+# The spec's CREATE VIEW revenue0 is a CTE here (same text both engines);
+# the top supplier is selected with the spec's correlated MAX subquery.
+_Q15_TEXT = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS supp_key,
+  s_name AS supp_name,
+  CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_TEXT)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier for a quarter): a reused CTE consumed twice
+    (once joined, once under MAX) with a scalar subquery in the WHERE.
+    Catalyst evaluates the MAX branch as a one-row subquery broadcast;
+    ties all surface (the spec's semantics) because the comparison is on
+    the EXACT decimal revenue, not a double."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q15_TEXT)
+
+
+# Q8: the customer's region gates the market; the supplier's nation is the
+# "national" share numerator. p_type plays the spec's product filter.
+_Q8_TEXT = """
+SELECT order_year,
+  CAST(
+    CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE)
+  AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+    n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY order_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8_TEXT)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (one nation's market share inside a region, by
+    year): an eight-table join where nation participates twice under
+    aliases on OPPOSITE sides of the fact (customer's nation gates the
+    market, supplier's nation is the numerator), finished by a
+    conditional-aggregate ratio. Every dim broadcasts; the fact shuffles
+    once on orderkey; both ratio legs come out of ONE pass. Exact-decimal
+    volumes; the two exact sums cast to DOUBLE for one IEEE divide."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q8_TEXT)
+
+
+# No ps_supplycost — profit proxies as revenue minus 60% of the part's
+# retail price per unit. The spec's shape survives: part-gated fact join,
+# supplier nation grouping, year extraction, exact-decimal amounts.
+_Q9_TEXT = """
+SELECT nation, order_year,
+  CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, order_year
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_Q9_TEXT)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit by supplier nation and year for a product
+    family): a LIKE-gated part filter pushes into the dim scan BEFORE the
+    fact join, the five-table join broadcasts everything but lineitem,
+    and profit arithmetic stays in exact decimals until the final cast."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q9_TEXT)
+
+
+# Q17: the spec's 0.2*avg(quantity) correlated threshold, verbatim shape
+# (Brand/container → brand + size gate here). The headline divide-by-7
+# ("average yearly revenue") is kept.
+_Q17_TEXT = """
+SELECT CAST(
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+  AS DOUBLE) AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND p_size <= 20
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity_revenue", oracle=_Q17_TEXT)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (revenue locked in small-quantity orders): the
+    classic correlated AGGREGATE subquery — each line compares against
+    0.2x its part's average quantity. Catalyst decorrelates into an
+    aggregate on partkey joined back to the gated fact: one extra
+    aggregation instead of a per-row subquery loop. The threshold itself
+    (0.2*avg of integral-valued doubles) is exact in IEEE, so the strict
+    < compares identically on both engines."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q17_TEXT)
+
+
+# No partsupp table — lineitem's observed per-unit prices play the supply
+# offers: a (part, supplier) pair's offer is its MINIMUM observed unit
+# price (raw IEEE division, deliberately un-rounded: both engines compare
+# and minimize the identical doubles; rounding at a decimal boundary is
+# the one thing that diverges cross-engine — see the retail_ratio note).
+_Q2_TEXT = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+    MIN(l_extendedprice / l_quantity) AS offer_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name AS supp_name,
+  n_name AS nation,
+  p_partkey AS part_key,
+  p_name AS part_name,
+  offer_price
+FROM part
+JOIN ps ON p_partkey = ps.partkey
+JOIN supplier ON s_suppkey = ps.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15
+  AND p_type = 'SMALL'
+  AND r_name = 'EUROPE'
+  AND offer_price = (
+    SELECT MIN(ps2.offer_price)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.partkey = p_partkey
+      AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_TEXT)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier per part within a region):
+    the classic correlated-MIN subquery over a derived supply relation,
+    consumed twice (join + per-part minimum). Catalyst decorrelates the
+    scalar subquery into a min-aggregate joined back on partkey; all dims
+    broadcast; ties (two suppliers at the same exact minimum) surface,
+    per spec."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q2_TEXT)
+
+
+# No ps_availqty — a part's "stock value" is its shipped revenue via the
+# region's suppliers. Q11's shape survives: grouped sum filtered by a
+# scalar subquery over the SAME relation. The spec's fixed fraction is
+# 1/SF-scaled (a share threshold shrinks as parts multiply), so this form
+# self-scales instead: value > 1.5x the average part value, cross-
+# multiplied to EXACT integer/decimal arithmetic (2*value*count > 3*total)
+# so no engine ever rounds the cut.
+_Q11_TEXT = """
+WITH v AS (
+  SELECT l_partkey AS part_key,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS pv
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 2
+  GROUP BY l_partkey
+)
+SELECT part_key, CAST(pv AS DOUBLE) AS part_value
+FROM v
+WHERE pv * (SELECT 2 * COUNT(*) FROM v) > (SELECT 3 * SUM(pv) FROM v)
+"""
+
+
+@query("tpch_q11_important_stock", oracle=_Q11_TEXT)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (parts whose value exceeds a fraction of the
+    global total): HAVING against an uncorrelated scalar subquery over
+    the same filtered relation. The scalar branch evaluates once and
+    broadcasts as a one-row literal; the threshold compares EXACT
+    decimals (sum × an exact decimal literal), so the cut is
+    engine-independent down to the last cent."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q11_TEXT)
+
+
+# No ps_availqty — "excess" inverts to dominance: suppliers who shipped
+# more than 1/8 of some ECONOMY part's total quantity (x8 keeps the cut
+# in exact decimal arithmetic; 1/8 holds rows at every tested scale since
+# per-part supplier shares concentrate near 1/n_suppliers). The spec's
+# nested IN → grouped-HAVING → correlated-scalar chain is intact.
+_Q20_TEXT = """
+SELECT s_name AS supp_name,
+  n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 1
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) * 8 > (
+      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+  )
+"""
+
+
+@query("tpch_q20_dominant_suppliers", oracle=_Q20_TEXT)
+def tpch_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers dominating a part's volume): an IN
+    subquery whose HAVING carries a CORRELATED scalar aggregate (each
+    (supplier, part) group compares against that part's total). Catalyst
+    decorrelates the inner aggregate on partkey, joins it back, and plans
+    the IN as a semi join on suppkey — three aggregation levels, zero
+    per-row subquery execution. Exact-decimal quantity sums."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q20_TEXT)
+
+
+# No l_commitdate/l_receiptdate — "kept the order waiting" is shipping
+# more than 90 days after the order date. The spec's EXISTS / NOT EXISTS
+# pair (another supplier participated; no OTHER supplier was late) is
+# verbatim.
+_Q21_TEXT = """
+SELECT s_name AS supp_name,
+  CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+  AND n_regionkey = 1
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21_suppliers_kept_waiting", oracle=_Q21_TEXT)
+def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (the sole late supplier in multi-supplier orders):
+    the hardest decorrelation in the suite — an EXISTS and a NOT EXISTS
+    over the same fact, both correlated on orderkey with an outer-column
+    (o_orderdate) inside the anti branch. Catalyst plans them as a
+    left-semi and a left-anti join stacked on the orderkey partitioning
+    the main join already established — the fact shuffles once, not three
+    times."""
+    t = Tables(spark, sf_dir)
+    _register_tpch_views(t)
+    return spark.sql(_Q21_TEXT)
