@@ -192,3 +192,62 @@ def test_interval_join_matches_brute_force(spark, points, ivs):
         if s <= p < s + ln
     }
     assert got == want
+
+
+def _brute_force_dup_spans(docs: dict[int, str], n: int) -> set[tuple[int, int, int]]:
+    """Reference implementation of duplicate_ngram_spans in plain Python:
+    n-gram occurrence map → positions whose gram appears in ≥2 distinct
+    docs → merge hits ≤ n apart into maximal spans."""
+    holders: dict[tuple[str, ...], set[int]] = {}
+    positions: dict[int, list[int]] = {}
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            holders.setdefault(tuple(toks[i : i + n]), set()).add(doc_id)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        hits = [
+            i
+            for i in range(max(len(toks) - n + 1, 0))
+            if len(holders[tuple(toks[i : i + n])]) >= 2
+        ]
+        if hits:
+            positions[doc_id] = hits
+    spans = set()
+    for doc_id, hits in positions.items():
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > n:
+                spans.add((doc_id, start, prev + n - 1))
+                start = p
+            prev = p
+        spans.add((doc_id, start, prev + n - 1))
+    return spans
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_duplicate_ngram_spans_matches_brute_force(spark, texts, n):
+    """duplicate_ngram_spans ≡ the plain-Python reference on random tiny
+    corpora over a 4-token alphabet (dense with collisions, so islands
+    merge, singleton docs, short docs, and empty docs all occur)."""
+    from importer_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _brute_force_dup_spans(docs, n)
