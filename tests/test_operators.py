@@ -699,3 +699,46 @@ def test_incremental_substring_spans_matches_batch_slice(spark):
         for r in duplicate_ngram_spans(base, "doc_id", "text").collect()
     }
     assert regot == rewant
+
+
+def test_merge_bucket_keys_prefix_colocates_entities(spark, tmp_path):
+    """bucket_keys = a PK prefix: all of an entity's rows land in ONE
+    bucket, so an update batch touching E entities rewrites <= E buckets;
+    resolution still dedups on the FULL key; mismatched bucket_keys on a
+    later merge raises instead of silently splitting PKs."""
+    import glob
+
+    from importer_spark.io import merge_by_key
+
+    rows = [(o, l, float(o * 10 + l)) for o in range(50) for l in range(1, 5)]
+    df = spark.createDataFrame(rows, "order_key bigint, line int, qty double")
+    tgt = str(tmp_path / "lines")
+    merge_by_key(
+        spark, df, tgt, keys=["order_key", "line"],
+        n_buckets=32, bucket_keys=["order_key"],
+    )
+    before = set(glob.glob(tgt + "/**/*.parquet", recursive=True))
+
+    upd = df.filter(F.col("order_key") == 7).withColumn("qty", F.col("qty") + 100)
+    merge_by_key(spark, upd, tgt, keys=["order_key", "line"], bucket_keys=["order_key"])
+    rewritten_dirs = {
+        p.split("/_kb=")[1].split("/")[0]
+        for p in set(glob.glob(tgt + "/**/*.parquet", recursive=True)) - before
+    }
+    assert len(rewritten_dirs) == 1  # one entity -> one bucket
+
+    got = spark.read.parquet(tgt)
+    assert got.count() == len(rows)  # full-key dedup, no duplicate PKs
+    assert (
+        got.filter((F.col("order_key") == 7) & (F.col("line") == 2))
+        .first().qty == 72.0 + 100
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_keys"):
+        merge_by_key(spark, upd, tgt, keys=["order_key", "line"])
+    with _pytest.raises(ValueError, match="prefix"):
+        merge_by_key(
+            spark, upd, tgt, keys=["order_key", "line"], bucket_keys=["line"]
+        )
