@@ -14,6 +14,7 @@ from importer_spark.operators.text import (
     lang_scores,
     normalize_text,
     simhash32,
+    simhash_prefix_long,
     tokens,
 )
 from importer_spark.queries.registry import query
@@ -218,7 +219,7 @@ def simhash_fingerprints(spark, sf_dir):
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("m"))
+    ).select("doc_id", simhash_prefix_long(F.md5("tok")).alias("m"))
     bits = tok.groupBy("doc_id").agg(
         *[F.sum(simhash32(F.col("m"), b)).alias(f"s{b}") for b in range(32)]
     )
