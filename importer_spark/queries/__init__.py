@@ -46,9 +46,13 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # Registration order = external-verification sampling order. A verifier that
 # checks a prefix of the catalog should hit the queries with the least prior
 # driver evidence first. After rounds 1-3 every then-registered query had a
-# green driver row, so the round-4 list leads with the queries added since
-# (the star connected components and the four new TPC-H shapes); everything
-# else keeps the round-3 order behind them.
+# green driver row, so the round-4 list leads with everything added since:
+# the star connected components, the passage-level substring dedup family,
+# the unigram-LM scores, and the sixteen TPC-H shapes that completed the
+# 22-query sweep; everything else keeps the round-3 order behind them. (All
+# round-4 additions are already green in the in-repo sf0.01 AND sf1 gates —
+# LOCAL_GATE_*.json — this order just lets the driver confirm the newest
+# first.)
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
