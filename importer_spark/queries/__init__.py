@@ -17,11 +17,13 @@ from importer_spark.queries import consolidation  # noqa: F401,E402
 from importer_spark.queries import core  # noqa: F401,E402
 from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
+from importer_spark.queries import analytics2  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import intervals_q  # noqa: F401,E402
 from importer_spark.queries import joins2  # noqa: F401,E402
 from importer_spark.queries import llm_dedup  # noqa: F401,E402
+from importer_spark.queries import llm_lm  # noqa: F401,E402
 from importer_spark.queries import llm_multimodal  # noqa: F401,E402
 from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
@@ -56,6 +58,12 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
+    "bigram_backoff_scores",
+    "dsir_importance_weights",
+    "basket_pair_lift",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "rfm_segments",
     "near_dup_clusters_star",
     "exact_substring_spans",
     "exact_substring_spans_incremental",

@@ -1,0 +1,315 @@
+"""Round-4 analytics extensions: market-basket co-occurrence, Markov
+transition matrices, time-weighted (LOCF) averages, and RFM segmentation.
+
+These extend the reference's mart layer (customer health scoring in
+dim_company_health.sql, order analytics in fct_orders.sql) with four
+classic warehouse shapes the reference's users would reach for next:
+association mining over order baskets, event-sequence transition
+probabilities, duration-weighted metrics over irregular event streams
+(the TimescaleDB ``time_weight`` shape), and recency/frequency/monetary
+customer segmentation (generalizing the reference's health-score ntile at
+dim_company_health.sql:59).
+
+Scale notes are per query; the repo-wide conventions apply (exact decimal
+accumulation with ONE final double conversion, deterministic tie-breaks on
+every window, no single-task global windows — `operators/ranks.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.functions import dec, out_double
+from importer_spark.io import Tables
+from importer_spark.queries.registry import query
+
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+part_cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+pair_cnt AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b,
+  CAST(p.n_orders_both AS BIGINT) AS n_orders_both,
+  ROUND(p.n_orders_both::DOUBLE / n.n, 6) AS support,
+  ROUND(p.n_orders_both::DOUBLE / ca.cnt, 6) AS confidence_a_to_b,
+  ROUND(p.n_orders_both::DOUBLE * n.n / (ca.cnt * cb.cnt), 6) AS lift
+FROM pair_cnt p
+JOIN part_cnt ca ON ca.l_partkey = p.part_a
+JOIN part_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n_orders n
+WHERE p.n_orders_both >= 2
+"""
+
+
+@query("basket_pair_lift", oracle=_BASKET_SQL)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket association mining: for every pair of parts bought in
+    the same order, support / confidence / lift, gated at min-support 2
+    orders. The candidate generator is a self-equi-join on the order key —
+    pair blowup is bounded by basket size squared (TPC-H baskets are ≤7
+    lines), NOT corpus size, so this is the a-priori first pass that scales
+    linearly in orders. Part frequencies join back on the part key (AQE
+    broadcasts the count side while it fits); the one-row order total
+    broadcasts. All ratios are int/int divisions rounded once — bit-stable
+    across engines."""
+    t = Tables(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_orders_both").cast("bigint").alias("n_orders_both"),
+            F.round(F.col("n_orders_both").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_orders_both").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_orders_both").cast("double")
+                * F.col("n")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+  CAST(n_transitions AS BIGINT) AS n_transitions,
+  ROUND(n_transitions::DOUBLE
+        / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+FROM cnt
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_SQL)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type). The sequencing window shuffles
+    once on user_id (deterministic (ts, event_id) order); the transition
+    count is a map-side-combining groupBy on a k² key space, and the row
+    normalization runs on the k²-row aggregate — trivially small at any
+    corpus scale. The user-journey building block for churn-path and
+    next-action models."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = t.events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_norm = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+_TIME_WEIGHTED_SQL = """
+WITH seg AS (
+  SELECT user_id, value,
+    LEAD(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(dur_us) AS BIGINT) AS n_segments,
+  CAST(SUM(dur_us) AS BIGINT) AS span_us,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur_us) AS DOUBLE)
+        / SUM(dur_us), 6) AS tw_avg_value
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("time_weighted_value", oracle=_TIME_WEIGHTED_SQL)
+def time_weighted_value(spark, sf_dir):
+    """Duration-weighted (LOCF) average of an irregular event stream — the
+    TimescaleDB ``time_weight('LOCF', ...)`` shape: each observed value is
+    held until the next observation and weighted by how long it was held.
+    One shuffle on user_id serves both the LEAD window and the final
+    aggregate (same key — no second exchange). Weighted sums accumulate as
+    exact decimal·µs products, ONE double divide at the end, so partial-
+    aggregation order can never change the result."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    seg = t.events.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("dur_us").cast("bigint").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(dec(F.col("value"), 6) * F.col("dur_us")).cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("tw_avg_value"),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+scored AS (
+  SELECT o_custkey,
+    date_diff('day', last_order, max_date) AS recency_days,
+    frequency,
+    CAST(monetary AS DOUBLE) AS monetary,
+    CAST(NTILE(5) OVER (ORDER BY date_diff('day', last_order, max_date), o_custkey)
+         AS INTEGER) AS r_score,
+    CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+    CAST(NTILE(5) OVER (ORDER BY CAST(monetary AS DOUBLE) DESC, o_custkey)
+         AS INTEGER) AS m_score
+  FROM cust CROSS JOIN anchor
+)
+SELECT o_custkey AS cust_key,
+  CAST(recency_days AS BIGINT) AS recency_days,
+  CAST(frequency AS BIGINT) AS frequency,
+  monetary, r_score, f_score, m_score,
+  CASE
+    WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+    WHEN r_score <= 2 AND f_score >= 4 THEN 'new'
+    WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+    WHEN r_score >= 4 AND f_score >= 4 THEN 'lost'
+    ELSE 'regular'
+  END AS segment
+FROM scored
+"""
+
+
+@query("rfm_segments", oracle=_RFM_SQL)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (scores 1 = best): recency vs the data-max
+    anchor date (frozen-now convention, F14), order frequency, exact-decimal
+    monetary total; each scored into quintiles and mapped to lifecycle
+    segments. All three NTILE(5)s run through the distributed global-rank
+    operator (`operators/ranks.py`) with (metric, cust_key) total orders —
+    no single-task window even with hundreds of millions of customers; the
+    three score relations re-join on the customer key (AQE broadcasts them
+    while they fit)."""
+    from importer_spark.operators.ranks import ntile_col, with_global_rank_stats
+
+    t = Tables(spark, sf_dir)
+    anchor = t.orders.agg(F.max("o_orderdate").alias("max_date"))
+    cust = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(dec(F.col("o_totalprice"))).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.datediff(F.col("max_date"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            out_double(F.col("monetary_dec")).alias("monetary"),
+        )
+    )
+
+    def score(metric: str, ascending: bool, out: str):
+        ranked = with_global_rank_stats(
+            cust.select("cust_key", metric),
+            metric,
+            [
+                F.col(metric).asc() if ascending else F.col(metric).desc(),
+                F.col("cust_key").asc(),
+            ],
+            first_col_ascending=ascending,
+        )
+        return ranked.select("cust_key", ntile_col(5).alias(out))
+
+    r = score("recency_days", True, "r_score")
+    f_ = score("frequency", False, "f_score")
+    m = score("monetary", False, "m_score")
+    scored = cust.join(r, "cust_key").join(f_, "cust_key").join(m, "cust_key")
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("new"))
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("at_risk"))
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("lost"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        "cust_key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

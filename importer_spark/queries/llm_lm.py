@@ -1,0 +1,290 @@
+"""N-gram language-model scoring over the documents table — the round-4
+extension of the unigram fluency filter (`llm_text.py::unigram_logprob_scores`)
+to a held-out bigram LM with stupid backoff, plus DSIR-style importance
+weighting (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" — hashed n-gram bucket distributions, public paper).
+
+Both queries follow the repo's cross-engine determinism conventions: every
+per-token log-prob is rounded to 9 places and accumulated as exact
+DECIMAL so partial-aggregation order can never change a document's score;
+ONE final double divide produces the reported average.
+
+Train/score split: the LM trains on the deterministic half of the corpus
+whose ``md5(doc_id)`` leading byte is even, and scores EVERY document —
+so unseen bigrams/tokens actually occur and the backoff path is exercised
+(a same-corpus LM would trivially contain every bigram it scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.text import tokens
+from importer_spark.queries.registry import query
+
+# round(ln(0.4), 9): the stupid-backoff discount (Brants et al. 2007).
+_BACKOFF = "-0.916290732"
+# round(ln(1e-9), 9): OOV floor for tokens absent from the train vocabulary.
+_OOV = "-20.723265837"
+
+_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS cur,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, pos, cur,
+         LAG(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+train AS (
+  SELECT s.* FROM seq s JOIN documents d USING (doc_id)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::BIGINT % 2 = 0
+),
+uni AS (SELECT cur AS tok, COUNT(*) AS c1 FROM train GROUP BY 1),
+tot AS (SELECT SUM(c1) AS t FROM uni),
+lp_uni AS (
+  SELECT tok,
+         c1 AS c_prev,
+         CAST(ROUND(ln(c1::DOUBLE / t), 9) AS DECIMAL(18,9)) AS lpu
+  FROM uni, tot
+),
+big AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM train
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+lp_big AS (
+  SELECT b.prev, b.cur,
+         CAST(ROUND(ln(b.c2::DOUBLE / u.c_prev), 9) AS DECIMAL(18,9)) AS lpb
+  FROM big b JOIN lp_uni u ON u.tok = b.prev
+),
+scored AS (
+  SELECT s.doc_id,
+    CASE
+      WHEN s.pos = 1 THEN COALESCE(u.lpu, CAST({_OOV} AS DECIMAL(18,9)))
+      WHEN lb.lpb IS NOT NULL THEN lb.lpb
+      ELSE CAST({_BACKOFF} AS DECIMAL(18,9))
+           + COALESCE(u.lpu, CAST({_OOV} AS DECIMAL(18,9)))
+    END AS lp,
+    CASE WHEN s.pos > 1 AND lb.lpb IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM seq s
+  LEFT JOIN lp_uni u ON u.tok = s.cur
+  LEFT JOIN lp_big lb ON lb.prev = s.prev AND lb.cur = s.cur
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(backed_off) AS BIGINT) AS n_backoffs,
+  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) >= -6.0 AS keep
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("bigram_backoff_scores", oracle=_BIGRAM_SQL)
+def bigram_backoff_scores(spark, sf_dir):
+    """Bigram LM with stupid backoff (the KenLM/CCNet fluency-filter shape
+    one order up from `unigram_logprob_scores`): P(w_i | w_{i-1}) from the
+    train half's bigram counts, falling back to 0.4·P_uni(w_i) for unseen
+    bigrams and an OOV floor for unseen tokens.
+
+    Scale shape: ONE posexplode feeds the sequencing window (shuffle on
+    doc_id), the train-side n-gram counts aggregate with map-side partials,
+    and scoring joins key on the token / token-pair (AQE broadcasts the LM
+    tables while they fit — a Heafield-style trie is the >memory path, but
+    the relational join IS the distributed equivalent). Zero Python in the
+    hot path."""
+    t = Tables(spark, sf_dir)
+    backoff = F.lit(_BACKOFF).cast("decimal(18,9)")
+    oov = F.lit(_OOV).cast("decimal(18,9)")
+
+    tok = t.documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "cur")
+    ).withColumn("pos", F.col("pos0") + 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.select("doc_id", "pos", "cur", F.lag("cur").over(w).alias("prev"))
+
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    train = seq.join(
+        t.documents.filter(is_train).select("doc_id"), "doc_id"
+    )
+
+    uni = train.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("t"))
+    lp_uni = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("c1").alias("c_prev"),
+        F.round(F.log(F.col("c1").cast("double") / F.col("t")), 9)
+        .cast("decimal(18,9)")
+        .alias("lpu"),
+    )
+    big = (
+        train.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    lp_big = big.join(
+        lp_uni.select(F.col("tok").alias("prev"), "c_prev"), "prev"
+    ).select(
+        "prev",
+        "cur",
+        F.round(F.log(F.col("c2").cast("double") / F.col("c_prev")), 9)
+        .cast("decimal(18,9)")
+        .alias("lpb"),
+    )
+
+    scored = (
+        seq.join(lp_uni.select(F.col("tok").alias("cur"), "lpu"), "cur", "left")
+        .join(lp_big, ["prev", "cur"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("pos") == 1, F.coalesce(F.col("lpu"), oov))
+            .when(F.col("lpb").isNotNull(), F.col("lpb"))
+            .otherwise(backoff + F.coalesce(F.col("lpu"), oov))
+            .alias("lp"),
+            F.when(
+                (F.col("pos") > 1) & F.col("lpb").isNull(), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("backed_off"),
+        )
+    )
+    avg = F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("backed_off").cast("bigint").alias("n_backoffs"),
+        avg.alias("avg_logprob"),
+        (avg >= -6.0).alias("keep"),
+    )
+
+
+_N_BUCKETS = 1024
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS cur,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, cur,
+         LAG(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+feats AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(cur), 1, 6))::BIGINT % {_N_BUCKETS} AS bucket
+  FROM seq
+  UNION ALL
+  SELECT doc_id,
+    ('0x' || substr(md5(prev || ' ' || cur), 1, 6))::BIGINT % {_N_BUCKETS} AS bucket
+  FROM seq WHERE prev IS NOT NULL
+),
+raw_cnt AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY 1),
+tgt_cnt AS (
+  SELECT f.bucket, COUNT(*) AS ct
+  FROM feats f JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+  GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT SUM(cr) FROM raw_cnt) AS tr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt_cnt) AS tt
+),
+ratio AS (
+  SELECT r.bucket,
+    CAST(ROUND(
+      ln((COALESCE(g.ct, 0) + 1)::DOUBLE / (t.tt + {_N_BUCKETS}))
+      - ln((r.cr + 1)::DOUBLE / (t.tr + {_N_BUCKETS})), 9) AS DECIMAL(18,9))
+      AS log_ratio
+  FROM raw_cnt r LEFT JOIN tgt_cnt g ON g.bucket = r.bucket
+  CROSS JOIN tots t
+)
+SELECT f.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_feats,
+  ROUND(CAST(SUM(r.log_ratio) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio,
+  ROUND(CAST(SUM(r.log_ratio) AS DOUBLE) / COUNT(*), 6) > 0.0 AS selected
+FROM feats f JOIN ratio r USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_SQL)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights: hashed n-gram features (unigrams + bigrams →
+    md5 buckets), Laplace-smoothed bucket distributions for the target
+    domain (lang='en') vs the raw corpus, and each document scored by its
+    mean feature log importance ratio ln(p_target/p_raw). Documents whose
+    n-gram profile looks like the target domain score positive and are
+    selected — the paper's resampling gate with a deterministic threshold.
+
+    Scale shape: the feature stream is a posexplode + one doc_id-keyed lag
+    window; both distributions are {_N_BUCKETS}-bucket aggregates with
+    map-side combine, and the {_N_BUCKETS}-row ratio table broadcasts into
+    the scoring join — per-document cost is O(features), global state is
+    O(buckets). Hash-bucketing is exactly what makes this 100 TB-safe: the
+    LM never materializes a vocabulary."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "cur")
+    ).withColumn("pos", F.col("pos0") + 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.select("doc_id", "cur", F.lag("cur").over(w).alias("prev"))
+
+    def bucket_of(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("bigint")
+            % _N_BUCKETS
+        )
+
+    feats = seq.select("doc_id", bucket_of(F.col("cur")).alias("bucket")).unionAll(
+        seq.filter(F.col("prev").isNotNull()).select(
+            "doc_id",
+            bucket_of(F.concat_ws(" ", F.col("prev"), F.col("cur"))).alias("bucket"),
+        )
+    )
+    en_docs = t.documents.filter(F.col("lang") == "en").select("doc_id")
+    raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_cnt = feats.join(en_docs, "doc_id").groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    tots = raw_cnt.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + _N_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _N_BUCKETS)),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("log_ratio"),
+        )
+    )
+    avg = F.round(F.sum("log_ratio").cast("double") / F.count("*"), 6)
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            avg.alias("avg_log_ratio"),
+            (avg > 0.0).alias("selected"),
+        )
+    )
