@@ -59,6 +59,8 @@ from importer_spark.queries import windows  # noqa: F401,E402
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "bigram_backoff_scores",
+    "gopher_quality_rules",
+    "copurchase_pagerank",
     "dsir_importance_weights",
     "basket_pair_lift",
     "event_transition_matrix",

@@ -53,30 +53,43 @@ WHERE p.n_orders_both >= 2
 def basket_pair_lift(spark, sf_dir):
     """Market-basket association mining: for every pair of parts bought in
     the same order, support / confidence / lift, gated at min-support 2
-    orders. The candidate generator is a self-equi-join on the order key —
-    pair blowup is bounded by basket size squared (TPC-H baskets are ≤7
-    lines), NOT corpus size, so this is the a-priori first pass that scales
-    linearly in orders. Part frequencies join back on the part key (AQE
-    broadcasts the count side while it fits); the one-row order total
+    orders. Pair blowup is bounded by basket size squared (TPC-H baskets
+    are ≤7 lines), NOT corpus size, so this is the a-priori first pass that
+    scales linearly in orders. Part frequencies join back on the part key
+    (AQE broadcasts the count side while it fits); the one-row order total
     broadcasts. All ratios are int/int divisions rounded once — bit-stable
-    across engines."""
+    across engines.
+
+    Shuffle budget: ONE shuffle builds the per-order sorted basket array
+    (groupBy orderkey + collect_set); pairs are then generated LOCALLY by a
+    nested array transform — no lineitem self-join — and part frequencies
+    and the order total derive from the same basket arrays. The oracle
+    keeps the self-join formulation, so parity also certifies the rewrite."""
     t = Tables(spark, sf_dir)
-    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select(
-        F.countDistinct("l_orderkey").alias("n")
+    baskets = t.lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    n_orders = baskets.agg(F.count("*").alias("n"))
+    part_cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ps = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
         )
         .agg(F.count("*").alias("n_orders_both"))
         .filter(F.col("n_orders_both") >= 2)
@@ -312,4 +325,148 @@ def rfm_segments(spark, sf_dir):
         "f_score",
         "m_score",
         seg.alias("segment"),
+    )
+
+
+_PR_ITERS = 6
+_PR_SCALE = 10**12  # ranks as scaled integers: r_scaled = r * 1e12
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE PageRank oracle: each iteration is one more CTE stage —
+    the SQL text is generated by the same loop count as the Spark side, so
+    the two engines run the identical fixed-point prefix. All rank math is
+    scaled-INTEGER (× 1e12, integer division) — there is no floating-point
+    op anywhere in the iteration, so cross-engine drift is impossible by
+    construction, not by rounding-convention luck. Every CTE is
+    MATERIALIZED: without it DuckDB re-inlines the edge relation into each
+    iteration stage (measured >600 s at sf1; 4 s materialized)."""
+    head = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_cnt AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT part_a AS src, part_b AS dst FROM pair_cnt
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pair_cnt
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT src AS node,
+         CAST(1000000000000 // n_nodes AS BIGINT) AS r
+  FROM deg CROSS JOIN n
+)"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+    CAST(150000000000000 // (100 * MAX(n.n_nodes))
+         + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e
+  JOIN r{i} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst
+)"""
+        )
+    tail = f"""
+SELECT node AS part_key, CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank
+FROM r{_PR_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
+@query("copurchase_pagerank", oracle=_pagerank_sql())
+def copurchase_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (edges = part pairs bought
+    together in ≥2 orders, symmetrized): product centrality by basket
+    structure — the iterative-algorithm showpiece with an EXACT oracle (the
+    DuckDB SQL is generated by the same loop, so both engines run the
+    identical {iters}-iteration prefix of the fixed point).
+
+    Cross-engine determinism: rank is a scaled INTEGER (× 1e12); damping
+    and out-degree division are integer ops (a first draft that rounded
+    doubles to 12 places diverged by one unit in the last place on a
+    rounding tie — integer arithmetic removes the class of bug, not the
+    instance). The deliberate cost is ≤1e-12 truncation per edge per
+    iteration, identical in both engines.
+
+    Scale shape: the co-purchase candidate generator is the same
+    local-pair-generation pass as `basket_pair_lift` (one shuffle to build
+    per-order basket arrays, pairs via nested array transform — no
+    self-join; blowup bounded by basket size); each iteration is ONE
+    shuffle — contributions join rank on the node key, aggregate on dst —
+    the standard distributed PageRank schedule, O(iters × edges) total.
+    Every relation stays distributed; no driver state beyond the loop
+    counter.""".format(iters=_PR_ITERS)
+    t = Tables(spark, sf_dir)
+    baskets = t.lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("part_a", "part_b")
+    )
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    # Materialize the edge relation ONCE (graph.py convention): every
+    # iteration references edges/deg, and without truncation the lineage
+    # repeats the basket pair-generation six times and the optimizer pays
+    # for a 100+-exchange plan. The edge list is the iteration's working
+    # set — small relative to lineitem (pairs bought together >= 2 times).
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    rank = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({_PR_SCALE} div n_nodes AS BIGINT)").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+        )
+        rank = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({15 * _PR_SCALE * 10} div (100 * n_nodes)"
+                    " + (85 * s) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        F.col("node").alias("part_key"),
+        (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
     )

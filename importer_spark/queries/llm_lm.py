@@ -17,7 +17,7 @@ so unseen bigrams/tokens actually occur and the backoff path is exercised
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
@@ -92,31 +92,44 @@ def bigram_backoff_scores(spark, sf_dir):
     train half's bigram counts, falling back to 0.4·P_uni(w_i) for unseen
     bigrams and an OOV floor for unseen tokens.
 
-    Scale shape: ONE posexplode feeds the sequencing window (shuffle on
-    doc_id), the train-side n-gram counts aggregate with map-side partials,
-    and scoring joins key on the token / token-pair (AQE broadcasts the LM
-    tables while they fit — a Heafield-style trie is the >memory path, but
-    the relational join IS the distributed equivalent). Zero Python in the
-    hot path."""
+    Scale shape: sequencing is pure ARRAY algebra — (cur, prev) pairs come
+    from zipping the token array with its shifted self before ONE
+    posexplode, so there is no per-token window and no doc_id shuffle at
+    all on the sequencing path (the oracle keeps the LAG formulation, so
+    parity also certifies the rewrite). Train-side n-gram counts aggregate
+    with map-side partials, and scoring joins key on the token / token-pair
+    (AQE broadcasts the LM tables while they fit — a Heafield-style trie is
+    the >memory path, but the relational join IS the distributed
+    equivalent). Zero Python in the hot path."""
     t = Tables(spark, sf_dir)
     backoff = F.lit(_BACKOFF).cast("decimal(18,9)")
     oov = F.lit(_OOV).cast("decimal(18,9)")
 
-    tok = t.documents.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "cur")
-    ).withColumn("pos", F.col("pos0") + 1)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = tok.select("doc_id", "pos", "cur", F.lag("cur").over(w).alias("prev"))
-
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(toks, 1, n - 1)
+    )
     is_train = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
         .cast("bigint")
         % 2
         == 0
     )
-    train = seq.join(
-        t.documents.filter(is_train).select("doc_id"), "doc_id"
+    seq = t.documents.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.posexplode(F.arrays_zip(toks.alias("cur"), prevs.alias("prev"))).alias(
+            "pos0", "pc"
+        ),
+    ).select(
+        "doc_id",
+        "is_train",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("pc.cur").alias("cur"),
+        F.col("pc.prev").alias("prev"),
     )
+    train = seq.filter("is_train")
 
     uni = train.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("c1"))
     tot = uni.agg(F.sum("c1").alias("t"))
@@ -228,18 +241,15 @@ def dsir_importance_weights(spark, sf_dir):
     n-gram profile looks like the target domain score positive and are
     selected — the paper's resampling gate with a deterministic threshold.
 
-    Scale shape: the feature stream is a posexplode + one doc_id-keyed lag
-    window; both distributions are {_N_BUCKETS}-bucket aggregates with
-    map-side combine, and the {_N_BUCKETS}-row ratio table broadcasts into
-    the scoring join — per-document cost is O(features), global state is
+    Scale shape: the feature stream is ONE explode of the concatenated
+    unigram+bigram array (bigrams by zipping the token array with its
+    shifted self — no window, no doc_id shuffle, ONE scan of documents);
+    both distributions are {_N_BUCKETS}-bucket aggregates with map-side
+    combine, and the {_N_BUCKETS}-row ratio table broadcasts into the
+    scoring join — per-document cost is O(features), global state is
     O(buckets). Hash-bucketing is exactly what makes this 100 TB-safe: the
     LM never materializes a vocabulary."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "cur")
-    ).withColumn("pos", F.col("pos0") + 1)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = tok.select("doc_id", "cur", F.lag("cur").over(w).alias("prev"))
 
     def bucket_of(col):
         return (
@@ -247,12 +257,16 @@ def dsir_importance_weights(spark, sf_dir):
             % _N_BUCKETS
         )
 
-    feats = seq.select("doc_id", bucket_of(F.col("cur")).alias("bucket")).unionAll(
-        seq.filter(F.col("prev").isNotNull()).select(
-            "doc_id",
-            bucket_of(F.concat_ws(" ", F.col("prev"), F.col("cur"))).alias("bucket"),
-        )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
+    feats = t.documents.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("feat")
+    ).select("doc_id", bucket_of(F.col("feat")).alias("bucket"))
     en_docs = t.documents.filter(F.col("lang") == "en").select("doc_id")
     raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_cnt = feats.join(en_docs, "doc_id").groupBy("bucket").agg(

@@ -581,3 +581,75 @@ def unigram_logprob_scores(spark, sf_dir):
         avg.alias("avg_logprob"),
         (avg >= -3.5).alias("keep"),
     )
+
+
+_GOPHER_STOPS = ("the", "of", "and", "to", "a")
+
+_GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_words,
+    length(text) AS n_chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> x IN ('the', 'of', 'and', 'to', 'a')))) AS n_distinct_stops
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, lang, n_words,
+    ROUND((n_chars - n_words + 1)::DOUBLE / n_words, 6) AS mean_word_len,
+    ROUND(n_alpha_words::DOUBLE / n_words, 6) AS alpha_word_ratio,
+    n_distinct_stops,
+    n_words BETWEEN 30 AND 100000 AS words_ok,
+    ((n_chars - n_words + 1)::DOUBLE / n_words) BETWEEN 3.0 AND 10.0 AS word_len_ok,
+    (n_alpha_words::DOUBLE / n_words) >= 0.8 AS alpha_ok,
+    n_distinct_stops >= 2 AS stops_ok
+  FROM base
+)
+SELECT *, words_ok AND word_len_ok AND alpha_ok AND stops_ok AS keep
+FROM rules
+"""
+
+
+@query("gopher_quality_rules", oracle=_GOPHER_SQL)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio, and
+    the ≥2-distinct-stopwords requirement, each reported per document with
+    the fused keep verdict. Complements `doc_quality_scores` (weighted
+    score) with the paper's hard-rule formulation. Pure column expressions
+    over one scan — no shuffle, no Python; the rule set is a conjunction
+    Catalyst folds into a single projection."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_len = (F.length("text") - n_words + 1).cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words
+    n_stops = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda x: x.isin(*_GOPHER_STOPS))
+        )
+    )
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stops.alias("n_distinct_stops"),
+        n_words.between(30, 100000).alias("words_ok"),
+        mean_len.between(3.0, 10.0).alias("word_len_ok"),
+        (alpha_ratio >= 0.8).alias("alpha_ok"),
+        (n_stops >= 2).alias("stops_ok"),
+    )
+    return base.select(
+        "*",
+        (
+            F.col("words_ok")
+            & F.col("word_len_ok")
+            & F.col("alpha_ok")
+            & F.col("stops_ok")
+        ).alias("keep"),
+    )

@@ -134,3 +134,33 @@ def test_write_zorder_tightens_stats_on_both_dims(spark, tmp_path):
     # ...while the single-axis layout leaves the other dim near-full-range
     assert mean_span(spath, "o_totalprice") > 0.8
     assert spark.read.parquet(str(zpath)).count() == df.count()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a fact partitioned on a join key must be
+    pruned at RUNTIME by a filter that lives on the dimension side — the
+    scan's PartitionFilters gains a dynamicpruning subquery instead of
+    reading every partition and discarding rows post-join. At 100 TB this
+    is the difference between scanning one region's files and scanning the
+    world; the plan assertion pins that the pattern actually triggers on
+    our partitioned-sink layout."""
+    t = Tables(spark, SF_DIR)
+    fact = t.customer.join(
+        t.nation.select("n_nationkey", "n_name"),
+        t.customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_acctbal", "n_nationkey")
+    path = str(tmp_path / "cust_by_nation")
+    write_replace(fact, path, partition_by=["n_nationkey"])
+
+    back = spark.read.parquet(path)
+    dim = t.nation.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    joined = back.join(dim, "n_nationkey")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    # Result parity with the unpartitioned formulation.
+    expect = fact.join(dim, "n_nationkey").count()
+    assert joined.count() == expect > 0
