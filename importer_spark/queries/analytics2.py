@@ -441,7 +441,14 @@ def copurchase_pagerank(spark, sf_dir):
     # repeats the basket pair-generation six times and the optimizer pays
     # for a 100+-exchange plan. The edge list is the iteration's working
     # set — small relative to lineitem (pairs bought together >= 2 times).
-    edges = edges.localCheckpoint(eager=True)
+    # Repartition (NOT coalesce) to few partitions before the checkpoint:
+    # the edge list is tiny relative to lineitem, and every one of the 6
+    # iteration rounds schedules stages over its partitioning — fewer,
+    # fuller partitions cut the per-round scheduling overhead. coalesce
+    # would collapse the upstream pair aggregation to the same 8 tasks
+    # (measured OOM at sf1); repartition keeps it parallel behind its own
+    # exchange.
+    edges = edges.repartition(8).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
     rank = deg.crossJoin(F.broadcast(n)).select(
