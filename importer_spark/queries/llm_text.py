@@ -653,3 +653,29 @@ def gopher_quality_rules(spark, sf_dir):
             & F.col("stops_ok")
         ).alias("keep"),
     )
+
+
+@query("bpe_token_stats", catalog=False)
+def bpe_token_stats(spark, sf_dir):
+    """Learned-BPE tokenization (operators/bpe.py): train 16 merges on the
+    corpus word-frequency table (capped to the 4096 most frequent words),
+    encode every document with the greedy lowest-rank-first applier, and
+    report per-doc BPE token counts next to the whitespace count. An
+    iterative argmax-driven trainer has no SQL oracle — DIAGNOSTICS;
+    correctness is pinned by tests/test_bpe.py's parity against the
+    pure-Python reference implementation of Sennrich et al. 2016."""
+    from importer_spark.operators.bpe import apply_bpe, train_bpe
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    merges = train_bpe(docs, "text", n_merges=16, top_v=4096)
+    return apply_bpe(docs, "text", merges).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.size("bpe_tokens").cast("double")
+            / F.size(tokens(F.col("text"))),
+            6,
+        ).alias("tokens_per_word"),
+    )
