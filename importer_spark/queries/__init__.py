@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "bigram_backoff_scores",
     "gopher_quality_rules",
     "copurchase_pagerank",
+    "point_in_time_price",
     "dsir_importance_weights",
     "basket_pair_lift",
     "event_transition_matrix",

@@ -138,3 +138,92 @@ def inventory_deltas(spark, sf_dir):
         F.round(F.col("units_shipped") - F.coalesce(prev, F.lit(0.0)), 6).alias("units_delta"),
         growth_pct(F.col("units_shipped"), prev).alias("mom_change_pct"),
     )
+
+
+_PIT_SQL = """
+WITH daily AS (
+  SELECT l_partkey AS part_key, l_shipdate AS valid_from,
+         MIN(ROUND(l_extendedprice / l_quantity, 8)) AS price
+  FROM lineitem
+  GROUP BY 1, 2
+),
+versions AS (
+  SELECT part_key, valid_from, price,
+         LEAD(valid_from) OVER (
+           PARTITION BY part_key ORDER BY valid_from
+         ) AS valid_to
+  FROM daily
+),
+-- point-in-time: the version whose [valid_from, valid_to) covers the order
+pit AS (
+  SELECT o.o_orderkey, l.l_partkey, o.o_orderdate, v.price
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN versions v
+    ON v.part_key = l.l_partkey
+   AND v.valid_from <= o.o_orderdate
+   AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+)
+SELECT o_orderkey AS order_key,
+       l_partkey AS part_key,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(price AS DOUBLE) AS pit_price
+FROM pit
+"""
+
+
+@query("point_in_time_price", oracle=_PIT_SQL)
+def point_in_time_price(spark, sf_dir):
+    """SCD2 point-in-time lookup — the temporal-snapshot pattern every
+    warehouse needs (reference: fct_product_pricing_history tracks price
+    versions; this query closes the loop by joining facts BACK to the
+    version valid at their date). A versioned dimension is derived from
+    the data itself: one row per (part, observation day) with
+    deterministic representative price, validity intervals via LEAD.
+
+    Scale shape: version building is one shuffle on part_key (groupBy +
+    LEAD share it). The point-in-time join is an EQUI-join on part_key
+    with the interval predicate as a residual filter — per-part version
+    chains are short (bounded by observation days), so the residual scan
+    per matched key is tiny; no cartesian anywhere. Orders whose date
+    precedes a part's first version drop (inner semantics), matching the
+    oracle. AQE picks broadcast vs sort-merge by the version table's
+    actual size."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.lineitem.groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_shipdate").alias("valid_from"),
+        )
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 8)
+            ).alias("price")
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("valid_from")
+    versions = daily.select(
+        "part_key",
+        "valid_from",
+        "price",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    facts = t.orders.join(
+        t.lineitem.select("l_orderkey", "l_partkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    pit = facts.join(
+        versions,
+        (F.col("part_key") == F.col("l_partkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return pit.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("l_partkey").alias("part_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("price").cast("double").alias("pit_price"),
+    )

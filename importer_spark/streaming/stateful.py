@@ -152,3 +152,52 @@ def stateful_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUT_SCHEMA = "user_id bigint, from_type string, to_type string, n bigint"
+TRANSITION_STATE_SCHEMA = "last_type string, last_us long, last_id long"
+
+
+def _update_transitions(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    last_type, last_us, last_id = (
+        state.get if state.exists else (None, None, None)
+    )
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.assign(us=rows["ts"].astype("int64") // 1000).sort_values(
+        ["us", "event_id"]
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for r in rows.itertuples(index=False):
+        if last_type is not None:
+            pair = (last_type, r.event_type)
+            counts[pair] = counts.get(pair, 0) + 1
+        last_type, last_us, last_id = r.event_type, int(r.us), int(r.event_id)
+    state.update((last_type, last_us, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(counts),
+            "from_type": [a for a, _ in counts],
+            "to_type": [b for _, b in counts],
+            "n": list(counts.values()),
+        }
+    )
+
+
+def streaming_transition_counts(events: DataFrame) -> DataFrame:
+    """Incremental Markov transition counts — the streaming twin of the
+    batch `event_transition_matrix` query: per-user state carries the last
+    seen event across micro-batches, so a transition whose two events land
+    in DIFFERENT batches is still counted exactly once. Emits per-batch
+    (user, from, to, n) increments (update mode); the global matrix is
+    their sum, maintained downstream by any idempotent sink (e.g. the
+    exactly-once txn merge). Assumes per-user event-time order across
+    batches — the cursor-extract contract (streaming/incremental.py) that
+    feeds it; within a batch, rows sort locally."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

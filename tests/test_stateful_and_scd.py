@@ -235,3 +235,46 @@ def test_stateful_sessions_stitch_across_batches(spark, tmp_path):
     r = rows[0]
     assert r.user_id == 1 and r.n_events == 3
     assert r.session_start == t0 and r.session_end == t0 + dt.timedelta(minutes=20)
+
+
+def test_streaming_transition_counts_match_batch(spark, tmp_path):
+    """Stream ≡ batch for the Markov transition counts: feed the events
+    table in CHRONOLOGICAL micro-batches (maxFilesPerTrigger=1) and sum the
+    emitted increments — must equal the batch event_transition_matrix
+    counts, including every transition that straddles a batch boundary."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
+    from importer_spark.queries import QUERIES
+    from importer_spark.streaming.stateful import streaming_transition_counts
+    from tests.conftest import SF_DIR
+
+    ev = Tables(spark, SF_DIR).events.select("user_id", "event_id", "ts", "event_type")
+    # Two chronological halves so transitions straddle the boundary. (split at median ts)
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = tmp_path / "stream"
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "b1"))
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b2"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_transition_counts(stream)
+        .writeStream.format("memory")
+        .queryName("transition_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT from_type, to_type, SUM(n) AS n FROM transition_counts GROUP BY 1, 2")
+        .collect()
+    )
+    got_map = {(r.from_type, r.to_type): r.n for r in got}
+    want = QUERIES["event_transition_matrix"](spark, SF_DIR).collect()
+    want_map = {(r.from_type, r.to_type): r.n_transitions for r in want}
+    assert got_map == want_map
