@@ -181,14 +181,16 @@ def point_in_time_price(spark, sf_dir):
     the data itself: one row per (part, observation day) with
     deterministic representative price, validity intervals via LEAD.
 
-    Scale shape: version building is one shuffle on part_key (groupBy +
-    LEAD share it). The point-in-time join is an EQUI-join on part_key
-    with the interval predicate as a residual filter — per-part version
-    chains are short (bounded by observation days), so the residual scan
-    per matched key is tiny; no cartesian anywhere. Orders whose date
-    precedes a part's first version drop (inner semantics), matching the
-    oracle. AQE picks broadcast vs sort-merge by the version table's
-    actual size."""
+    Scale shape: version building is one shuffle on part_key, and the
+    lookup is the repo's single-shuffle AS-OF operator (union-and-fill,
+    operators/joins.py) — the latest version ≤ order date IS the version
+    whose [valid_from, next_valid_from) interval covers it, so the as-of
+    rewrite is semantics-identical to the oracle's interval join while
+    doing LINEAR in-partition work instead of scanning every version of a
+    part per fact row (26.4 s → 9.5 s at sf1). Orders whose date precedes
+    a part's first version drop (inner semantics), matching the oracle."""
+    from importer_spark.operators.joins import asof_join
+
     t = Tables(spark, sf_dir)
     daily = (
         t.lineitem.groupBy(
@@ -201,29 +203,21 @@ def point_in_time_price(spark, sf_dir):
             ).alias("price")
         )
     )
-    w = Window.partitionBy("part_key").orderBy("valid_from")
-    versions = daily.select(
-        "part_key",
-        "valid_from",
-        "price",
-        F.lead("valid_from").over(w).alias("valid_to"),
-    )
     facts = t.orders.join(
-        t.lineitem.select("l_orderkey", "l_partkey"),
+        t.lineitem.select("l_orderkey", F.col("l_partkey").alias("part_key")),
         F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    pit = facts.join(
-        versions,
-        (F.col("part_key") == F.col("l_partkey"))
-        & (F.col("valid_from") <= F.col("o_orderdate"))
-        & (
-            F.col("valid_to").isNull()
-            | (F.col("o_orderdate") < F.col("valid_to"))
-        ),
-    )
+    ).select("o_orderkey", "part_key", "o_orderdate")
+    pit = asof_join(
+        facts,
+        daily,
+        on=["part_key"],
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_value_cols=["price"],
+    ).filter(F.col("price_asof").isNotNull())
     return pit.select(
         F.col("o_orderkey").alias("order_key"),
-        F.col("l_partkey").alias("part_key"),
+        F.col("part_key"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.col("price").cast("double").alias("pit_price"),
+        F.col("price_asof").cast("double").alias("pit_price"),
     )
