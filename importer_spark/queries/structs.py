@@ -149,28 +149,92 @@ def embedding_near_dups(spark, sf_dir):
     return cosine_pairs_exact(e, "vec_id", "emb", threshold=0.45)
 
 
-_EMB_CLUSTERS_SQL = """
-WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-pairs AS (
+def _emb_clusters_sql(rounds: int = 8) -> str:
+    """Oracle SQL for embedding_dup_clusters: contract-then-solve connected
+    components instead of a direct recursive-CTE transitive closure.
+
+    The r4 sf1 gate timed the direct closure out: the scaled corpus's
+    cross-copy cosine tail glues components into a 14k-node blob, and
+    ``reach(id, r)`` materializes |component|^2 rows before the MIN — the
+    one quadratic stage in an otherwise linear oracle. A pure unrolled
+    min-label scheme is no fix: the label-of-label jump doubles coverage on
+    paths but NOT on general trees (the jump target's ball need not face
+    the component min), and the sf1 blob under-converged at 16 rounds
+    (14151 vs the union-find ground truth 14174). So: (1) ``rounds``
+    unrolled min(own, neighbors, label-of-label) stages — sound for any
+    round count (labels never cross components, never pass the component
+    min) and guaranteed to contract every ≥(rounds+1)-node radius
+    neighborhood; (2) build the CONTRACTED super-node graph on those
+    labels; (3) run the EXACT recursive closure on the contracted graph,
+    now quadratic only in contracted-component size (≤ |comp|/(rounds+1)
+    even in the adversarial-path case); (4) map node→super-label→component
+    min. The component's min node keeps its own id as label through every
+    stage, so the final MIN over the closure is the true component min.
+    Every stage is MATERIALIZED so DuckDB 1.0 never re-inlines the
+    quadratic cosine join.
+    """
+    head = """
+WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS MATERIALIZED (
+  -- list_cosine_similarity, NOT inner-product-on-prenormalized: the scaled
+  -- corpus has cosine mass right at the 0.45 boundary and the two
+  -- formulations differ by ULPs there — the pair set must match the
+  -- embedding_near_dups oracle bit-for-bit (certified green at sf1).
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach(id, r) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS r FROM edges)"""
+    blocks = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        cur = f"l{k}"
+        blocks.append(
+            f""",
+{cur} AS MATERIALIZED (
+  SELECT id, MIN(v) AS r FROM (
+    SELECT id, r AS v FROM {prev}
+    UNION ALL
+    SELECT e2.src AS id, l.r AS v FROM edges e2 JOIN {prev} l ON e2.dst = l.id
+    UNION ALL
+    SELECT l1.id AS id, l2.r AS v FROM {prev} l1 JOIN {prev} l2 ON l1.r = l2.id
+  ) GROUP BY id
+)"""
+        )
+        prev = cur
+    tail = f""",
+cedges AS MATERIALIZED (
+  SELECT DISTINCT la.r AS src, lb.r AS dst
+  FROM edges e2
+  JOIN {prev} la ON e2.src = la.id
+  JOIN {prev} lb ON e2.dst = lb.id
+  WHERE la.r <> lb.r
 ),
-labels AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+csym AS MATERIALIZED (
+  SELECT src, dst FROM cedges UNION SELECT dst, src FROM cedges
+),
+cnodes AS MATERIALIZED (SELECT DISTINCT r AS id FROM {prev}),
+reach(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT c.src, reach.r FROM csym c JOIN reach ON c.dst = reach.id
+),
+clabel AS (SELECT id, MIN(r) AS r FROM reach GROUP BY id)
 SELECT vec_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM labels
+FROM (
+  SELECT l.id AS vec_id, c.r AS cluster_id
+  FROM {prev} l JOIN clabel c ON l.r = c.id
+)
 """
+    return head + "".join(blocks) + tail
+
+
+_EMB_CLUSTERS_SQL = _emb_clusters_sql()
 
 
 @query("embedding_dup_clusters", oracle=_EMB_CLUSTERS_SQL)
