@@ -18,6 +18,7 @@ from importer_spark.queries import core  # noqa: F401,E402
 from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import analytics2  # noqa: F401,E402
+from importer_spark.queries import analytics3  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import intervals_q  # noqa: F401,E402
