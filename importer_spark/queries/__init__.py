@@ -19,6 +19,7 @@ from importer_spark.queries import etl  # noqa: F401,E402
 from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import analytics2  # noqa: F401,E402
 from importer_spark.queries import analytics3  # noqa: F401,E402
+from importer_spark.queries import analytics4  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import intervals_q  # noqa: F401,E402
@@ -59,6 +60,8 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
+    "order_volume_trend_ols",
+    "semantic_dedup_cells",
     "bigram_backoff_scores",
     "gopher_quality_rules",
     "copurchase_pagerank",

@@ -141,3 +141,21 @@ def cohort_retention_matrix(spark, sf_dir):
         )
         .agg(F.count("*").alias("active_customers"))
     )
+
+
+@query("order_value_quantile_sketch", catalog=False)
+def order_value_quantile_sketch(spark, sf_dir):
+    """Mergeable KLL quantile sketch over o_totalprice: per-partition
+    partials (NO raw-row shuffle) merged to p50/p90/p99 estimates —
+    the rollup-layer alternative to an exact full sort. Diagnostics:
+    sketch contents are engine-specific; tests/test_quantile_sketch.py
+    pins mass conservation, determinism, and the rank-error bound vs
+    exact percentiles (single sketch and any merge order)."""
+    from importer_spark.operators.quantiles import quantile_estimates
+
+    t = Tables(spark, sf_dir)
+    est = quantile_estimates(t.orders, "o_totalprice", [0.5, 0.9, 0.99], k=200)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in sorted(est.items())],
+        "quantile double, estimate double",
+    )

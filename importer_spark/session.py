@@ -30,6 +30,10 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timezone for date/timestamp math.
     "spark.sql.session.timeZone": "UTC",
+    # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96 columns
+    # carry NO parquet footer statistics, which silently disables timestamp
+    # data skipping (txn.read_where) and row-group pushdown everywhere.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

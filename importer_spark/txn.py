@@ -37,11 +37,165 @@ so resolution is O(commits since the last checkpoint).
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _enc_stat(v):
+    """JSON-encode a parquet-footer min/max value, tagged so decode restores
+    the python type. Returns (ok, encoded) — not-ok types (bytes, nested)
+    simply carry no stats and never prune."""
+    if v is None:
+        return False, None
+    if isinstance(v, bool) or isinstance(v, (int, str)):
+        return True, v
+    if isinstance(v, float):
+        return (v == v), v  # NaN min/max is meaningless — drop
+    if isinstance(v, datetime.datetime):
+        # Spark writes UTC-adjusted instants and the session timezone is
+        # pinned to UTC (session.py) — normalize footer values to UTC-naive
+        # so they compare against session-naive predicate literals.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return True, {"$ts": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return True, {"$date": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return True, {"$dec": str(v)}
+    return False, None
+
+
+def _dec_stat(v):
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return datetime.datetime.fromisoformat(v["$ts"])
+        if "$date" in v:
+            return datetime.date.fromisoformat(v["$date"])
+        if "$dec" in v:
+            return decimal.Decimal(v["$dec"])
+    return v
+
+
+def _collect_file_stats(path: str) -> dict:
+    """Per-file data-skipping stats from the parquet FOOTER (metadata-only —
+    no data pages read, so commit-time cost is O(columns), not O(rows); the
+    Delta Lake ADD-action stats design). Row-group stats merge to one
+    (min, max, null_count) per top-level primitive column; a column any of
+    whose row groups lacks stats carries none (conservative: never pruned).
+
+    Parquet string min/max may be writer-truncated, but the spec requires
+    truncation to widen the range (min rounds down, max up), so pruning on
+    them stays sound. UTF-8 byte order equals codepoint order, which is
+    exactly Spark's UTF8String comparison — string range pruning is safe
+    for all of Unicode, not just ASCII.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    bad: set[str] = set()
+    is_float: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — top-level pruning only
+                bad.add(name)
+                continue
+            is_float[name] = c.physical_type in ("FLOAT", "DOUBLE")
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            ok1, mn = _enc_stat(st.min)
+            ok2, mx = _enc_stat(st.max)
+            if not (ok1 and ok2):
+                bad.add(name)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = cols.get(name)
+            if cur is None:
+                cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                if _dec_stat(mn) < _dec_stat(cur["min"]):
+                    cur["min"] = mn
+                if _dec_stat(mx) > _dec_stat(cur["max"]):
+                    cur["max"] = mx
+                cur["nulls"] = (
+                    None
+                    if cur["nulls"] is None or nulls is None
+                    else cur["nulls"] + nulls
+                )
+    for name in bad:
+        cols.pop(name, None)
+    for name, c in cols.items():
+        if is_float.get(name):
+            c["float"] = True
+    return {"rows": md.num_rows, "cols": cols}
+
+
+_PRUNE_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
+
+
+def _file_may_match(stats: dict | None, conds: list[tuple]) -> bool:
+    """True unless the footer stats PROVE no row in the file satisfies the
+    conjunction. Sound under Spark's comparison semantics, including its
+    non-IEEE NaN ordering: Spark sorts NaN above every value while parquet
+    footers ignore NaNs, so for float columns the upper bound is
+    untrustworthy — only ==, <, <=, in (all immune to hidden NaNs: NaN
+    compares false under them) may prune; >, >=, != never do. NULL rows
+    satisfy no comparison, so null_count only matters to is_null/not_null."""
+    if not stats:
+        return True
+    rows = stats.get("rows")
+    for cond in conds:
+        col, op = cond[0], cond[1]
+        val = cond[2] if len(cond) > 2 else None
+        cs = stats.get("cols", {}).get(col)
+        if cs is None:
+            continue
+        nulls = cs.get("nulls")
+        if op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if op == "not_null":
+            if nulls is not None and rows is not None and nulls == rows:
+                return False
+            continue
+        mn, mx = _dec_stat(cs["min"]), _dec_stat(cs["max"])
+        fl = cs.get("float", False)
+        try:
+            if op == "==":
+                if val < mn or val > mx:
+                    return False
+            elif op == "<":
+                if mn >= val:
+                    return False
+            elif op == "<=":
+                if mn > val:
+                    return False
+            elif op == ">" and not fl:
+                if mx <= val:
+                    return False
+            elif op == ">=" and not fl:
+                if mx < val:
+                    return False
+            elif op == "!=" and not fl:
+                if mn == val and mx == val:
+                    return False
+            elif op == "in":
+                if not any(mn <= v <= mx for v in val):
+                    return False
+        except TypeError:
+            continue  # incomparable literal type — never prune on it
+    return True
 
 
 class TxnConflict(RuntimeError):
@@ -113,6 +267,33 @@ class TxnTable:
             live.extend(m.get("adds", []))
         return live
 
+    def _snapshot_stats(self, version: int) -> dict[str, dict]:
+        """File → data-skipping stats for the live snapshot at ``version``,
+        replayed the same way as the file list (checkpoint-seeded). Files
+        committed before stats existed simply have no entry — they are
+        never pruned, so old tables stay correct, just unskippable."""
+        stats: dict[str, dict] = {}
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= version]
+        if ckpts:
+            with open(
+                os.path.join(self.log_dir, f"{ckpts[-1]:020d}.checkpoint.json")
+            ) as fh:
+                ck = json.load(fh)
+            stats = dict(ck.get("stats", {}))
+            start = ckpts[-1] + 1
+        for v in self._versions():
+            if v < start:
+                continue
+            if v > version:
+                break
+            m = self._manifest(v)
+            for f in m.get("removes", []):
+                stats.pop(f, None)
+            stats.update(m.get("stats", {}))
+        live = set(self._snapshot_files(version))
+        return {f: s for f, s in stats.items() if f in live}
+
     def checkpoint(self, version: int | None = None) -> int:
         """Materialize the replayed file list at ``version`` (default
         latest) so later reads start there. Write is atomic (link-claim);
@@ -124,7 +305,11 @@ class TxnTable:
         files = self._snapshot_files(v)
         tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "files": files}, fh, sort_keys=True)
+            json.dump(
+                {"version": v, "files": files, "stats": self._snapshot_stats(v)},
+                fh,
+                sort_keys=True,
+            )
             fh.flush()
             os.fsync(fh.fileno())
         final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")
@@ -146,12 +331,18 @@ class TxnTable:
         stage = os.path.join(self.data_dir, f"_stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         names = []
+        self._last_write_stats = {}
         for f in sorted(os.listdir(stage)):
             if not f.endswith(".parquet"):
                 continue
             name = f"v{version_hint}-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(stage, f), os.path.join(self.data_dir, name))
             names.append(name)
+            # Footer-only stats read (no data pages) — the commit carries
+            # min/max/null_count per column so readers can skip files.
+            self._last_write_stats[name] = _collect_file_stats(
+                os.path.join(self.data_dir, name)
+            )
         for leftover in os.listdir(stage):
             os.remove(os.path.join(stage, leftover))
         os.rmdir(stage)
@@ -176,6 +367,11 @@ class TxnTable:
         racing a compact resurrecting rows). Such commits raise
         TxnConflict instead; only append-shaped manifests (removes
         independent of any snapshot) may retry on top."""
+        pending = getattr(self, "_last_write_stats", {})
+        if manifest.get("adds") and "stats" not in manifest:
+            manifest["stats"] = {
+                n: pending[n] for n in manifest["adds"] if n in pending
+            }
         for _ in range(retries):
             latest = self.latest_version()
             if expected_base is not TxnTable._NO_BASE_CHECK and latest != expected_base:
@@ -448,6 +644,71 @@ class TxnTable:
                 ).schema
                 return self.spark.createDataFrame([], schema)
         raise ValueError("empty table with no prior schema to infer from")
+
+    def skipping_report(
+        self, conds: list[tuple], version: int | None = None
+    ) -> dict:
+        """Which live files the manifest stats prove irrelevant to ``conds``
+        (a conjunction of ``(col, op, value)`` tuples; ops ==, !=, <, <=, >,
+        >=, in, is_null, not_null). Used by read_where and by tests that pin
+        pruning effectiveness."""
+        bad = [c for c in conds if c[1] not in _PRUNE_OPS]
+        if bad:
+            raise ValueError(f"unsupported ops in conds: {bad}")
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        files = self._snapshot_files(v)
+        stats = self._snapshot_stats(v)
+        kept = [f for f in files if _file_may_match(stats.get(f), conds)]
+        return {
+            "total": len(files),
+            "kept": kept,
+            "skipped": sorted(set(files) - set(kept)),
+        }
+
+    def read_where(
+        self, conds: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with manifest-level data skipping (the Delta/Iceberg
+        scan-planning move): files whose footer stats prove they contain no
+        matching row never enter the Spark plan — at 100 TB the difference
+        between scanning a table and scanning the handful of files a
+        Z-ordered range predicate touches. The FULL predicate is re-applied
+        as a normal filter, so pruning is an optimization, never a
+        correctness dependency; parquet row-group pushdown still applies
+        inside kept files.
+
+        ``conds`` is a conjunction of ``(col, op, value)`` tuples — the
+        driver-evaluable subset; compose arbitrary residual logic with
+        ``.filter`` on the result."""
+        from pyspark.sql import functions as F
+
+        rep = self.skipping_report(conds, version)
+        v = self.latest_version() if version is None else version
+        if not rep["kept"]:
+            return self.read(v).filter(F.lit(False)).limit(0)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in rep["kept"]]
+        )
+        pred = F.lit(True)
+        for cond in conds:
+            col, op = cond[0], cond[1]
+            val = cond[2] if len(cond) > 2 else None
+            c = F.col(col)
+            expr = {
+                "==": lambda: c == F.lit(val),
+                "!=": lambda: c != F.lit(val),
+                "<": lambda: c < F.lit(val),
+                "<=": lambda: c <= F.lit(val),
+                ">": lambda: c > F.lit(val),
+                ">=": lambda: c >= F.lit(val),
+                "in": lambda: c.isin(list(val)),
+                "is_null": lambda: c.isNull(),
+                "not_null": lambda: c.isNotNull(),
+            }[op]()
+            pred = pred & expr
+        return df.filter(pred)
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: rows ADDED in versions (from_version, to_version]
