@@ -192,3 +192,80 @@ def quantile_estimates(
     if merged is None or merged.n == 0:
         raise ValueError(f"no non-null values in {col}")
     return {q: merged.quantile(q) for q in qs}
+
+
+def grouped_quantile_partials(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 200
+) -> DataFrame:
+    """One KLL sketch per group, emitted as (group_cols…, level, parity,
+    values) rows — the persistable per-window sketch state (HLL twin:
+    sketch.hll_partial_sketches). Built with applyInPandas so each group's
+    raw rows reduce to O(k·log n_g) doubles at the executor; only sketch
+    rows shuffle."""
+    out_fields = [df.schema[c] for c in group_cols] + [
+        T.StructField("level", T.IntegerType()),
+        T.StructField("parity", T.IntegerType()),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ]
+    schema = T.StructType(out_fields)
+
+    def build(pdf):
+        import pandas as pd
+
+        sk = KLLSketch(k)
+        vals = pdf[col].dropna()
+        if len(vals):
+            sk.extend(vals.to_numpy(dtype="float64"))
+        rows = sk.to_rows()
+        base = {c: [pdf[c].iloc[0]] * len(rows) for c in group_cols}
+        base.update(
+            {
+                "level": [r[0] for r in rows],
+                "parity": [r[1] for r in rows],
+                "values": [r[2] for r in rows],
+            }
+        )
+        return pd.DataFrame(base)
+
+    return df.select(*group_cols, col).groupBy(*group_cols).applyInPandas(
+        build, schema
+    )
+
+
+def rollup_quantiles(
+    partials: DataFrame,
+    rollup_cols: list[str],
+    qs: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Merge persisted sketch partials UP to a coarser grain and emit
+    quantile estimates — rollup cost is O(sketch rows), independent of the
+    raw volume the partials condensed (the entire point of a mergeable
+    sketch store). Distributed: each rollup group's merge happens inside
+    applyInPandas; the driver never holds any sketch."""
+    out_fields = [partials.schema[c] for c in rollup_cols] + [
+        T.StructField("quantile", T.DoubleType()),
+        T.StructField("estimate", T.DoubleType()),
+    ]
+    schema = T.StructType(out_fields)
+
+    def merge(pdf):
+        import pandas as pd
+
+        merged = KLLSketch(k)
+        for _, row in pdf.iterrows():
+            merged = merged.merge(
+                KLLSketch.from_rows(
+                    k, [(int(row["level"]), int(row["parity"]), list(row["values"]))]
+                )
+            )
+        base = {c: [pdf[c].iloc[0]] * len(qs) for c in rollup_cols}
+        base.update(
+            {
+                "quantile": [float(q) for q in qs],
+                "estimate": [float(merged.quantile(q)) for q in qs],
+            }
+        )
+        return pd.DataFrame(base)
+
+    return partials.groupBy(*rollup_cols).applyInPandas(merge, schema)

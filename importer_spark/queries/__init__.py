@@ -62,6 +62,8 @@ _PRIORITY: list[str] = [
     # Round-4 additions: no driver evidence yet
     "order_volume_trend_ols",
     "semantic_dedup_cells",
+    "copurchase_triangles",
+    "incremental_join_view",
     "bigram_backoff_scores",
     "gopher_quality_rules",
     "copurchase_pagerank",

@@ -1,5 +1,6 @@
-"""Round-4 analytics extensions, batch 3: per-group OLS trend fitting and
-SemDeDup-style semantic deduplication.
+"""Round-4 analytics extensions, batch 3: per-group OLS trend fitting,
+SemDeDup-style semantic deduplication, degree-ordered triangle counting,
+and incremental join-view maintenance.
 
 - ``order_volume_trend_ols``: least-squares slope/intercept of daily order
   volume per priority class — the trend-line primitive behind forecasting
@@ -148,28 +149,189 @@ def semantic_dedup_cells(spark, sf_dir):
             gt = c > best_cos
             best_id = F.when(gt, F.lit(sid)).otherwise(best_id)
             best_cos = F.when(gt, c).otherwise(best_cos)
-    cells = e.select("vec_id", "emb", best_id.alias("cell"))
-    left = cells.select(
-        F.col("vec_id"), F.col("emb").alias("emb_a"), F.col("cell")
-    )
-    right = cells.select(
-        F.col("vec_id").alias("vid_b"), F.col("emb").alias("emb_b"), F.col("cell")
-    )
-    dup_ids = (
-        left.join(right, "cell")
-        .filter(
-            (F.col("vid_b") < F.col("vec_id"))
-            & (cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(_SEM_TAU))
+    cells = e.select("vec_id", "emb", best_id.cast("long").alias("cell"))
+
+    # Within-cell scoring: ONE applyInPandas per cell, chunked numpy block
+    # matmul (the measured ~25× win over the interpreted fold-cosine pair
+    # join — same normalization convention as the sf1-certified
+    # operators/similarity.cosine_pairs_exact). A row is a dup iff any
+    # LOWER-id row of the same cell scores ≥ τ; the triangular mask keeps
+    # the rule order-free. Chunk size adapts so the sims block stays
+    # ~120 MB regardless of cell size.
+    def find_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.vstack(pdf["emb"].to_numpy()[order]).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        chunk = max(256, int(1.5e7 / max(n, 1)))
+        for s in range(1, n, chunk):
+            end = min(s + chunk, n)
+            sims = m[s:end] @ m[:end].T
+            mask = np.arange(end)[None, :] < np.arange(s, end)[:, None]
+            dup[s:end] = ((sims >= _SEM_TAU) & mask).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].iat[0],
+                "is_semantic_dup": dup,
+            }
         )
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_semantic_dup", F.lit(True))
+
+    return cells.groupBy("cell").applyInPandas(
+        find_dups, schema="vec_id bigint, cell bigint, is_semantic_dup boolean"
     )
-    return (
-        cells.join(dup_ids, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce("is_semantic_dup", F.lit(False)).alias("is_semantic_dup"),
+
+
+_TRI_SQL = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
+@query("copurchase_triangles", oracle=_TRI_SQL)
+def copurchase_triangles(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph (same edge rule
+    as copurchase_pagerank: co-occurrence >= 2). Engine side runs the
+    degree-ordered orientation algorithm (Suri & Vassilvitskii, WWW 2011,
+    "Counting triangles and the curse of the last reducer"): every edge
+    points from its (degree, id)-smaller endpoint, each triangle becomes
+    exactly ONE wedge-plus-closing-edge, and — the scale property — the
+    wedge fan-out per node is bounded by O(sqrt(m)) regardless of raw
+    degree, so a celebrity part cannot blow up a reducer. The oracle is
+    the naive id-ordered chain join; identical triangle sets, independent
+    derivations."""
+    t = Tables(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order (deg, id): orient every edge small → large
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+    # The oriented edge set feeds THREE self-join arms; checkpointing it
+    # keeps the plan constant-size instead of re-inlining the whole
+    # items-self-join lineage per arm (same move as copurchase_pagerank).
+    oriented = oriented.repartition(8, "src").localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("m1"), F.col("dst_deg").alias("g1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("m2"), F.col("dst_deg").alias("g2")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("g1") < F.col("g2"))
+        | ((F.col("g1") == F.col("g2")) & (F.col("m1") < F.col("m2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("m1"), F.col("dst").alias("m2")
+    )
+    tri = wedges.join(closing, ["m1", "m2"]).select(
+        F.col("src").alias("x"), F.col("m1").alias("y"), F.col("m2").alias("z")
+    )
+    nodes = (
+        tri.select(F.col("x").alias("part_key"))
+        .unionAll(tri.select(F.col("y").alias("part_key")))
+        .unionAll(tri.select(F.col("z").alias("part_key")))
+    )
+    return nodes.groupBy("part_key").agg(F.count("*").alias("n_triangles"))
+
+
+_IVM_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+       c.c_mktsegment, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("incremental_join_view", oracle=_IVM_SQL)
+def incremental_join_view(spark, sf_dir):
+    """Materialized join view maintained INCREMENTALLY (operators/ivm.py):
+    orders arrive in three date-bounded batches against a customer dim
+    that gains its high-key half in batch 2; each refresh joins only the
+    delta rows against the other side (ΔA⋈B_new ∪ A⋈ΔB — the Gupta et
+    al. delta rule), never history against history. The oracle is the
+    plain one-shot join, so value parity proves the three-step
+    incremental maintenance converges to exactly the full recompute —
+    the semantics-preserving-rewrite certification pattern
+    (salted_segment_revenue's oracle plays the same role)."""
+    from importer_spark.operators.ivm import refresh_join_view
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = t.customer.select("c_custkey", "c_mktsegment", "c_nationkey")
+    med_cust = cust.approxQuantile("c_custkey", [0.5], 0.0)[0]
+    cut1, cut2 = "1995-01-01", "1997-01-01"
+    o1 = orders.filter(F.col("o_orderdate") < cut1)
+    o2 = orders.filter(
+        (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+    )
+    o3 = orders.filter(F.col("o_orderdate") >= cut2)
+    c1 = cust.filter(F.col("c_custkey") <= med_cust)
+    c2 = cust.filter(F.col("c_custkey") > med_cust)
+
+    # dim key renamed so the view joins on one column name
+    c1r = c1.withColumnRenamed("c_custkey", "o_custkey")
+    c2r = c2.withColumnRenamed("c_custkey", "o_custkey")
+    view = refresh_join_view(None, o1, None, c1r, None, ["o_custkey"])
+    view = refresh_join_view(view, o1, o2, c1r, c2r, ["o_custkey"])
+    a12 = o1.unionByName(o2)
+    c12 = c1r.unionByName(c2r)
+    view = refresh_join_view(view, a12, o3, c12, None, ["o_custkey"])
+    return view.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "c_mktsegment", "c_nationkey",
     )

@@ -159,3 +159,27 @@ def order_value_quantile_sketch(spark, sf_dir):
         [(float(q), float(v)) for q, v in sorted(est.items())],
         "quantile double, estimate double",
     )
+
+
+@query("event_value_quantile_rollup", catalog=False)
+def event_value_quantile_rollup(spark, sf_dir):
+    """Sketch-store rollup: per-(event_type, day) KLL partials — the state
+    an incremental daily load would persist — merged UP to per-event_type
+    p50/p95 WITHOUT rescanning events (the quantile twin of
+    incremental_distinct_sketch's HLL rollup). Merging happens inside
+    applyInPandas per rollup group; no sketch ever reaches the driver.
+    Error bounds vs exact per-type percentiles pinned in
+    tests/test_quantile_sketch.py."""
+    from importer_spark.operators.quantiles import (
+        grouped_quantile_partials,
+        rollup_quantiles,
+    )
+
+    t = Tables(spark, sf_dir)
+    daily = grouped_quantile_partials(
+        t.events.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "value",
+        k=200,
+    )
+    return rollup_quantiles(daily, ["event_type"], [0.5, 0.95], k=200)

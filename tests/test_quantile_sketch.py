@@ -131,3 +131,44 @@ def test_spark_partials_exclude_nulls(spark):
     rows = quantile_sketch_partials(df, "x", k=64).collect()
     mass = sum(len(r["values"]) << r["level"] for r in rows)
     assert mass == 100
+
+
+def test_grouped_partials_rollup_matches_exact(spark):
+    """Per-(type, day) partials rolled up to per-type quantiles must agree
+    with exact percentiles within the rank-error bound — certifying both
+    the group-wise build and the applyInPandas merge path."""
+    from importer_spark.io import Tables
+    from importer_spark.operators.quantiles import (
+        grouped_quantile_partials,
+        rollup_quantiles,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    ev = Tables(spark, SF_DIR).events.withColumn("day", F.to_date("ts"))
+    daily = grouped_quantile_partials(ev, ["event_type", "day"], "value", k=K)
+    est = rollup_quantiles(daily, ["event_type"], [0.5, 0.95], k=K).collect()
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert {r["event_type"] for r in est} == set(by_type)
+    for r in est:
+        vals = np.array(sorted(by_type[r["event_type"]]))
+        true_rank = np.searchsorted(vals, r["estimate"], side="right") / len(vals)
+        assert abs(true_rank - r["quantile"]) <= EPS, r
+
+
+def test_grouped_partials_mass_per_group(spark):
+    from pyspark.sql import Row
+    from importer_spark.operators.quantiles import grouped_quantile_partials
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(i)) for i in range(500)]
+        + [Row(g="b", x=float(i)) for i in range(37)]
+    ).repartition(4)
+    rows = grouped_quantile_partials(df, ["g"], "x", k=64).collect()
+    mass = {}
+    for r in rows:
+        mass[r["g"]] = mass.get(r["g"], 0) + (len(r["values"]) << r["level"])
+    assert mass == {"a": 500, "b": 37}
