@@ -17,6 +17,14 @@ Reference parity: the reference computes percentiles with exact
 PERCENTILE_CONT over full scans (models/mart/mart_order_issues.sql shape);
 the exact distributed twin lives in operators/ranks.py. This sketch is the
 approximate/streaming-rollup alternative neither engine ships natively.
+
+NaN contract: the sketch path treats float NaN like SQL NULL — dropped
+before condensing (pandas ``dropna`` cannot distinguish the two after
+Arrow conversion of float64, and a NaN admitted into the compactor would
+poison every sort). This intentionally DIVERGES from Spark's own
+percentile/sort semantics, which rank NaN above all values: quantiles
+from this module describe the non-NaN distribution. Filter or assert on
+``isnan`` upstream if NaN presence itself is the signal.
 """
 
 from __future__ import annotations
@@ -148,7 +156,8 @@ _PARTIAL_SCHEMA = T.StructType(
 def quantile_sketch_partials(df: DataFrame, col: str, k: int = 200) -> DataFrame:
     """One KLL sketch per partition, emitted as (part_id, level, parity,
     values) rows — the map-side condense. No shuffle: each partition's raw
-    rows never leave it; what travels is O(k·log(n_p/k)) doubles."""
+    rows never leave it; what travels is O(k·log(n_p/k)) doubles. NULL and
+    NaN values are both dropped (module NaN contract)."""
 
     def build(iterator):
         import pandas as pd
@@ -259,6 +268,11 @@ def rollup_quantiles(
                     k, [(int(row["level"]), int(row["parity"]), list(row["values"]))]
                 )
             )
+        if merged.n == 0:
+            # Every partial in this rollup group condensed zero values
+            # (all-NULL metric): emit nothing for the group rather than
+            # failing the whole job on `quantile` of an empty sketch.
+            return pd.DataFrame({c: [] for c in [*rollup_cols, "quantile", "estimate"]})
         base = {c: [pdf[c].iloc[0]] * len(qs) for c in rollup_cols}
         base.update(
             {

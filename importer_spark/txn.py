@@ -148,9 +148,13 @@ def _file_may_match(stats: dict | None, conds: list[tuple]) -> bool:
     conjunction. Sound under Spark's comparison semantics, including its
     non-IEEE NaN ordering: Spark sorts NaN above every value while parquet
     footers ignore NaNs, so for float columns the upper bound is
-    untrustworthy — only ==, <, <=, in (all immune to hidden NaNs: NaN
-    compares false under them) may prune; >, >=, != never do. NULL rows
-    satisfy no comparison, so null_count only matters to is_null/not_null."""
+    untrustworthy — only ==, <, <=, in (immune to hidden NaN DATA: a NaN
+    row compares false under them) may prune; >, >=, != never do. A NaN
+    LITERAL is the dual hazard: Spark treats NaN = NaN as TRUE (non-IEEE),
+    so `==`/`in` with a NaN literal can match rows the footer stats never
+    saw — any float condition carrying a NaN literal never prunes. NULL
+    rows satisfy no comparison, so null_count only matters to
+    is_null/not_null."""
     if not stats:
         return True
     rows = stats.get("rows")
@@ -171,6 +175,13 @@ def _file_may_match(stats: dict | None, conds: list[tuple]) -> bool:
             continue
         mn, mx = _dec_stat(cs["min"]), _dec_stat(cs["max"])
         fl = cs.get("float", False)
+        if fl and op in ("==", "in", "<", "<="):
+            vals = val if op == "in" else [val]
+            try:
+                if any(isinstance(v, float) and v != v for v in vals):
+                    continue  # NaN literal on a float column: stats are blind
+            except TypeError:
+                continue
         try:
             if op == "==":
                 if val < mn or val > mx:
@@ -684,8 +695,10 @@ class TxnTable:
         ``.filter`` on the result."""
         from pyspark.sql import functions as F
 
-        rep = self.skipping_report(conds, version)
+        # Pin the snapshot ONCE: a concurrent commit between planning and
+        # the empty-result fallback must not move the version under us.
         v = self.latest_version() if version is None else version
+        rep = self.skipping_report(conds, v)
         if not rep["kept"]:
             return self.read(v).filter(F.lit(False)).limit(0)
         df = self.spark.read.parquet(

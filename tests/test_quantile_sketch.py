@@ -159,6 +159,28 @@ def test_grouped_partials_rollup_matches_exact(spark):
         assert abs(true_rank - r["quantile"]) <= EPS, r
 
 
+def test_rollup_skips_all_null_groups(spark):
+    """A rollup group whose every partial condensed zero values (all-NULL
+    metric) must vanish from the output, not raise 'empty sketch' and kill
+    the job (ADVICE r4 low)."""
+    from pyspark.sql import Row
+
+    from importer_spark.operators.quantiles import (
+        grouped_quantile_partials,
+        rollup_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="live", d=1, x=float(i)) for i in range(20)]
+        + [Row(g="dead", d=1, x=None), Row(g="dead", d=2, x=None)],
+        "g string, d int, x double",
+    )
+    partials = grouped_quantile_partials(df, ["g", "d"], "x", k=16)
+    out = rollup_quantiles(partials, ["g"], [0.5], k=16).collect()
+    assert {r["g"] for r in out} == {"live"}
+    assert len(out) == 1 and out[0]["estimate"] is not None
+
+
 def test_grouped_partials_mass_per_group(spark):
     from pyspark.sql import Row
     from importer_spark.operators.quantiles import grouped_quantile_partials

@@ -99,6 +99,46 @@ def test_nan_rows_survive_float_guard(spark, tmp_path):
     assert out.count() == 1  # the NaN row
 
 
+def test_nan_literal_never_prunes(spark, tmp_path):
+    """Spark treats NaN = NaN as TRUE (non-IEEE), so `== NaN` / `in [NaN]`
+    CAN match rows — rows the parquet footer stats never counted. A NaN
+    literal on a float column must therefore disable pruning entirely
+    (ADVICE r4 medium)."""
+    nan = float("nan")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.commit_append(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=nan)]).coalesce(1)
+    )
+    t.commit_append(
+        spark.createDataFrame([Row(id=3, v=500.0), Row(id=4, v=nan)]).coalesce(1)
+    )
+    # footer stats say [1,1] and [500,500]; both files hold hidden NaNs
+    rep = t.skipping_report([("v", "in", [nan, 999.0])])
+    assert len(rep["kept"]) == 2  # pruning disabled, not "no file in range"
+    assert t.read_where([("v", "in", [nan, 999.0])]).count() == 2  # both NaN rows
+    assert len(t.skipping_report([("v", "==", nan)])["kept"]) == 2
+    assert t.read_where([("v", "==", nan)]).count() == 2
+    # non-NaN IN lists still prune as before (unit level: real footers omit
+    # min/max when a page holds NaN, so these files never prune regardless)
+    st = {"rows": 2, "cols": {"v": {"min": 1.0, "max": 2.0, "nulls": 0, "float": True}}}
+    assert not _file_may_match(st, [("v", "in", [500.0])])
+    assert _file_may_match(st, [("v", "in", [500.0, nan])])
+    assert _file_may_match(st, [("v", "==", nan)])
+
+
+def test_read_where_pins_version_against_concurrent_commit(spark, tmp_path):
+    """An explicit version stays the version actually scanned even when the
+    predicate matches nothing — the empty branch must not slide to a newer
+    snapshot committed mid-call (ADVICE r4 low)."""
+    t = _three_commit_table(spark, tmp_path)
+    v = t.latest_version()
+    t.commit_append(
+        spark.createDataFrame([Row(id=999, grp="z", val=999.0)]).coalesce(1)
+    )
+    assert t.read_where([("id", "==", 999)], version=v).count() == 0
+    assert t.read_where([("id", "==", 999)]).count() == 1
+
+
 def test_null_predicates(spark, tmp_path):
     t = TxnTable(spark, str(tmp_path / "t"))
     t.commit_append(
