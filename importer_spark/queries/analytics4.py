@@ -26,10 +26,12 @@ and incremental join-view maintenance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
-from importer_spark.operators.similarity import as_double_array, cosine
+from importer_spark.operators.similarity import as_double_array
 from importer_spark.queries.registry import query
 
 # Anchor inside the data range keeps |x| ~ 1e3: every OLS sum then fits
@@ -96,9 +98,16 @@ def order_volume_trend_ols(spark, sf_dir):
     )
 
 
-_N_SEEDS = 8
+# K (cell count) is THE SemDeDup scale dial — in-cell work is O(N²/K), so K
+# must grow ∝ corpus (DEPLOY.md "SemDeDup sizing"). Env-tunable so the scaled
+# gates certify the same query at K∝N (the oracle string below regenerates
+# from the same value at import time, keeping parity by construction).
+_N_SEEDS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_SEEDS", "8"))
 _SEM_TAU = 0.45  # below this corpus's max pairwise cosine — dups exist
 
+# ROUND(…, 9) before the argmax on BOTH engines: near-tie FP noise below the
+# 1e-9 grid cannot flip a cell assignment (r4 ADVICE; operators/semdedup.py
+# ROUND_SCALE is the same constant).
 _SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 seeds AS (SELECT vec_id AS seed_id, emb AS semb FROM e WHERE vec_id < {_N_SEEDS}),
@@ -106,7 +115,7 @@ assign AS (
   SELECT vec_id, emb, seed_id,
     ROW_NUMBER() OVER (
       PARTITION BY vec_id
-      ORDER BY list_cosine_similarity(emb, semb) DESC, seed_id ASC
+      ORDER BY ROUND(list_cosine_similarity(emb, semb), 9) DESC, seed_id ASC
     ) AS rk
   FROM e CROSS JOIN seeds
 ),
@@ -123,68 +132,21 @@ FROM cells a
 
 @query("semantic_dedup_cells", oracle=_SEMDEDUP_SQL)
 def semantic_dedup_cells(spark, sf_dir):
-    """SemDeDup: assign each vector to its max-cosine seed cell (K seeds
-    broadcast as array literals — K dot products per row, all inside
-    whole-stage codegen), then flag vectors with a lower-id cosine-≥-τ
-    neighbor IN THE SAME CELL. The pair join shuffles on the cell key
-    only — within-cell quadratic, cross-cell zero — which is the entire
-    point of semantic pre-partitioning; the oracle keeps the naive
-    correlated-EXISTS form, so parity certifies the bucketed rewrite."""
+    """SemDeDup via operators/semdedup.py: argmax-cosine seed cells (K
+    fold-cosines per row, 1e-9-quantized, no join), then within-cell
+    lower-id cosine-≥-τ flags from ONE applyInPandas per cell — the pair
+    stage shuffles on the cell key only, which is the entire point of
+    semantic pre-partitioning. The oracle keeps the naive correlated-EXISTS
+    form, so parity certifies the bucketed rewrite. K comes from
+    SPARK_GRAFT_SEMDEDUP_SEEDS (scaled gates run K∝N; seeds here are
+    vec_id < K ≡ the K lowest ids — this corpus's ids are dense from 0)."""
+    from importer_spark.operators.semdedup import semantic_dedup
+
     t = Tables(spark, sf_dir)
     e = t.embeddings.select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    seeds = [
-        (int(r["vec_id"]), [float(x) for x in r["emb"]])
-        for r in e.filter(F.col("vec_id") < _N_SEEDS).collect()
-    ]
-    # argmax over K seed cosines, ties to the lower seed id: strictly-greater
-    # comparison while scanning seeds in ascending id order.
-    best_cos, best_id = None, None
-    for sid, vec in sorted(seeds):
-        c = cosine(F.col("emb"), F.array(*[F.lit(x) for x in vec]))
-        if best_cos is None:
-            best_cos, best_id = c, F.lit(sid)
-        else:
-            gt = c > best_cos
-            best_id = F.when(gt, F.lit(sid)).otherwise(best_id)
-            best_cos = F.when(gt, c).otherwise(best_cos)
-    cells = e.select("vec_id", "emb", best_id.cast("long").alias("cell"))
-
-    # Within-cell scoring: ONE applyInPandas per cell, chunked numpy block
-    # matmul (the measured ~25× win over the interpreted fold-cosine pair
-    # join — same normalization convention as the sf1-certified
-    # operators/similarity.cosine_pairs_exact). A row is a dup iff any
-    # LOWER-id row of the same cell scores ≥ τ; the triangular mask keeps
-    # the rule order-free. Chunk size adapts so the sims block stays
-    # ~120 MB regardless of cell size.
-    def find_dups(pdf):
-        import numpy as np
-        import pandas as pd
-
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        m = np.vstack(pdf["emb"].to_numpy()[order]).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        n = len(ids)
-        dup = np.zeros(n, dtype=bool)
-        chunk = max(256, int(1.5e7 / max(n, 1)))
-        for s in range(1, n, chunk):
-            end = min(s + chunk, n)
-            sims = m[s:end] @ m[:end].T
-            mask = np.arange(end)[None, :] < np.arange(s, end)[:, None]
-            dup[s:end] = ((sims >= _SEM_TAU) & mask).any(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cell": pdf["cell"].iat[0],
-                "is_semantic_dup": dup,
-            }
-        )
-
-    return cells.groupBy("cell").applyInPandas(
-        find_dups, schema="vec_id bigint, cell bigint, is_semantic_dup boolean"
-    )
+    return semantic_dedup(e, "vec_id", "emb", n_seeds=_N_SEEDS, tau=_SEM_TAU)
 
 
 _TRI_SQL = """

@@ -742,3 +742,52 @@ def test_merge_bucket_keys_prefix_colocates_entities(spark, tmp_path):
         merge_by_key(
             spark, upd, tgt, keys=["order_key", "line"], bucket_keys=["line"]
         )
+
+
+def test_semdedup_operator_matches_bruteforce(spark):
+    """operators/semdedup.semantic_dedup vs a plain numpy re-derivation of
+    the deterministic SemDeDup rule (argmax cells w/ lower-id ties, lower-id
+    cosine>=tau dup flags) on a small random corpus — plus the tie-break
+    edge: duplicate seed vectors must assign to the LOWER seed id."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from importer_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    n, d, k, tau = 120, 16, 6, 0.9
+    vecs = rng.randn(n, d)
+    vecs[50] = vecs[0]  # exact twin -> same cell, 50 flagged
+    vecs[1] = vecs[0]  # seed 1 duplicates seed 0: tie on every row
+    df = spark.createDataFrame(
+        [Row(vec_id=i, emb=[float(x) for x in vecs[i]]) for i in range(n)]
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["is_semantic_dup"])
+        for r in semantic_dedup(df, "vec_id", "emb", n_seeds=k, tau=tau).collect()
+    }
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(norm @ norm[:k].T, 9)
+    cells = sims.argmax(axis=1)  # np argmax keeps FIRST max = lower seed id
+    for i in range(n):
+        assert got[i][0] == cells[i], i
+    assert cells[1] == 0 and got[1][0] == 0  # duplicate-seed tie -> seed 0
+    full = norm @ norm.T
+    for i in range(n):
+        expect = any(
+            cells[j] == cells[i] and full[i, j] >= tau for j in range(i)
+        )
+        assert got[i][1] == expect, i
+    assert got[50][1] is True
+
+
+def test_semdedup_seed_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from importer_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame([Row(vec_id=0, emb=[1.0, 0.0])])
+    with _pytest.raises(ValueError, match="n_seeds"):
+        semantic_dedup(df, "vec_id", "emb", n_seeds=4, tau=0.5)
