@@ -393,16 +393,9 @@ def test_ivf_trained_quantizer_recall(spark):
     nprobe budget (these embeddings are near-uniform, so recall tracks the
     searched corpus fraction — trained, data-adaptive cells balance cell
     sizes and must not do materially worse)."""
-    from importer_spark.io import Tables
-    from importer_spark.operators.clustering import kmeans_fit
-    from importer_spark.queries import QUERIES
-    from importer_spark.queries.llm_similarity import N_LIST_STRIDE, ivf_search
+    from importer_spark.queries import DIAGNOSTICS, QUERIES
 
-    t = Tables(spark, SF_DIR)
-    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
-    n_cells = e.filter(F.col("vec_id") % N_LIST_STRIDE == 0).count()
-    cents, _ = kmeans_fit(e, "vec_id", "emb", k=n_cells, iters=3)
-    trained = ivf_search(e, list(range(n_cells)), cents).toPandas()
+    trained = DIAGNOSTICS["embedding_ivf_trained_topk"](spark, SF_DIR).toPandas()
     strided = QUERIES["embedding_ivf_topk"](spark, SF_DIR).toPandas()
     bf = QUERIES["embedding_cosine_topk"](spark, SF_DIR).toPandas()
 
