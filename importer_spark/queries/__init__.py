@@ -49,17 +49,20 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Registration order = external-verification sampling order. A verifier that
 # checks a prefix of the catalog should hit the queries with the least prior
-# driver evidence first. After rounds 1-3 every then-registered query had a
-# green driver row, so the round-4 list leads with everything added since:
-# the star connected components, the passage-level substring dedup family,
-# the unigram-LM scores, and the sixteen TPC-H shapes that completed the
-# 22-query sweep; everything else keeps the round-3 order behind them. (All
-# round-4 additions are already green in the in-repo sf0.01 AND sf1 gates —
-# LOCAL_GATE_*.json — this order just lets the driver confirm the newest
-# first.)
+# driver evidence first: round-5 additions, then the five analytics3 queries
+# whose only green rows are the in-repo gates (r4 VERDICT gap #1), then the
+# round-4 block (driver-green in CORRECTNESS_r04), then the r3 order.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # Round-4 additions: no driver evidence yet
+    # Round-5 additions: no driver evidence yet
+    "txn_skipped_revenue",
+    # analytics3 queries with in-repo gate evidence only (no driver row)
+    "discount_allocation",
+    "events_interpolate",
+    "ngram_jaccard_pairs",
+    "pareto_skyline_parts",
+    "supplier_inflight_peak",
+    # Round-4 additions (driver-green in CORRECTNESS_r04)
     "order_volume_trend_ols",
     "semantic_dedup_cells",
     "copurchase_triangles",

@@ -9,6 +9,8 @@ but the normalization logic is exactly the reference's.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -383,4 +385,63 @@ def approx_distinct_sketch(spark, sf_dir):
         "approx_customers",
         F.element_at("_q", 1).alias("price_p50"),
         F.element_at("_q", 2).alias("price_p95"),
+    )
+
+
+# --- txn-table data skipping, driven end-to-end ----------------------------
+
+_TXN_SKIP_SQL = """
+SELECT o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1
+"""
+
+TXN_SKIP_CONDS = [
+    ("o_orderdate", ">=", datetime.datetime(1997, 1, 1)),
+    ("o_orderdate", "<", datetime.datetime(1997, 7, 1)),
+]
+
+
+def build_orders_txn(spark, sf_dir):
+    """A date-range-clustered TxnTable copy of orders in a fresh scratch
+    dir: ONE commit of 8 range-partitioned files, so the commit manifest
+    carries tight per-file o_orderdate min/max — the layout
+    `read_where` file pruning rewards (shared by the catalog query below
+    and the prune-count pin in tests/test_txn_skipping.py)."""
+    import os
+    import tempfile
+
+    from importer_spark.txn import TxnTable
+
+    t = Tables(spark, sf_dir)
+    table = TxnTable(spark, os.path.join(tempfile.mkdtemp(prefix="txn_skip_"), "orders_txn"))
+    table.commit_append(
+        t.orders.select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+        ).repartitionByRange(8, "o_orderdate")
+    )
+    return table
+
+
+@query("txn_skipped_revenue", oracle=_TXN_SKIP_SQL)
+def txn_skipped_revenue(spark, sf_dir):
+    """S12 data skipping exercised END-TO-END (r4 VERDICT ask): orders land
+    in a txn table as one commit of date-range-clustered files, and the
+    half-year revenue rollup reads through `TxnTable.read_where`, so the
+    manifest min/max stats prune the out-of-range files BEFORE they enter
+    the Spark plan — at 100 TB the difference between scanning the table
+    and scanning the window a Z-ordered predicate touches. The full
+    predicate is re-applied as a filter (pruning is never a correctness
+    dependency), and the oracle is the plain filtered aggregate over the
+    original parquet — value parity certifies the whole
+    write→stats→prune→scan loop. The pruned-file count for this exact
+    layout is pinned in tests/test_txn_skipping.py."""
+    table = build_orders_txn(spark, sf_dir)
+    got = table.read_where(TXN_SKIP_CONDS)
+    return got.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
     )

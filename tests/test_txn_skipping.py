@@ -241,3 +241,19 @@ def test_file_may_match_unit():
     assert _file_may_match(None, [("x", "==", 1)])  # no stats: keep
     # mixed-type literal never prunes
     assert _file_may_match(st, [("x", "==", "not-an-int")])
+
+
+def test_catalog_query_layout_prunes_six_of_eight(spark):
+    """Pin the file-prune count for txn_skipped_revenue's exact layout
+    (8 range-clustered files, half-year predicate): the manifest stats must
+    prove at least 6 of 8 files irrelevant — if this drops, the catalog
+    query silently degrades to a near-full scan (r4 VERDICT ask: a pinned
+    prune count for the read_where-driven catalog row)."""
+    from tests.conftest import SF_DIR
+
+    from importer_spark.queries.etl import TXN_SKIP_CONDS, build_orders_txn
+
+    table = build_orders_txn(spark, SF_DIR)
+    rep = table.skipping_report(TXN_SKIP_CONDS)
+    assert rep["total"] == 8
+    assert len(rep["skipped"]) >= 6, rep
