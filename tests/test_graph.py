@@ -111,3 +111,26 @@ def test_caches_released(spark, pairs):
         connected_components(pairs).collect()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
+
+
+def test_star_completes_on_diameter_10k_random_tree(spark):
+    """Depth stress an order of magnitude past the 1000-chain case: a
+    permuted diameter-10^4 path with 500 random leaf attachments (a random
+    tree — leaves exercise the asymmetric star moves, not just the chain
+    pattern). O(log d) contraction must finish inside a 20-round budget
+    (log2(10^4) ≈ 13) and label every node with the component min."""
+    import random
+
+    n = 10_001
+    rng = random.Random(17)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    # leaves n..n+499 hang off random path nodes: diameter stays >= 10^4
+    edges += [(n + j, perm[rng.randrange(n)]) for j in range(500)]
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(pairs, max_rounds=20, max_local_edges=0)
+    agg = out.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["cluster_id"] == 0 and agg[0]["count"] == n + 500

@@ -784,3 +784,51 @@ def test_semdedup_seed_guard(spark):
     df = spark.createDataFrame([Row(vec_id=0, emb=[1.0, 0.0])])
     with _pytest.raises(ValueError, match="n_seeds"):
         semantic_dedup(df, "vec_id", "emb", n_seeds=4, tau=0.5)
+
+
+def test_merge_ngram_stores_interleaving_invariance(spark):
+    """Property: folding per-batch deltas through merge_ngram_stores is
+    invariant to HOW the corpus was batched — including re-ingesting the
+    same doc in multiple batches (the solo_id guard path, which had one
+    test route before r5). For several random interleavings with forced
+    re-ingest, the folded store must equal ngram_store built from scratch
+    on the union corpus, gram for gram."""
+    import random
+
+    from pyspark.sql import Row
+
+    from importer_spark.operators.dedup import merge_ngram_stores, ngram_store
+
+    words = ["alpha beta gamma delta", "beta gamma delta epsilon",
+             "zeta eta theta iota", "gamma delta epsilon zeta",
+             "alpha beta gamma delta", "unique text here only"]
+    docs = [Row(doc_id=i, text=words[i % len(words)] + f" tail{i % 7}")
+            for i in range(18)]
+
+    def store_rows(df):
+        return {
+            (r["_k1"], r["_k2"]): (r["n_docs"], r["solo_id"])
+            for r in df.collect()
+        }
+
+    full = spark.createDataFrame(docs)
+    want = store_rows(ngram_store(full, "doc_id", "text", n=3))
+
+    for seed in (1, 5, 9):
+        rng = random.Random(seed)
+        order = docs[:]
+        rng.shuffle(order)
+        cut1, cut2 = rng.randrange(1, 17), rng.randrange(1, 17)
+        lo, hi = min(cut1, cut2), max(cut1, cut2) or 1
+        batches = [order[:lo], order[lo:hi], order[hi:]]
+        # forced re-ingest: a random earlier doc reappears in a later batch
+        batches[2] = batches[2] + [rng.choice(order[:max(lo, 1)])]
+        merged = None
+        for batch in batches:
+            if not batch:
+                continue
+            delta = ngram_store(
+                spark.createDataFrame(batch), "doc_id", "text", n=3
+            )
+            merged = delta if merged is None else merge_ngram_stores(merged, delta)
+        assert store_rows(merged) == want, seed

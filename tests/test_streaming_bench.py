@@ -25,3 +25,27 @@ def test_stateful_sessions_throughput(spark):
     assert r["rows"] == 100_000
     assert r["sessions_emitted"] > 0
     assert r["rows_per_s"] >= SESSIONS_FLOOR, r
+
+
+# Recorded 2026-08-14 (r5) on local[32]: join 28991 rows/s (342 pairs),
+# dedup 178958 rows/s over the doubled stream.
+SSJOIN_FLOOR = 5000
+SDEDUP_FLOOR = 20000
+
+
+def test_stream_stream_join_throughput(spark):
+    from tools.bench_streaming import bench_stream_stream_join
+
+    r = bench_stream_stream_join(spark, SF_DIR)
+    assert r["rows"] == 100_000
+    assert r["pairs_emitted"] > 0
+    assert r["rows_per_s"] >= SSJOIN_FLOOR, r
+
+
+def test_stream_dedup_throughput(spark):
+    from tools.bench_streaming import bench_stream_dedup
+
+    r = bench_stream_dedup(spark, SF_DIR)
+    assert r["rows"] == 200_000
+    assert r["unique_emitted"] == 100_000  # dedup exactly halves the stream
+    assert r["rows_per_s"] >= SDEDUP_FLOOR, r

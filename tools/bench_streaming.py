@@ -1,6 +1,8 @@
-"""Streaming micro-bench: rows/s for the two stateful streaming surfaces
+"""Streaming micro-bench: rows/s for ALL FOUR stateful streaming surfaces
 (r3 verdict item 7 — streaming had correctness tests but no recorded
-throughput, so regressions were invisible).
+throughput, so regressions were invisible; r4 verdict item 6 added the
+stream-stream join and watermark dedup so every stateful path has a
+recorded number).
 
 Measured at $SPARK_GRAFT_SF_DIR (default sf0.1, events = 100k rows):
 
@@ -11,9 +13,13 @@ Measured at $SPARK_GRAFT_SF_DIR (default sf0.1, events = 100k rows):
 2. ``stateful_sessions`` — applyInPandasWithState sessionizer throughput:
    the events table streamed from parquet with Trigger.AvailableNow through
    the per-user session operator into a noop-equivalent memory sink.
+3. ``stream_stream_join`` — watermarked interval join (views ⋈ purchases
+   within 1 hour), both sides streaming; state bounded by the watermark.
+4. ``stream_dedup`` — dropDuplicatesWithinWatermark over a doubled stream
+   (the events file staged twice, so every key is an exact duplicate);
+   asserts the dedup halves the stream while timing it.
 
-Prints one JSON line: {"exactly_once_merge_rows_per_s": N,
-"stateful_sessions_rows_per_s": N, "rows": ..., "sf": ...}.
+Prints one JSON line with a *_rows_per_s key per surface and a detail map.
 Recorded in PERF.md; tests/test_streaming_bench.py asserts conservative
 floors so a 10x throughput collapse fails CI while machine noise does not.
 """
@@ -98,6 +104,110 @@ def bench_stateful_sessions(spark, sf_dir: str) -> dict:
     }
 
 
+def _stage_events(sf_dir: str, dest_root: str, copies: int = 1) -> tuple[str, int]:
+    """Stage the sf events file into a FileStreamSource directory
+    (hardlinks — no data copy), optionally multiple times for duplicate
+    streams. Returns (stage_dir, rows_per_copy)."""
+    import duckdb
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(dest_root, "in")
+    os.makedirs(stage)
+    for i in range(copies):
+        try:
+            os.link(src, os.path.join(stage, f"events_{i}.parquet"))
+        except OSError:
+            shutil.copy(src, os.path.join(stage, f"events_{i}.parquet"))
+    n = duckdb.sql(f"select count(*) from '{src}'").fetchone()[0]
+    return stage, int(n)
+
+
+def bench_stream_stream_join(spark, sf_dir: str) -> dict:
+    """Stream-stream interval join throughput: view events joined to the
+    same user's subsequent purchases within 1 hour, BOTH sides streamed
+    from parquet with watermarks (state evicted at the bound). Throughput
+    is total input rows (both sides) / wall."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.streaming.incremental import stream_stream_view_purchase
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    ckpt = tempfile.mkdtemp(prefix="bench_ssjoin_")
+    try:
+        stage, n_rows = _stage_events(sf_dir, ckpt)
+        stream = spark.readStream.schema(schema).parquet(stage).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )  # watermarks need TIMESTAMP, the sf files carry TIMESTAMP_NTZ
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = stream_stream_view_purchase(views, purchases, within="1 hour")
+        start = time.perf_counter()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("bench_ssjoin")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - start
+        emitted = spark.sql("select count(*) n from bench_ssjoin").first()["n"]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(n_rows / wall),
+        "pairs_emitted": int(emitted),
+    }
+
+
+def bench_stream_dedup(spark, sf_dir: str) -> dict:
+    """Watermark-bounded streaming dedup throughput: the events file staged
+    TWICE into the source directory (every event_id exactly duplicated),
+    deduped by stream_dedup_within_watermark. Verifies the dedup actually
+    halves the stream while measuring rows/s over the doubled input."""
+    from pyspark.sql import functions as F
+
+    from importer_spark.streaming.incremental import stream_dedup_within_watermark
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    ckpt = tempfile.mkdtemp(prefix="bench_sdedup_")
+    try:
+        stage, n_unique = _stage_events(sf_dir, ckpt, copies=2)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        deduped = stream_dedup_within_watermark(
+            stream.select(
+                "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+            ),
+            keys=["event_id"],
+        )
+        start = time.perf_counter()
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("bench_sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - start
+        emitted = spark.sql("select count(*) n from bench_sdedup").first()["n"]
+        assert emitted == n_unique, (emitted, n_unique)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "rows": 2 * n_unique,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(2 * n_unique / wall),
+        "unique_emitted": int(emitted),
+    }
+
+
 def main() -> None:
     from importer_spark.session import get_spark
 
@@ -113,13 +223,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     merge = bench_exactly_once_merge(spark, sf_dir)
     sessions = bench_stateful_sessions(spark, sf_dir)
+    ssjoin = bench_stream_stream_join(spark, sf_dir)
+    sdedup = bench_stream_dedup(spark, sf_dir)
     spark.stop()
     print(
         json.dumps(
             {
                 "exactly_once_merge_rows_per_s": merge["rows_per_s"],
                 "stateful_sessions_rows_per_s": sessions["rows_per_s"],
-                "detail": {"exactly_once_merge": merge, "stateful_sessions": sessions},
+                "stream_stream_join_rows_per_s": ssjoin["rows_per_s"],
+                "stream_dedup_rows_per_s": sdedup["rows_per_s"],
+                "detail": {
+                    "exactly_once_merge": merge,
+                    "stateful_sessions": sessions,
+                    "stream_stream_join": ssjoin,
+                    "stream_dedup": sdedup,
+                },
                 "sf": sf,
             }
         )
