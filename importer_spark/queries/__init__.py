@@ -20,6 +20,7 @@ from importer_spark.queries import aggs  # noqa: F401,E402
 from importer_spark.queries import analytics2  # noqa: F401,E402
 from importer_spark.queries import analytics3  # noqa: F401,E402
 from importer_spark.queries import analytics4  # noqa: F401,E402
+from importer_spark.queries import analytics5  # noqa: F401,E402
 from importer_spark.queries import attribution  # noqa: F401,E402
 from importer_spark.queries import joins  # noqa: F401,E402
 from importer_spark.queries import intervals_q  # noqa: F401,E402
@@ -56,6 +57,9 @@ from importer_spark.queries import windows  # noqa: F401,E402
 _PRIORITY: list[str] = [
     # Round-5 additions: no driver evidence yet
     "txn_skipped_revenue",
+    "nb_source_classifier",
+    "source_kl_drift",
+    "hard_negative_pairs",
     # analytics3 queries with in-repo gate evidence only (no driver row)
     "discount_allocation",
     "events_interpolate",

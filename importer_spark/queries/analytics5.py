@@ -1,0 +1,359 @@
+"""Round-5 analytics extensions: learned text classification and
+distribution-drift measurement over the documents table — the two
+model-driven curation steps between dedup and sampling in an LLM data
+pipeline (CCNet/Gopher-style source/quality classifiers; per-source drift
+monitors).
+
+Cross-engine determinism follows the llm_lm.py convention: every log
+term is rounded to 9 places and accumulated as exact DECIMAL, so
+partial-aggregation order can never change a score; the ONLY doubles that
+cross an aggregation boundary are already-quantized decimals. Train/score
+split reuses the md5(doc_id)-even rule so unseen tokens genuinely occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.text import tokens
+from importer_spark.queries.registry import query
+
+_DEC = "decimal(18,9)"
+
+# md5(doc_id) leading byte even -> train (same rule as llm_lm.py).
+_TRAIN_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 2 = 0"
+
+_NB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+train AS (SELECT * FROM tok WHERE {_TRAIN_SQL}),
+cnt AS (SELECT source AS cls, tok, COUNT(*) AS c FROM train GROUP BY 1, 2),
+tot AS (SELECT cls, SUM(c) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+trdocs AS (
+  SELECT source AS cls, COUNT(*) AS nd FROM documents WHERE {_TRAIN_SQL} GROUP BY 1
+),
+tottr AS (SELECT SUM(nd) AS ndt FROM trdocs),
+lp AS (
+  SELECT cls, tok,
+    CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+  FROM cnt JOIN tot USING (cls), vocab
+),
+lp0 AS (
+  SELECT cls,
+    CAST(ROUND(ln(1.0 / CAST(t + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp0
+  FROM tot, vocab
+),
+pri AS (
+  SELECT cls,
+    CAST(ROUND(ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS pri
+  FROM trdocs, tottr
+),
+scored AS (
+  SELECT k.doc_id, l0.cls, SUM(COALESCE(lp.lp, l0.lp0)) AS s
+  FROM tok k
+  CROSS JOIN lp0 l0
+  LEFT JOIN lp ON lp.cls = l0.cls AND lp.tok = k.tok
+  GROUP BY 1, 2
+),
+full_score AS (
+  SELECT s.doc_id, s.cls, s.s + p.pri AS score
+  FROM scored s JOIN pri p ON p.cls = s.cls
+),
+ranked AS (
+  SELECT doc_id, cls, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+  FROM full_score
+)
+SELECT r.doc_id, r.cls AS pred_source, CAST(r.score AS DOUBLE) AS nb_logprob,
+       d.source AS actual_source,
+       CAST(r.cls = d.source AS BOOLEAN) AS is_correct
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE rk = 1
+"""
+
+
+@query("nb_source_classifier", oracle=_NB_SQL)
+def nb_source_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier, trained and applied in
+    one plan — the closed-form stand-in for the fastText domain/quality
+    classifiers of the CCNet/Gopher pipelines (the only classifier family
+    whose training IS two aggregations, so both engines can derive the
+    identical model independently). Laplace-smoothed per-class token
+    log-probs and priors quantize to DECIMAL(18,9) at birth; scoring is
+    one broadcast join of the exploded corpus against the V×C model
+    PIVOTED to per-class columns, then ONE groupBy(doc_id) computing all C
+    class scores as conditional decimal sums — a single shuffle for the
+    whole train+score pipeline, no per-(doc,class) row blowup (the oracle
+    keeps the naive doc×class formulation; parity certifies the pivot
+    rewrite). Argmax over the C score columns via the quantized
+    array_position idiom (ties to the lexicographically smaller class).
+    Driver state: C priors + per-class totals — model parameters, never
+    corpus-sized. At 100 TB the only change is the broadcast threshold:
+    a vocab past memory turns the model join into a shuffle join on tok,
+    same plan shape."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "text")
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    toks = docs.select(
+        "doc_id", "source", is_train.alias("is_train"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    train = toks.filter("is_train")
+
+    # Model scalars (bounded driver state: C classes + 1 vocab size).
+    v_size = train.select("tok").distinct().count()
+    tr_docs = (
+        docs.filter(is_train).groupBy("source").agg(F.count("*").alias("nd"))
+    ).collect()
+    classes = sorted(r["source"] for r in tr_docs)
+    nd = {r["source"]: r["nd"] for r in tr_docs}
+    ndt = sum(nd.values())
+    tot = {
+        r["cls"]: r["t"]
+        for r in train.groupBy(F.col("source").alias("cls"))
+        .agg(F.count("*").alias("t"))
+        .collect()
+    }
+
+    def _lndec(num: int | float, den: int) -> F.Column:
+        # round(ln(num/den), 9) computed IN the engine (identical double
+        # division of exact integers on both sides; llm_lm.py convention)
+        return F.round(
+            F.log(F.lit(float(num)) / F.lit(float(den))), 9
+        ).cast(_DEC)
+
+    # Per-(class, tok) smoothed log-probs, pivoted to one row per token.
+    cnt = train.groupBy(F.col("source").alias("cls"), "tok").agg(
+        F.count("*").alias("c")
+    )
+    den = F.when(
+        F.col("cls") == classes[0], F.lit(float(tot[classes[0]] + v_size))
+    )
+    for c in classes[1:]:
+        den = den.when(F.col("cls") == c, F.lit(float(tot[c] + v_size)))
+    lp_long = cnt.select(
+        "cls", "tok",
+        F.round(F.log((F.col("c") + 1).cast("double") / den), 9)
+        .cast(_DEC)
+        .alias("lp"),
+    )
+    lp_wide = lp_long.groupBy("tok").pivot("cls", classes).agg(F.first("lp"))
+
+    joined = toks.join(F.broadcast(lp_wide), "tok", "left")
+    score_cols = [
+        (
+            F.sum(F.coalesce(F.col(f"`{c}`"), _lndec(1, tot[c] + v_size)))
+            + _lndec(nd[c], ndt)
+        ).cast("decimal(38,9)").alias(f"_s_{i}")
+        for i, c in enumerate(classes)
+    ]
+    scores = joined.groupBy("doc_id", "source").agg(*score_cols)
+    arr = F.array(*[F.col(f"_s_{i}") for i in range(len(classes))])
+    idx = F.array_position(arr, F.array_max(arr)).cast("int")
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    return scores.select(
+        "doc_id",
+        F.element_at(cls_arr, idx).alias("pred_source"),
+        F.array_max(arr).cast("double").alias("nb_logprob"),
+        F.col("source").alias("actual_source"),
+        (F.element_at(cls_arr, idx) == F.col("source")).alias("is_correct"),
+    )
+
+
+_KL_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+g AS (SELECT tok, COUNT(*) AS cg FROM tok GROUP BY 1),
+gt AS (SELECT SUM(cg) AS tg FROM g),
+s AS (SELECT source, tok, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+st AS (SELECT source, SUM(cs) AS ts FROM s GROUP BY 1),
+terms AS (
+  SELECT s.source,
+    CAST(ROUND(
+      (CAST(s.cs AS DOUBLE) / CAST(st.ts AS DOUBLE))
+      * ROUND(ln(CAST(s.cs * gt.tg AS DOUBLE) / CAST(st.ts * g.cg AS DOUBLE)), 9),
+    12) AS DECIMAL(28,12)) AS term
+  FROM s JOIN st USING (source) JOIN g USING (tok), gt
+)
+SELECT t.source, CAST(SUM(t.term) AS DOUBLE) AS kl_nats,
+       CAST(MAX(st.ts) AS BIGINT) AS n_tokens
+FROM terms t JOIN st ON st.source = t.source
+GROUP BY 1
+"""
+
+
+@query("source_kl_drift", oracle=_KL_SQL)
+def source_kl_drift(spark, sf_dir):
+    """Per-source distribution drift: KL(P_source || P_corpus) over unigram
+    token distributions — the data-mixture monitor that flags a source
+    whose content shifted away from the corpus it is supposed to resemble
+    (the drift alarm in front of DSIR-style mixture reweighting; every
+    source token is in the corpus by construction, so the divergence is
+    always finite). Determinism: each token's term p·ln(p/q) is computed
+    from EXACT integer counts (one double division of bigint products, ln
+    rounded to 9, the product rounded to 12) and summed as DECIMAL — the
+    accumulation order cannot change a source's score. Scale shape: one
+    explode, two map-side-combined count aggregations, a model-sized join
+    on tok, one final groupBy(source); corpus totals ride as a 1-row
+    broadcast. BIGINT products cs·tg bound the exactness at ~1e18 tokens —
+    past that, pre-divide (cs/ts)·(tg/cg) in two steps."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    # The raw token stream shuffles ONCE (into per-(source, tok) counts);
+    # corpus-level counts derive from those partials, so g/gt/st shuffle
+    # model-sized rows, never tokens. The counts relation feeds FOUR
+    # consumers whose pushed null-filters defeat exchange reuse (verified:
+    # 4 identical hashpartitioning(source, tok) exchanges executed) —
+    # localCheckpoint pins the one materialization, the copurchase_*
+    # pattern.
+    s = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("cs"))
+        .localCheckpoint(eager=True)
+    )
+    g = s.groupBy("tok").agg(F.sum("cs").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("tg"))
+    st = s.groupBy("source").agg(F.sum("cs").alias("ts"))
+    terms = (
+        s.join(st, "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "ts",
+            F.round(
+                (F.col("cs").cast("double") / F.col("ts").cast("double"))
+                * F.round(
+                    F.log(
+                        (F.col("cs") * F.col("tg")).cast("double")
+                        / (F.col("ts") * F.col("cg")).cast("double")
+                    ),
+                    9,
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term").cast("double").alias("kl_nats"),
+        F.max("ts").alias("n_tokens"),
+    )
+
+
+# Hard-negative band: same-cell pairs BELOW the dup threshold — similar
+# enough to be informative, distinct enough to be true negatives.
+_HN_TAU = 0.45   # upper bound = the SemDeDup dup threshold
+_HN_TOPK = 3
+
+_HN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, emb AS semb FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, emb, seed_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY ROUND(list_cosine_similarity(emb, semb), 9) DESC, seed_id ASC
+    ) AS rk
+  FROM e CROSS JOIN seeds
+),
+cells AS (SELECT vec_id, emb, seed_id AS cell FROM assign WHERE rk = 1),
+cand AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, a.cell,
+    ROUND(list_cosine_similarity(a.emb, b.emb), 9) AS c9,
+    ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT anchor_id, negative_id, cell, cosine,
+    ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY c9 DESC, negative_id ASC
+    ) AS rank
+  FROM cand WHERE c9 < {_HN_TAU}
+)
+SELECT anchor_id, negative_id, cell, rank, cosine
+FROM ranked WHERE rank <= {_HN_TOPK}
+"""
+
+
+@query("hard_negative_pairs", oracle=_HN_SQL)
+def hard_negative_pairs(spark, sf_dir):
+    """Contrastive hard-negative mining for embedding training: each
+    vector's top-3 most-similar SAME-CELL neighbors whose cosine
+    is still below the SemDeDup dup threshold — the "hard but true"
+    negatives that make contrastive fine-tuning work (easy negatives from
+    random cells teach nothing; above-τ pairs are near-dups, not
+    negatives). Reuses the argmax-cosine cells from operators/semdedup
+    (assignment is a pure projection), so the quadratic candidate stage is
+    cell-bucketed exactly like the dedup scorer; per-cell top-k runs in
+    chunked numpy inside ONE applyInPandas. Cosines quantize to 1e-9
+    before banding/ranking on both engines (the semdedup ADVICE rule), so
+    FP noise cannot move a pair across the band edge or reorder the
+    ranking; the oracle keeps the naive pair-join + window form."""
+    from importer_spark.operators.semdedup import (
+        assign_seed_cells,
+        lowest_id_seeds,
+    )
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = lowest_id_seeds(e, "vec_id", "emb", 8)
+    cells = assign_seed_cells(e, "vec_id", "emb", seeds)
+
+    def topk_negs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.vstack(pdf["emb"].to_numpy()[order]).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(ids)
+        out_a, out_n, out_r, out_c = [], [], [], []
+        chunk = max(256, int(1.5e7 / max(n, 1)))
+        for s in range(0, n, chunk):
+            end = min(s + chunk, n)
+            sims9 = np.round(m[s:end] @ m.T, 9)
+            for i in range(end - s):
+                row = sims9[i].copy()
+                row[s + i] = 2.0  # exclude self
+                mask = row < _HN_TAU
+                if not mask.any():
+                    continue
+                cand = np.nonzero(mask)[0]
+                # top-k by (cosine desc, id asc): ids are ascending, so a
+                # stable sort on -cosine breaks ties toward the lower id
+                top = cand[np.argsort(-row[cand], kind="stable")][:_HN_TOPK]
+                k = len(top)
+                out_a.extend([ids[s + i]] * k)
+                out_n.extend(ids[top])
+                out_r.extend(range(1, k + 1))
+                out_c.extend(np.round(row[top], 6))
+        return pd.DataFrame(
+            {
+                "anchor_id": out_a,
+                "negative_id": out_n,
+                "cell": pdf["cell"].iat[0],
+                "rank": out_r,
+                "cosine": out_c,
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        topk_negs,
+        schema="anchor_id bigint, negative_id bigint, cell bigint, rank int, cosine double",
+    )
