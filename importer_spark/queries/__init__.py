@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "nb_source_classifier",
     "source_kl_drift",
     "hard_negative_pairs",
+    "weighted_sample_es",
     # analytics3 queries with in-repo gate evidence only (no driver row)
     "discount_allocation",
     "events_interpolate",

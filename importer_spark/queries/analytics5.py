@@ -357,3 +357,64 @@ def hard_negative_pairs(spark, sf_dir):
         topk_negs,
         schema="anchor_id bigint, negative_id bigint, cell bigint, rank int, cosine double",
     )
+
+
+_ES_K = 10  # kept docs per source
+
+_ES_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    -- u in (0,1) from the md5 hash (deterministic, engine-portable), then
+    -- the Efraimidis-Spirakis exponential sort key e = -ln(u)/w, each log
+    -- term and the quotient quantized to 9 places
+    ROUND(
+      -ROUND(ln(
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS DOUBLE)
+        / CAST(4294967297 AS DOUBLE)
+      ), 9) / CAST(n_chars AS DOUBLE),
+    9) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars, es_key,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, CAST(es_key AS DOUBLE) AS es_key, rank
+FROM ranked WHERE rank <= {_ES_K}
+"""
+
+
+@query("weighted_sample_es", oracle=_ES_SQL)
+def weighted_sample_es(spark, sf_dir):
+    """Weight-proportional sampling WITHOUT replacement, per source:
+    Efraimidis-Spirakis (2006, "Weighted random sampling with a
+    reservoir") — each doc draws an exponential sort key e = -ln(u)/w and
+    the K smallest keys per stratum are exactly a w-proportional sample
+    without replacement (here w = n_chars: longer docs proportionally
+    likelier, the quality-weighted data-selection move; swap any score
+    column in). u comes from the md5 hash, not rand(), so the sample is
+    reproducible across engines/runs/retries — the repo's deterministic
+    hash-gate convention (stratified_sample), upgraded from Bernoulli
+    keep/drop to weighted-without-replacement. ln and the quotient
+    quantize to 9 places before ranking (cross-engine rule). One shuffle:
+    the per-source window; a skewed stratum takes the two-phase top-K
+    escape hatch (llm_sampling.language_capped_sample documents it)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    u = (h + 1).cast("double") / F.lit(4294967297.0)
+    es_key = F.round(-F.round(F.log(u), 9) / F.col("n_chars").cast("double"), 9)
+    keyed = t.documents.select(
+        "doc_id", "source", "n_chars", es_key.alias("es_key")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ES_K)
+        .select("doc_id", "source", "n_chars", F.col("es_key").cast("double"), "rank")
+    )
