@@ -9,6 +9,14 @@ term is rounded to 9 places and accumulated as exact DECIMAL, so
 partial-aggregation order can never change a score; the ONLY doubles that
 cross an aggregation boundary are already-quantized decimals. Train/score
 split reuses the md5(doc_id)-even rule so unseen tokens genuinely occur.
+
+Reference parity: the reference pipeline has no learned curation — its
+quality layer is declarative rules (models/staging/schema.yml
+accepted-values/not-null tests; dbt singular tests). These queries extend
+that layer with the model-driven steps a training-data pipeline adds on
+top: Naive Bayes (Manning et al., IR book ch.13 — public), KL drift, E-S
+weighted reservoir sampling (Efraimidis & Spirakis 2006), SemDeDup-cell
+hard negatives (Abbas et al. 2023).
 """
 
 from __future__ import annotations
@@ -327,7 +335,12 @@ def hard_negative_pairs(spark, sf_dir):
         chunk = max(256, int(1.5e7 / max(n, 1)))
         for s in range(0, n, chunk):
             end = min(s + chunk, n)
-            sims9 = np.round(m[s:end] @ m.T, 9)
+            sims = m[s:end] @ m.T
+            # band + rank on the 1e-9 grid; the OUTPUT rounds the RAW value
+            # once (the sf1 gate caught a double-rounding divergence: a
+            # cosine of ...94998 quantizes to the exact 6dp half boundary
+            # at 1e-9, and round(round(x,9),6) != round(x,6) there)
+            sims9 = np.round(sims, 9)
             for i in range(end - s):
                 row = sims9[i].copy()
                 row[s + i] = 2.0  # exclude self
@@ -342,7 +355,7 @@ def hard_negative_pairs(spark, sf_dir):
                 out_a.extend([ids[s + i]] * k)
                 out_n.extend(ids[top])
                 out_r.extend(range(1, k + 1))
-                out_c.extend(np.round(row[top], 6))
+                out_c.extend(np.round(sims[i][top], 6))
         return pd.DataFrame(
             {
                 "anchor_id": out_a,
