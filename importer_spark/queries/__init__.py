@@ -32,6 +32,7 @@ from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
 from importer_spark.queries import llm_sampling  # noqa: F401,E402
 from importer_spark.queries import llm_tfidf  # noqa: F401,E402
+from importer_spark.queries import llm_refine  # noqa: F401,E402
 from importer_spark.queries import marts  # noqa: F401,E402
 from importer_spark.queries import marts2  # noqa: F401,E402
 from importer_spark.queries import misc  # noqa: F401,E402
@@ -56,6 +57,10 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # Round-5 additions: no driver evidence yet
+    "exact_substring_removal",
+    "ccnet_perplexity_buckets",
+    "dedup_keep_best",
+    "nb_confidence_calibration",
     "txn_skipped_revenue",
     "nb_source_classifier",
     "source_kl_drift",

@@ -83,25 +83,11 @@ WHERE rk = 1
 """
 
 
-@query("nb_source_classifier", oracle=_NB_SQL)
-def nb_source_classifier(spark, sf_dir):
-    """Multinomial Naive Bayes source classifier, trained and applied in
-    one plan — the closed-form stand-in for the fastText domain/quality
-    classifiers of the CCNet/Gopher pipelines (the only classifier family
-    whose training IS two aggregations, so both engines can derive the
-    identical model independently). Laplace-smoothed per-class token
-    log-probs and priors quantize to DECIMAL(18,9) at birth; scoring is
-    one broadcast join of the exploded corpus against the V×C model
-    PIVOTED to per-class columns, then ONE groupBy(doc_id) computing all C
-    class scores as conditional decimal sums — a single shuffle for the
-    whole train+score pipeline, no per-(doc,class) row blowup (the oracle
-    keeps the naive doc×class formulation; parity certifies the pivot
-    rewrite). Argmax over the C score columns via the quantized
-    array_position idiom (ties to the lexicographically smaller class).
-    Driver state: C priors + per-class totals — model parameters, never
-    corpus-sized. At 100 TB the only change is the broadcast threshold:
-    a vocab past memory turns the model join into a shuffle join on tok,
-    same plan shape."""
+def _nb_scores(spark, sf_dir):
+    """Shared NB train+score pipeline: returns (scores, classes) where
+    ``scores`` has one row per (doc_id, source) with per-class decimal
+    score columns _s_0.._s_{C-1} plus n_tokens — consumed by both the
+    argmax classifier and the margin-calibration query."""
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "source", "text")
     is_train = (
@@ -163,7 +149,32 @@ def nb_source_classifier(spark, sf_dir):
         ).cast("decimal(38,9)").alias(f"_s_{i}")
         for i, c in enumerate(classes)
     ]
-    scores = joined.groupBy("doc_id", "source").agg(*score_cols)
+    scores = joined.groupBy("doc_id", "source").agg(
+        *score_cols, F.count("*").alias("n_tokens")
+    )
+    return scores, classes
+
+
+@query("nb_source_classifier", oracle=_NB_SQL)
+def nb_source_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier, trained and applied in
+    one plan — the closed-form stand-in for the fastText domain/quality
+    classifiers of the CCNet/Gopher pipelines (the only classifier family
+    whose training IS two aggregations, so both engines can derive the
+    identical model independently). Laplace-smoothed per-class token
+    log-probs and priors quantize to DECIMAL(18,9) at birth; scoring is
+    one broadcast join of the exploded corpus against the V×C model
+    PIVOTED to per-class columns, then ONE groupBy(doc_id) computing all C
+    class scores as conditional decimal sums — a single shuffle for the
+    whole train+score pipeline, no per-(doc,class) row blowup (the oracle
+    keeps the naive doc×class formulation; parity certifies the pivot
+    rewrite). Argmax over the C score columns via the quantized
+    array_position idiom (ties to the lexicographically smaller class).
+    Driver state: C priors + per-class totals — model parameters, never
+    corpus-sized. At 100 TB the only change is the broadcast threshold:
+    a vocab past memory turns the model join into a shuffle join on tok,
+    same plan shape."""
+    scores, classes = _nb_scores(spark, sf_dir)
     arr = F.array(*[F.col(f"_s_{i}") for i in range(len(classes))])
     idx = F.array_position(arr, F.array_max(arr)).cast("int")
     cls_arr = F.array(*[F.lit(c) for c in classes])
@@ -430,4 +441,74 @@ def weighted_sample_es(spark, sf_dir):
         keyed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _ES_K)
         .select("doc_id", "source", "n_chars", F.col("es_key").cast("double"), "rank")
+    )
+
+
+# Calibration SQL reuses the whole certified NB chain up through `ranked`
+# (split at the final SELECT), then takes per-doc top-2 scores.
+_NB_CTES = _NB_SQL[: _NB_SQL.rindex("SELECT r.doc_id")]
+
+_CALIB_SQL = (
+    _NB_CTES
+    + """, top2 AS (
+  SELECT doc_id,
+    MAX(CASE WHEN rk = 1 THEN score END) AS s1,
+    MAX(CASE WHEN rk = 1 THEN cls END) AS c1,
+    MAX(CASE WHEN rk = 2 THEN score END) AS s2
+  FROM ranked WHERE rk <= 2 GROUP BY doc_id
+),
+pd AS (
+  SELECT t.doc_id,
+    ROUND(CAST(t.s1 - t.s2 AS DOUBLE) / len(string_split(d.text, ' ')), 6)
+      AS mpt,
+    CAST(t.c1 = d.source AS INT) AS ok
+  FROM top2 t JOIN documents d USING (doc_id)
+)
+SELECT LEAST(CAST(FLOOR(mpt * 100) AS INT), 9) AS margin_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(SUM(ok)::DOUBLE / COUNT(*), 6) AS accuracy,
+  ROUND(CAST(SUM(CAST(mpt AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_margin
+FROM pd GROUP BY 1
+"""
+)
+
+
+@query("nb_confidence_calibration", oracle=_CALIB_SQL)
+def nb_confidence_calibration(spark, sf_dir):
+    """Classifier-confidence calibration (reliability bins): bucket every
+    document by the NB decision MARGIN per token — (top1 − top2 class
+    score) / n_tokens — and report each bucket's empirical accuracy (0.01-nat bins, capped at 9). The
+    production question behind it: at what confidence cutoff can the
+    source/quality classifier's labels be trusted for routing or
+    filtering? A well-calibrated margin shows accuracy rising monotonically
+    with the bucket; a flat profile says the scores are uninformative.
+
+    Margins use the DECIMAL score columns directly — top-2 via one
+    sort_array over the C-element score vector, the difference exact, ONE
+    double division per doc rounded to 1e-6 before binning (no softmax/exp,
+    whose cross-libm rounding is not reproducible across engines). Bucket
+    edges are double products of grid values — identical IEEE ops on both
+    engines. Beyond the shared scoring pipeline this adds only a C-element
+    array sort per doc and a 10-group aggregation: no new shuffle of
+    anything corpus-sized. Bin averages accumulate as DECIMAL (house
+    convention) so partial-aggregation order cannot move a rounded edge."""
+    scores, classes = _nb_scores(spark, sf_dir)
+    arr = F.array(*[F.col(f"_s_{i}") for i in range(len(classes))])
+    srt = F.sort_array(arr, asc=False)
+    idx = F.array_position(arr, F.array_max(arr)).cast("int")
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    margin = (F.element_at(srt, 1) - F.element_at(srt, 2)).cast("double")
+    mpt = F.round(margin / F.col("n_tokens"), 6)
+    ok = (F.element_at(cls_arr, idx) == F.col("source")).cast("int")
+    per_doc = scores.select(mpt.alias("mpt"), ok.alias("ok"))
+    bucket = F.least(F.floor(F.col("mpt") * 100).cast("int"), F.lit(9))
+    return per_doc.groupBy(bucket.alias("margin_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
+        F.round(
+            F.sum(F.col("mpt").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_margin"),
     )

@@ -1,0 +1,294 @@
+"""Corpus refinement: the step AFTER detection — act on what the dedup and
+quality layers found (SURVEY §7.4 dedup family; BASELINE.json LLM-pipeline
+operators).
+
+The detection queries (exact_substring_spans, near_dup_clusters,
+unigram_logprob_scores) REPORT; a production curation pipeline then has to
+REWRITE the corpus: cut the duplicated passages out of the text, pick one
+canonical survivor per near-dup family, and route each document into a
+quality tier. These three queries close that loop, each certified
+value-for-value against a DuckDB re-derivation:
+
+- exact_substring_removal — Lee et al. 2022's "dedup by removing the
+  repeated substring" variant: reassemble each document's text WITHOUT its
+  duplicated spans and certify the cleaned text byte-for-byte via md5.
+- ccnet_perplexity_buckets — CCNet's head/middle/tail split (Wenzek et al.
+  2020), per language, by unigram-LM score terciles.
+- dedup_keep_best — canonical-survivor selection per near-dup cluster by
+  quality score (the policy real pipelines use instead of "keep min id").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from importer_spark.io import Tables
+from importer_spark.operators.dedup import duplicate_ngram_spans, near_dup_pairs
+from importer_spark.operators.text import tokens
+from importer_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# exact_substring_removal
+# ---------------------------------------------------------------------------
+# The spans CTE chain is the certified exact_substring_spans derivation
+# (llm_dedup._SUBSTR_DEDUP_SQL); this oracle extends it through the actual
+# text surgery: positions not covered by any span, re-joined in order.
+_REMOVAL_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS gram_key
+  FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram_key FROM grams GROUP BY gram_key HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram_key)),
+lagged AS (SELECT doc_id, pos,
+  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+isl AS (SELECT doc_id, pos,
+  SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged),
+spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM isl GROUP BY doc_id, island),
+pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i FROM d),
+kept AS (
+  SELECT p.doc_id, p.i FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = p.doc_id
+                      AND sp.s <= p.i - 1 AND p.i - 1 <= sp.e)
+),
+clean AS (
+  SELECT k.doc_id, COUNT(*) AS kn,
+         string_agg(d.t[k.i], ' ' ORDER BY k.i) AS ct
+  FROM kept k JOIN d ON d.doc_id = k.doc_id
+  GROUP BY k.doc_id
+)
+SELECT d2.doc_id,
+  CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(string_split(d2.text, ' ')) - COALESCE(c.kn, 0) AS BIGINT)
+    AS removed_tokens,
+  CAST(COALESCE(c.kn, 0) AS BIGINT) AS clean_n_tokens,
+  md5(COALESCE(c.ct, '')) AS clean_hash
+FROM documents d2 LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@query("exact_substring_removal", oracle=_REMOVAL_SQL)
+def exact_substring_removal(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1 "we remove the duplicated
+    substring"): rebuild every document's text without its duplicated spans
+    and certify the surgery itself — `clean_hash` is md5 of the re-joined
+    cleaned text, so the two engines must agree on every kept byte, not
+    just on counts.
+
+    Plan shape: `duplicate_ngram_spans` (one 128-bit-key shuffle, cf.
+    operators/dedup.py:249) → per-doc span arrays (spans are disjoint and
+    sorted by construction — islands merge any hits within gram reach) →
+    ONE higher-order-function pass per doc filters token positions not
+    covered by any span and re-joins them. The filter/exists lambdas run in
+    the JVM (no Python); span arrays are tiny (only docs WITH duplication
+    have any), so the join back to documents AQE-broadcasts. The per-token
+    `exists` scan over a doc's spans is O(tokens × spans_per_doc) local
+    arithmetic — no extra shuffle over the spans derivation at any scale."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    spans = duplicate_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("spans")
+    )
+    toks = tokens(F.col("text"))
+    with_sp = docs.join(sp, "doc_id", "left").select(
+        "doc_id", toks.alias("t"), "spans"
+    )
+    idx = F.sequence(F.lit(0), F.size("t") - F.lit(1))
+    kept = F.when(F.col("spans").isNull(), idx).otherwise(
+        F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("spans"), lambda x: (x["s"] <= i) & (i <= x["e"])
+            ),
+        )
+    )
+    clean = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("t"), (i + F.lit(1)))),
+        " ",
+    )
+    return with_sp.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("removed_tokens"),
+        F.size(kept).cast("bigint").alias("clean_n_tokens"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets
+# ---------------------------------------------------------------------------
+# The scoring CTE chain is the certified unigram_logprob_scores derivation
+# (llm_text._UNIGRAM_LM_SQL); buckets come from per-language exact tercile
+# THRESHOLDS, not a row-number NTILE — see the query docstring for why.
+_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok,
+    CAST(ROUND(ln(cnt::DOUBLE / total), 9) AS DECIMAL(18,9)) AS lp
+  FROM vocab, tot
+),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lp) AS s
+  FROM tok t JOIN lp l USING (tok)
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT p.doc_id, d.lang,
+    ROUND(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_logprob
+  FROM per p JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+    percentile_cont(1.0/3.0) WITHIN GROUP (ORDER BY avg_logprob) AS q1,
+    percentile_cont(2.0/3.0) WITHIN GROUP (ORDER BY avg_logprob) AS q2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_logprob,
+  CASE WHEN s.avg_logprob >= c.q2 THEN 'head'
+       WHEN s.avg_logprob >= c.q1 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c USING (lang)
+"""
+
+
+@query("ccnet_perplexity_buckets", oracle=_BUCKETS_SQL)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers (Wenzek et al. 2020): per
+    language, split documents into thirds by LM score (here the certified
+    unigram corpus LM — higher avg log-prob = more fluent = "head").
+
+    Deliberately VALUE-thresholded, not row-numbered: per-lang exact
+    tercile cut points come out of ONE aggregation (a lang-count-sized
+    relation that broadcasts back), and each doc's tier is a comparison
+    against its language's cuts — no per-language global sort, which at
+    100 TB would funnel the dominant language through one task (the
+    single-task-window anti-pattern operators/ranks.py exists to avoid).
+    Ties on the cut value land in the same tier on both engines because
+    scores are pre-rounded to 1e-6 while an interpolated cut is either
+    exactly a data value or >= ~3e-7 away from every data value — orders of
+    magnitude beyond cross-engine FP noise (~1e-16)."""
+    t = Tables(spark, sf_dir)
+    from importer_spark.queries.llm_text import unigram_logprob_scores
+
+    scored = unigram_logprob_scores(spark, sf_dir).select("doc_id", "avg_logprob")
+    labeled = scored.join(t.documents.select("doc_id", "lang"), "doc_id")
+    cuts = labeled.groupBy("lang").agg(
+        F.percentile(F.col("avg_logprob"), F.lit(1.0 / 3.0)).alias("q1"),
+        F.percentile(F.col("avg_logprob"), F.lit(2.0 / 3.0)).alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("q2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best
+# ---------------------------------------------------------------------------
+_QUALITY_CTE = """
+, qb AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_distinct(string_split(text, ' '))) AS n_unique,
+    length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(
+      LEAST(100.0, n_tokens / 5.0) * 0.4
+      + (n_unique::DOUBLE / NULLIF(n_tokens, 0)) * 100.0 * 0.4
+      + LEAST(100.0, (n_chars::DOUBLE / NULLIF(n_tokens, 0)) * 10.0) * 0.2, 6)
+      AS quality_score
+  FROM qb
+)
+"""
+
+
+def _keep_best_sql() -> str:
+    from importer_spark.queries.llm_dedup import _index_pairs_cte
+
+    return (
+        _index_pairs_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+        + _QUALITY_CTE
+        + """
+SELECT l.doc_id, l.cluster_id,
+  COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+  q.quality_score,
+  ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                     ORDER BY q.quality_score DESC, l.doc_id) = 1 AS is_kept
+FROM labels l JOIN q USING (doc_id)
+"""
+    )
+
+
+@query("dedup_keep_best", oracle=_keep_best_sql())
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-survivor selection: within each near-dup cluster keep the
+    HIGHEST-QUALITY document (quality-score policy, doc_id tiebreak) — what
+    production dedup actually deletes by, instead of near_dup_clusters'
+    neutral "min doc_id" label. Composes three certified layers (LSH pairs
+    → connected components → quality scores) into the delete decision, and
+    the oracle re-derives all three (exact-Jaccard index pairs → recursive
+    closure → quality formula) so agreement certifies the composition.
+
+    Scale shape: the survivor pick is a row_number window partitioned by
+    cluster_id — dedup families are small (bounded by real duplication),
+    so partitions stay tiny no matter the corpus; no global sort. The
+    quality join is doc_id-keyed on the cluster-member subset only."""
+    from importer_spark.operators.graph import connected_components
+    from importer_spark.queries.llm_text import doc_quality_scores
+
+    t = Tables(spark, sf_dir)
+    pairs = near_dup_pairs(t.documents, "doc_id", "text")
+    labels = connected_components(pairs, out_id="doc_id")
+    quality = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality_score",
+            (F.row_number().over(w) == 1).alias("is_kept"),
+        )
+    )
