@@ -337,6 +337,62 @@ def _merge_hit_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
     ).drop("island")
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1): rebuild every document's
+    text WITHOUT the spans flagged by ``duplicate_ngram_spans`` — the
+    transformation a curation pipeline actually writes out, not just the
+    report. Returns the input rows plus ``out_col`` (the cleaned text;
+    docs with no duplicated span keep their single-space-normalized text).
+
+    Plan: the span derivation's one shuffle, a per-doc span-array rollup
+    (only docs WITH duplication produce one — AQE broadcasts the join back
+    when duplication is sparse), then ONE JVM higher-order-function pass
+    per doc filters uncovered token positions and re-joins them. Spans are
+    disjoint and sorted by construction, so the per-token ``exists`` probe
+    is O(spans_per_doc) local arithmetic — no Python, no extra shuffle."""
+    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    sp = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size("_t") - F.lit(1))
+    kept = F.when(F.col("_spans").isNull(), idx).otherwise(
+        F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("_spans"), lambda x: (x["s"] <= i) & (i <= x["e"])
+            ),
+        )
+    )
+    clean = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("_t"), i + F.lit(1))), " "
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn("_t", toks)
+        .withColumn(out_col, clean)
+        # size(kept), not size(split(clean)): the two differ on empty
+        # results — split("", " ") is [""], so a fully-removed doc (0 kept
+        # tokens) and an originally-empty doc (1 empty token) both re-split
+        # to size 1. The array length is the truth.
+        .withColumn("clean_n_tokens", F.size(kept).cast("bigint"))
+        .drop("_t", "_spans")
+    )
+
+
 def ngram_store(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
     """The persistable gram-store STATE for incremental exact-substring
     dedup: per distinct gram key, the distinct-holder count CAPPED at 2

@@ -24,7 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
-from importer_spark.operators.dedup import duplicate_ngram_spans, near_dup_pairs
+from importer_spark.operators.dedup import near_dup_pairs, remove_duplicate_spans
 from importer_spark.operators.text import tokens
 from importer_spark.queries.registry import query
 
@@ -82,50 +82,20 @@ def exact_substring_removal(spark, sf_dir):
     cleaned text, so the two engines must agree on every kept byte, not
     just on counts.
 
-    Plan shape: `duplicate_ngram_spans` (one 128-bit-key shuffle, cf.
-    operators/dedup.py:249) → per-doc span arrays (spans are disjoint and
-    sorted by construction — islands merge any hits within gram reach) →
-    ONE higher-order-function pass per doc filters token positions not
-    covered by any span and re-joins them. The filter/exists lambdas run in
-    the JVM (no Python); span arrays are tiny (only docs WITH duplication
-    have any), so the join back to documents AQE-broadcasts. The per-token
-    `exists` scan over a doc's spans is O(tokens × spans_per_doc) local
-    arithmetic — no extra shuffle over the spans derivation at any scale."""
+    The surgery itself is `operators/dedup.py::remove_duplicate_spans`
+    (plan shape documented there: the span derivation's one shuffle, a
+    sparse span-array join back, one JVM higher-order-function pass per
+    doc); this query rolls its output up to certifiable counts + the
+    cleaned-text hash."""
     t = Tables(spark, sf_dir)
-    docs = t.documents
-    spans = duplicate_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
-    sp = spans.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
-                )
-            )
-        ).alias("spans")
-    )
-    toks = tokens(F.col("text"))
-    with_sp = docs.join(sp, "doc_id", "left").select(
-        "doc_id", toks.alias("t"), "spans"
-    )
-    idx = F.sequence(F.lit(0), F.size("t") - F.lit(1))
-    kept = F.when(F.col("spans").isNull(), idx).otherwise(
-        F.filter(
-            idx,
-            lambda i: ~F.exists(
-                F.col("spans"), lambda x: (x["s"] <= i) & (i <= x["e"])
-            ),
-        )
-    )
-    clean = F.array_join(
-        F.transform(kept, lambda i: F.element_at(F.col("t"), (i + F.lit(1)))),
-        " ",
-    )
-    return with_sp.select(
+    cleaned = remove_duplicate_spans(t.documents, "doc_id", "text", n=8, min_docs=2)
+    n_tokens = F.size(tokens(F.col("text"))).cast("bigint")
+    return cleaned.select(
         "doc_id",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("bigint").alias("removed_tokens"),
-        F.size(kept).cast("bigint").alias("clean_n_tokens"),
-        F.md5(clean).alias("clean_hash"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.col("clean_n_tokens")).cast("bigint").alias("removed_tokens"),
+        "clean_n_tokens",
+        F.md5("clean_text").alias("clean_hash"),
     )
 
 

@@ -1,0 +1,232 @@
+"""Round-5 refinement queries vs plain-Python references — the third
+independent derivation next to the Spark plan and the DuckDB oracle
+(test_analytics5.py pattern): brute-force dicts/lists/math, no dataframes,
+same deterministic conventions (round-9 logs, exact decimal sums,
+half-away rounding)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import Decimal
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    from importer_spark.io import Tables
+
+    return [
+        (r["doc_id"], r["lang"], r["source"], r["text"])
+        for r in Tables(spark, SF_DIR).documents.collect()
+    ]
+
+
+def _removal_reference(docs):
+    """Brute-force ExactSubstr removal: positions covered by 8-grams seen in
+    >= 2 distinct docs, merged into islands (gap > 8 breaks), text rebuilt
+    without covered tokens."""
+    toks = {d: t.split(" ") for d, _l, _s, t in docs}
+    gram_docs: dict[tuple, set] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - 7):
+            gram_docs.setdefault(tuple(t[i : i + 8]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    out = {}
+    for d, t in toks.items():
+        hits = [i for i in range(len(t) - 7) if tuple(t[i : i + 8]) in dup]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= 8:  # [1] holds last hit pos
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = set()
+        for s, last in spans:
+            covered.update(range(s, last + 8))
+        kept = [t[i] for i in range(len(t)) if i not in covered]
+        clean = " ".join(kept)
+        out[d] = (
+            len(t),
+            len(t) - len(kept),
+            len(kept),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_exact_substring_removal_matches_python_reference(spark):
+    from importer_spark.queries import QUERIES
+
+    want = _removal_reference(_docs(spark))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["removed_tokens"], r["clean_n_tokens"], r["clean_hash"]
+        )
+        for r in QUERIES["exact_substring_removal"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the surgery must actually remove something at this SF (non-vacuous)
+    assert any(v[1] > 0 for v in want.values())
+
+
+def test_remove_duplicate_spans_operator_strings(spark):
+    """The operator's actual clean_text strings (not just the query's hash)
+    against the brute-force rebuild, including the fully-removed /
+    empty-doc disambiguation carried by clean_n_tokens."""
+    import hashlib as _h
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _docs(spark)
+    want = _removal_reference(docs)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["clean_n_tokens"])
+        for r in remove_duplicate_spans(
+            Tables(spark, SF_DIR).documents, "doc_id", "text"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, (_n, _rm, kn, md5) in want.items():
+        assert got[d][1] == kn, d
+        assert _h.md5(got[d][0].encode()).hexdigest() == md5, d
+
+
+def test_ccnet_buckets_match_python_reference(spark):
+    from importer_spark.queries import QUERIES
+
+    docs = _docs(spark)
+    # unigram LM scores, engine convention: per-token round-9 log-probs
+    # summed exactly, ONE double divide rounded to 6
+    cnt: dict[str, int] = {}
+    for _d, _l, _s, text in docs:
+        for t in text.split(" "):
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    lp = {t: Decimal(f"{math.log(c / total):.9f}") for t, c in cnt.items()}
+    score = {}
+    for d, lang, _s, text in docs:
+        toks = text.split(" ")
+        s = sum((lp[t] for t in toks), Decimal(0))
+        score[d] = (lang, float(f"{float(s) / len(toks):.6f}"))
+    # per-lang exact tercile cuts, linear interpolation (percentile_cont)
+    def cut(vals, p):
+        vals = sorted(vals)
+        idx = (len(vals) - 1) * p
+        lo = int(math.floor(idx))
+        frac = idx - lo
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * frac
+
+    by_lang: dict[str, list] = {}
+    for lang, v in score.values():
+        by_lang.setdefault(lang, []).append(v)
+    cuts = {
+        lang: (cut(vs, 1.0 / 3.0), cut(vs, 2.0 / 3.0))
+        for lang, vs in by_lang.items()
+    }
+    want = {}
+    for d, (lang, v) in score.items():
+        q1, q2 = cuts[lang]
+        want[d] = (lang, v, "head" if v >= q2 else "middle" if v >= q1 else "tail")
+
+    got = {
+        r["doc_id"]: (r["lang"], r["avg_logprob"], r["bucket"])
+        for r in QUERIES["ccnet_perplexity_buckets"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) < 1e-9, d
+        assert got[d][2] == want[d][2], d
+    assert {b for _l, _v, b in got.values()} == {"head", "middle", "tail"}
+
+
+def _quality(text: str) -> float:
+    toks = text.split(" ")
+    n, u, c = len(toks), len(set(toks)), len(text)
+    return float(
+        f"{min(100.0, n / 5.0) * 0.4 + (u / n) * 100.0 * 0.4 + min(100.0, (c / n) * 10.0) * 0.2:.6f}"
+    )
+
+
+def test_dedup_keep_best_survivor_invariants(spark):
+    """Cluster membership is oracle-certified (near_dup_clusters); this
+    checks the POLICY layer independently: exactly one survivor per
+    cluster, and it is the (quality desc, doc_id asc) maximum over the
+    cluster's members, with quality recomputed by the Python formula."""
+    from importer_spark.queries import QUERIES
+
+    q = {d: _quality(t) for d, _l, _s, t in _docs(spark)}
+    rows = QUERIES["dedup_keep_best"](spark, SF_DIR).collect()
+    assert rows, "no near-dup clusters at this SF?"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert abs(r["quality_score"] - q[r["doc_id"]]) < 1e-9, r["doc_id"]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) == members[0]["cluster_size"] == len(
+            {m["doc_id"] for m in members}
+        ), cid
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1, cid
+        best = min(members, key=lambda m: (-q[m["doc_id"]], m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"], cid
+
+
+def test_nb_calibration_matches_python_reference(spark):
+    from importer_spark.queries import QUERIES
+
+    def _r9(x):
+        return Decimal(f"{x:.9f}")
+
+    docs = [(d, s, t.split(" ")) for d, _l, s, t in _docs(spark)]
+    train = [
+        x
+        for x in docs
+        if int(hashlib.md5(str(x[0]).encode()).hexdigest()[:2], 16) % 2 == 0
+    ]
+    cnt: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    nd: dict[str, int] = {}
+    vocab = set()
+    for _id, src, toks in train:
+        nd[src] = nd.get(src, 0) + 1
+        for t in toks:
+            cnt[(src, t)] = cnt.get((src, t), 0) + 1
+            tot[src] = tot.get(src, 0) + 1
+            vocab.add(t)
+    v, ndt = len(vocab), sum(nd.values())
+    classes = sorted(nd)
+    bins: dict[int, list] = {}
+    for doc_id, src, toks in docs:
+        scores = []
+        for c in classes:
+            s = _r9(math.log(nd[c] / ndt))
+            for t in toks:
+                k = cnt.get((c, t))
+                s += _r9(math.log(((k + 1) if k else 1) / (tot[c] + v)))
+            scores.append((s, c))
+        srt = sorted(scores, key=lambda x: x[0], reverse=True)
+        pred = min(scores, key=lambda x: (-x[0], x[1]))[1]
+        margin = float(srt[0][0] - srt[1][0])
+        mpt = float(f"{margin / len(toks):.6f}")
+        b = min(int(math.floor(mpt * 100)), 9)
+        bins.setdefault(b, []).append((mpt, pred == src))
+    want = {}
+    for b, xs in bins.items():
+        n = len(xs)
+        acc = float(f"{sum(1 for _m, ok in xs if ok) / n:.6f}")
+        avg = float(f"{float(sum((Decimal(f'{m:.6f}') for m, _ok in xs), Decimal(0))) / n:.6f}")
+        want[b] = (n, acc, avg)
+
+    got = {
+        r["margin_bucket"]: (r["n_docs"], r["accuracy"], r["avg_margin"])
+        for r in QUERIES["nb_confidence_calibration"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0], b
+        assert abs(got[b][1] - want[b][1]) < 1e-9, b
+        assert abs(got[b][2] - want[b][2]) < 1e-9, b
