@@ -358,6 +358,33 @@ def remove_duplicate_spans(
     disjoint and sorted by construction, so the per-token ``exists`` probe
     is O(spans_per_doc) local arithmetic — no Python, no extra shuffle."""
     spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    return _apply_span_removal(df, spans, id_col, text_col, out_col)
+
+
+def remove_duplicate_spans_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    out_col: str = "clean_text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ExactSubstr removal: clean a NEW batch against an
+    already-indexed corpus represented only by its persisted gram store —
+    batch cost, not corpus cost (the spans come from
+    ``duplicate_ngram_spans_incremental``; the surgery is the same
+    one-pass rebuild as ``remove_duplicate_spans``). Returns
+    (cleaned_batch, store_delta) — fold the delta with
+    ``merge_ngram_stores`` exactly as the spans-incremental path does."""
+    spans, delta = duplicate_ngram_spans_incremental(
+        new_docs, store, id_col, text_col, n=n
+    )
+    return _apply_span_removal(new_docs, spans, id_col, text_col, out_col), delta
+
+
+def _apply_span_removal(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str, out_col: str
+) -> DataFrame:
     sp = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(

@@ -85,6 +85,97 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    first_col: str,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    n_buckets: int = 32,
+    first_col_ascending: bool = True,
+) -> DataFrame:
+    """Partition-aware twin of ``global_row_number``: exact ROW_NUMBER()
+    OVER (PARTITION BY part_cols ORDER BY order_cols) without funneling any
+    one partition key through a single task — the dominant-group regime
+    (one language is most of a corpus; one segment is most of a fact
+    table), where ``Window.partitionBy(part_cols)`` is exactly as skewed as
+    the data. Same three moves as the global form, each per key:
+
+    1. per-key exact quantile cuts of ``first_col`` from ONE aggregation
+       (keys × (n_buckets−1) doubles — broadcastable model state);
+    2. each row's bucket is a deterministic expression over its key's cuts;
+    3. row_number within (key, bucket) — n_buckets-way parallelism per
+       key — plus a (key, bucket)-count window over keys × n_buckets rows
+       to compute global offsets within each key.
+
+    Rows tied on ``first_col`` share a bucket, so bucketing never splits an
+    order-equivalence class; ``order_cols`` must still be a total order
+    within each key for a deterministic result."""
+    if not part_cols:
+        return global_row_number(
+            df, first_col, order_cols, out_col, n_buckets, first_col_ascending
+        )
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts_df = df.groupBy(*part_cols).agg(
+        F.coalesce(
+            F.array_sort(F.array_distinct(F.percentile(F.col(first_col), qs))),
+            F.array().cast("array<double>"),
+        ).alias("_cuts")
+    )
+    val = F.col(first_col)
+    bucket = F.when(val.isNull(), F.lit(-1)).otherwise(
+        F.size(F.filter("_cuts", lambda c: val > c))
+    )
+    w_in = Window.partitionBy(*part_cols, "_gb").orderBy(*order_cols)
+    gb_order = F.col("_gb").asc() if first_col_ascending else F.col("_gb").desc()
+    w_off = Window.partitionBy(*part_cols).orderBy(gb_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucketed = (
+        df.join(F.broadcast(cuts_df), part_cols)
+        .withColumn("_gb", bucket)
+        .drop("_cuts")
+    )
+    offs = (
+        bucketed.groupBy(*part_cols, "_gb")
+        .agg(F.count("*").alias("_bn"))
+        .withColumn("_goff", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)))
+        .drop("_bn")
+    )
+    return (
+        bucketed.join(F.broadcast(offs), [*part_cols, "_gb"])
+        .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
+        .drop("_gb", "_goff")
+    )
+
+
+def with_grouped_rank_stats(
+    df: DataFrame,
+    part_cols: list[str],
+    first_col: str,
+    order_cols: list[Column],
+    n_buckets: int = 32,
+    first_col_ascending: bool = True,
+) -> DataFrame:
+    """(df + _rn + _n) per partition key: grouped row_number plus each
+    key's row count — feed ``percent_rank_col()`` / ``ntile_col(k)`` for
+    partitioned PERCENT_RANK / NTILE at dominant-group scale."""
+    ranked = grouped_row_number(
+        df,
+        part_cols,
+        first_col,
+        order_cols,
+        out_col="_rn",
+        n_buckets=n_buckets,
+        first_col_ascending=first_col_ascending,
+    )
+    if not part_cols:
+        total = df.agg(F.count("*").alias("_n"))
+        return ranked.crossJoin(F.broadcast(total))
+    totals = df.groupBy(*part_cols).agg(F.count("*").alias("_n"))
+    return ranked.join(F.broadcast(totals), part_cols)
+
+
 def with_global_rank_stats(
     df: DataFrame,
     first_col: str,

@@ -61,6 +61,8 @@ _PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "dedup_keep_best",
     "nb_confidence_calibration",
+    "region_spend_rank",
+    "exact_substring_removal_incremental",
     "txn_skipped_revenue",
     "nb_source_classifier",
     "source_kl_drift",

@@ -99,6 +99,43 @@ def exact_substring_removal(spark, sf_dir):
     )
 
 
+_REMOVAL_INCR_SQL = _REMOVAL_SQL.replace(
+    "FROM documents d2 LEFT JOIN clean c USING (doc_id)",
+    "FROM documents d2 LEFT JOIN clean c USING (doc_id)\nWHERE d2.doc_id % 5 = 0",
+)
+
+
+@query("exact_substring_removal_incremental", oracle=_REMOVAL_INCR_SQL)
+def exact_substring_removal_incremental_q(spark, sf_dir):
+    """Incremental ExactSubstr removal: docs with doc_id % 5 == 0 play the
+    NEW daily batch, the rest are the indexed corpus represented ONLY by
+    its persisted gram store — only the batch tokenizes and only the batch
+    is rewritten, at one store-probe equi-join (the
+    exact_substring_spans_incremental contract, carried through the text
+    surgery). The oracle is the FULL-corpus removal restricted to batch
+    docs: agreement proves the store-probed path cuts exactly the bytes
+    the full computation would, certified via the cleaned-text md5."""
+    from importer_spark.operators.dedup import (
+        ngram_store,
+        remove_duplicate_spans_incremental,
+    )
+
+    t = Tables(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    store = ngram_store(t.documents.filter(~is_new), "doc_id", "text")
+    cleaned, _delta = remove_duplicate_spans_incremental(
+        t.documents.filter(is_new), store, "doc_id", "text"
+    )
+    n_tokens = F.size(tokens(F.col("text"))).cast("bigint")
+    return cleaned.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.col("clean_n_tokens")).cast("bigint").alias("removed_tokens"),
+        "clean_n_tokens",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ccnet_perplexity_buckets
 # ---------------------------------------------------------------------------

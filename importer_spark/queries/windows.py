@@ -422,3 +422,65 @@ def user_activity_streaks(spark, sf_dir):
         F.max("streak_days").cast("bigint").alias("longest_streak_days"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+_REGION_SPEND_RANK_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, r.r_name AS region,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sp
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_custkey, region,
+  CAST(sp AS DOUBLE) AS spend,
+  ROW_NUMBER() OVER (PARTITION BY region ORDER BY sp DESC, c_custkey)
+    AS spend_rank,
+  NTILE(4) OVER (PARTITION BY region ORDER BY sp DESC, c_custkey)
+    AS quartile
+FROM spend
+"""
+
+
+@query("region_spend_rank", oracle=_REGION_SPEND_RANK_SQL)
+def region_spend_rank(spark, sf_dir):
+    """Per-region customer spend ranking + quartiles via the PARTITIONED
+    distributed rank (`operators/ranks.py::grouped_row_number`) — the
+    dominant-group regime `Window.partitionBy` cannot survive at 100 TB
+    (one region holding most customers funnels through one task; here
+    every (region, value-bucket) cell ranks in parallel and per-region
+    offsets come from a region×buckets-sized side relation). The oracle is
+    the plain partitioned-window formulation, so value parity certifies
+    the bucket-and-offset decomposition against SQL ROW_NUMBER/NTILE
+    semantics, uneven buckets included. Spend sums as exact DECIMAL before
+    ranking (ties broken by custkey), output cast to double once."""
+    from importer_spark.operators.ranks import ntile_col, with_grouped_rank_stats
+
+    t = Tables(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("sp"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region"), "sp")
+    )
+    ranked = with_grouped_rank_stats(
+        spend.withColumn("_spd", F.col("sp").cast("double")),
+        ["region"],
+        "_spd",
+        [F.col("sp").desc(), F.col("c_custkey").asc()],
+        first_col_ascending=False,
+    )
+    return ranked.select(
+        "c_custkey",
+        "region",
+        out_double(F.col("sp")).alias("spend"),
+        F.col("_rn").alias("spend_rank"),
+        ntile_col(4).alias("quartile"),
+    )

@@ -93,6 +93,37 @@ def test_remove_duplicate_spans_operator_strings(spark):
         assert _h.md5(got[d][0].encode()).hexdigest() == md5, d
 
 
+def test_remove_duplicate_spans_incremental_equals_full_slice(spark):
+    """The store-probed incremental removal must rewrite a batch doc to
+    exactly the bytes the FULL-corpus computation produces (brute-force
+    Python reference over corpus ∪ batch, restricted to the batch)."""
+    import hashlib as _h
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import (
+        ngram_store,
+        remove_duplicate_spans_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    want = {d: v for d, v in _removal_reference(docs).items() if d % 5 == 0}
+    t = Tables(spark, SF_DIR)
+    is_new = F.col("doc_id") % 5 == 0
+    store = ngram_store(t.documents.filter(~is_new), "doc_id", "text")
+    cleaned, _delta = remove_duplicate_spans_incremental(
+        t.documents.filter(is_new), store, "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["clean_n_tokens"])
+        for r in cleaned.collect()
+    }
+    assert set(got) == set(want)
+    for d, (_n, _rm, kn, md5) in want.items():
+        assert got[d][1] == kn, d
+        assert _h.md5(got[d][0].encode()).hexdigest() == md5, d
+
+
 def test_ccnet_buckets_match_python_reference(spark):
     from importer_spark.queries import QUERIES
 

@@ -548,6 +548,71 @@ def test_global_rank_matches_window_both_directions(spark):
             assert bad == 0, (n, k, asc)
 
 
+def test_grouped_rank_matches_partitioned_window(spark):
+    """Partitioned distributed rank == Window.partitionBy row_number /
+    NTILE / percent_rank, across skewed group sizes (one dominant key),
+    ties on the bucketing column, NULL values, and both sort directions;
+    empty part_cols falls back to the global path."""
+    from pyspark.sql import Window
+    from importer_spark.operators.ranks import (
+        ntile_col,
+        percent_rank_col,
+        with_grouped_rank_stats,
+    )
+
+    # 3 groups: dominant (181 rows), small (7), singleton (1); val has ties
+    # (mod 13) and a NULL stripe in the dominant group.
+    df = spark.range(189).select(
+        F.when(F.col("id") < 181, F.lit("big"))
+        .when(F.col("id") < 188, F.lit("small"))
+        .otherwise(F.lit("solo"))
+        .alias("grp"),
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 19 == 3, F.lit(None))
+        .otherwise((F.pmod(F.col("id") * 37, 13)).cast("double"))
+        .alias("val"),
+    )
+    for asc in (True, False):
+        order = [
+            F.col("val").asc() if asc else F.col("val").desc(),
+            F.col("key").asc(),
+        ]
+        ranked = with_grouped_rank_stats(
+            df, ["grp"], "val", order, n_buckets=5, first_col_ascending=asc
+        ).select(
+            "key", "_rn", "_n",
+            ntile_col(4).alias("nt"),
+            F.round(percent_rank_col(), 6).alias("pr"),
+        )
+        w = Window.partitionBy("grp").orderBy(*order)
+        truth = df.select(
+            "key",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("nt_w"),
+            F.round(F.percent_rank().over(w), 6).alias("pr_w"),
+        )
+        joined = ranked.join(truth, "key")
+        assert joined.count() == 189, asc
+        bad = joined.filter(
+            (F.col("_rn") != F.col("rn"))
+            | (F.col("nt") != F.col("nt_w"))
+            | (F.col("pr") != F.col("pr_w"))
+        ).count()
+        assert bad == 0, asc
+    # empty part_cols delegates to the global form
+    from importer_spark.operators.ranks import grouped_row_number
+
+    g = grouped_row_number(
+        df, [], "val", [F.col("val").asc(), F.col("key").asc()], out_col="g_rn"
+    )
+    wg = Window.orderBy(F.col("val").asc(), F.col("key").asc())
+    truth_g = df.select("key", F.row_number().over(wg).alias("w_rn"))
+    assert (
+        g.join(truth_g, "key").filter(F.col("g_rn") != F.col("w_rn")).count()
+        == 0
+    )
+
+
 def test_winnowing_guarantee_on_near_dups(spark):
     """The winnowing guarantee: documents sharing a sufficiently long
     substring share at least one selected fingerprint. Checked against an
