@@ -8,6 +8,11 @@ Commands:
   pipeline                  end-to-end run: source loads → model DAG →
                             mart writes → declarative quality gates
                             (the orchestrator.py-equivalent front door)
+  refine                    corpus refinement run: exact-substring span
+                            removal → near-dup keep-best survivor filter →
+                            CCNet quality-tier tag → bucket-partitioned
+                            parquet + quality gates (the LLM-curation
+                            front door; beyond-reference surface)
 
 Options: --sf-dir (default /root/testdata/sf0.001), --limit N (default 20,
 0 = no limit), --master (default local[*]); pipeline adds --warehouse DIR
@@ -46,10 +51,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
     pp.add_argument("--mode", choices=["seed", "incremental", "auto"], default="auto")
     pp.add_argument("--master", default="local[*]")
     pp.add_argument("--skip-quality", action="store_true")
+    rf = sub.add_parser("refine")
+    rf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rf.add_argument("--out", required=True)
+    rf.add_argument("--master", default="local[*]")
+    rf.add_argument("--skip-quality", action="store_true")
     args = p.parse_args(argv)
 
     if args.cmd == "pipeline":
         return _pipeline(args, out)
+    if args.cmd == "refine":
+        return _refine(args, out)
 
     from importer_spark.queries import DIAGNOSTICS, ORACLES, QUERIES
 
@@ -163,6 +175,134 @@ def _pipeline(args, out) -> int:
         "marts": marts,
         "quality_checks": checked,
         "quality_failures": len(failed),
+        "ok": not failed,
+    }
+    print(json.dumps(summary, sort_keys=True), file=out)
+    return 0 if not failed else 1
+
+
+def _refine(args, out) -> int:
+    """The LLM-curation front door: the certified refinement layers
+    (exact_substring_removal → dedup_keep_best → ccnet_perplexity_buckets)
+    composed into one corpus-rewriting job with declarative exit gates —
+    what `pipeline` is to the reference's mart DAG, `refine` is to the
+    training-data side. Stages print JSON lines; the last line is a
+    summary; exit 1 = a quality gate failed (the dbt-test contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from importer_spark.io import Tables
+    from importer_spark.operators.dedup import near_dup_pairs, remove_duplicate_spans
+    from importer_spark.operators.graph import connected_components
+    from importer_spark.operators.text import quality_score, tokens
+    from importer_spark.quality import run_suite
+    from importer_spark.session import get_spark
+
+    spark = get_spark(app_name="importer-spark-refine", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = Tables(spark, args.sf_dir).documents
+    docs_in = docs.count()
+
+    # --- stage 1: exact-substring span removal; drop fully-cut docs -------
+    cleaned = (
+        remove_duplicate_spans(docs, "doc_id", "text")
+        .filter(F.col("clean_n_tokens") > 0)
+        .select("doc_id", "lang", "source", "clean_text", "clean_n_tokens")
+        # two downstream consumers (pair generation + LM scoring) and a
+        # count: pin one materialization of the surgery
+        .localCheckpoint(eager=True)
+    )
+    tokens_in = docs.select(F.sum(F.size(tokens(F.col("text"))))).first()[0] or 0
+    tokens_clean = cleaned.select(F.sum("clean_n_tokens")).first()[0] or 0
+    print(json.dumps({"stage": "span_removal", "docs_in": docs_in,
+                      "docs_after": cleaned.count(),
+                      "tokens_removed": int(tokens_in - tokens_clean)}), file=out)
+
+    # --- stage 2: near-dup keep-best survivor filter on the CLEANED text --
+    pairs = near_dup_pairs(cleaned, "doc_id", "clean_text")
+    labels = connected_components(pairs, out_id="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id")
+    )
+    losers = (
+        labels.join(
+            cleaned.select("doc_id", quality_score(F.col("clean_text")).alias("_q")),
+            "doc_id",
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select("doc_id")
+    )
+    kept = cleaned.join(losers, "doc_id", "left_anti")
+    print(json.dumps({"stage": "keep_best",
+                      "near_dup_losers_dropped": losers.count()}), file=out)
+
+    # --- stage 3: CCNet tier tag from a unigram LM over the kept corpus ---
+    tok = kept.select("doc_id", F.explode(tokens(F.col("clean_text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    scored = (
+        tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"), F.sum("lp").alias("_s"))
+        .select(
+            "doc_id",
+            F.round(F.col("_s").cast("double") / F.col("_nt"), 6).alias("_alp"),
+        )
+    )
+    tagged = kept.join(scored, "doc_id").localCheckpoint(eager=True)
+    cuts = tagged.groupBy("lang").agg(
+        F.percentile(F.col("_alp"), F.lit(1.0 / 3.0)).alias("_q1"),
+        F.percentile(F.col("_alp"), F.lit(2.0 / 3.0)).alias("_q2"),
+    )
+    bucket = (
+        F.when(F.col("_alp") >= F.col("_q2"), F.lit("head"))
+        .when(F.col("_alp") >= F.col("_q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    refined = tagged.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "source", "clean_text", "clean_n_tokens",
+        bucket.alias("bucket"),
+    )
+
+    # --- stage 4: bucket-partitioned write + exit gates -------------------
+    refined.write.mode("overwrite").partitionBy("bucket").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    hist = {
+        r["bucket"]: r["n"]
+        for r in written.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"stage": "write", "path": args.out, "buckets": hist}),
+          file=out)
+
+    failed = []
+    if not args.skip_quality:
+        checks = [
+            {"kind": "not_null", "name": "doc_id_not_null", "col": "doc_id"},
+            {"kind": "not_null", "name": "clean_text_not_null", "col": "clean_text"},
+            {"kind": "unique", "name": "doc_id_unique", "col": "doc_id"},
+            {"kind": "accepted_values", "name": "bucket_domain", "col": "bucket",
+             "values": ["head", "middle", "tail"]},
+            {"kind": "accepted_range", "name": "clean_tokens_positive",
+             "col": "clean_n_tokens", "lo": 1},
+        ]
+        res = run_suite(written, checks).collect()
+        failed = [(r.check_name, r.n_violations) for r in res if not r.passed]
+        print(json.dumps({"stage": "quality", "checks": len(res),
+                          "failed": failed}), file=out)
+
+    summary = {
+        "stage": "summary",
+        "docs_in": docs_in,
+        "docs_out": sum(hist.values()),
+        "tokens_removed": int(tokens_in - tokens_clean),
+        "buckets": hist,
         "ok": not failed,
     }
     print(json.dumps(summary, sort_keys=True), file=out)

@@ -31,6 +31,27 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def quality_score(text: Column) -> Column:
+    """Length/diversity/char-density quality composite — the SAME formula
+    the oracle-certified `doc_quality_scores` query (queries/llm_text.py)
+    and the `dedup_keep_best` survivor policy pin; exposed as a Column
+    function so pipelines (e.g. the `refine` CLI) can score arbitrary text
+    columns without re-deriving it. Rounded to 6 places (house rule)."""
+    t = tokens(text)
+    nt = F.size(t)
+    diversity = F.size(F.array_distinct(t)).cast("double") / F.nullif(nt, F.lit(0))
+    return F.round(
+        F.least(F.lit(100.0), nt / 5.0) * 0.4
+        + diversity * 100.0 * 0.4
+        + F.least(
+            F.lit(100.0),
+            F.length(text).cast("double") / F.nullif(nt, F.lit(0)) * 10.0,
+        )
+        * 0.2,
+        6,
+    )
+
+
 def lsh_band_keys(sig_cols: list[Column], band_size: int) -> list[Column]:
     """Group signature components into bands; equal band key → candidate pair.
     With r rows/band and b bands, P(candidate) = 1-(1-j^r)^b."""

@@ -72,3 +72,33 @@ def test_cli_pipeline_end_to_end(spark, tmp_path):
     assert summary2["sources"]["orders"]["rows_loaded"] == 0  # nothing new
     assert summary2["marts"] == summary["marts"]
     assert summary2["ok"]
+
+
+def test_cli_refine_end_to_end(spark, tmp_path):
+    """The LLM-curation front door: span removal drops fully-cut docs,
+    keep-best drops near-dup losers, every survivor lands in exactly one
+    quality tier, the parquet output is bucket-partitioned, gates pass,
+    and a rerun is deterministic (same counts, same bucket histogram)."""
+    out_dir = str(tmp_path / "refined")
+    buf = io.StringIO()
+    assert main(["refine", "--out", out_dir], out=buf) == 0
+    lines = [json.loads(line) for line in buf.getvalue().splitlines()]
+    summary = lines[-1]
+    assert summary["stage"] == "summary" and summary["ok"]
+    assert 0 < summary["docs_out"] < summary["docs_in"]
+    assert summary["tokens_removed"] > 0
+    assert set(summary["buckets"]) == {"head", "middle", "tail"}
+    assert sum(summary["buckets"].values()) == summary["docs_out"]
+
+    written = spark.read.parquet(out_dir)
+    assert written.count() == summary["docs_out"]
+    # bucket-partitioned layout on disk
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(out_dir))
+
+    buf2 = io.StringIO()
+    assert main(["refine", "--out", str(tmp_path / "refined2")], out=buf2) == 0
+    summary2 = [json.loads(line) for line in buf2.getvalue().splitlines()][-1]
+    assert summary2["buckets"] == summary["buckets"]
+    assert summary2["docs_out"] == summary["docs_out"]

@@ -251,3 +251,59 @@ def test_duplicate_ngram_spans_matches_brute_force(spark, texts, n):
         for r in duplicate_ngram_spans(df, "doc_id", "text", n=n).collect()
     }
     assert got == _brute_force_dup_spans(docs, n)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    dup_len=st.integers(8, 12),
+)
+def test_remove_duplicate_spans_property(spark, docs, dup_len):
+    """Random tiny-alphabet corpora (tiny alphabet => organic 8-gram
+    collisions) plus one PLANTED duplicated run shared by the first two
+    docs: the operator's cleaned text must equal the brute-force Python
+    rebuild for every doc, and the planted run must be cut from both of
+    its carriers."""
+    from importer_spark.operators.dedup import remove_duplicate_spans
+
+    planted = ["x"] * dup_len
+    rows = []
+    for i, toks in enumerate(docs):
+        if i < 2:
+            toks = toks + planted
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    # brute-force reference (same as tests/test_llm_refine.py, inline to
+    # keep the property self-contained)
+    gram_docs: dict[tuple, set] = {}
+    toks_by = {d: t.split(" ") for d, t in rows}
+    for d, t in toks_by.items():
+        for i in range(len(t) - 7):
+            gram_docs.setdefault(tuple(t[i : i + 8]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, t in toks_by.items():
+        hits = [i for i in range(len(t) - 7) if tuple(t[i : i + 8]) in dup]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= 8:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = set()
+        for s, last in spans:
+            covered.update(range(s, last + 8))
+        want[d] = " ".join(t[i] for i in range(len(t)) if i not in covered)
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(df, "doc_id", "text").collect()
+    }
+    assert got == want
+    # the planted run must actually be cut from both carriers
+    assert "x" not in got[0].split(" ") and "x" not in got[1].split(" ")
