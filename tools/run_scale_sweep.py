@@ -43,6 +43,8 @@ SWEEP_QUERIES = [
     "near_dup_clusters_star",
     "exact_substring_spans",
     "exact_substring_removal",
+    "exact_substring_removal_incremental",
+    "region_spend_rank",
     "simhash_near_dups",
     "dedup_keep_best",
     "tfidf_weights",
