@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "nb_confidence_calibration",
     "region_spend_rank",
     "exact_substring_removal_incremental",
+    "lang_quality_deciles",
     "txn_skipped_revenue",
     "nb_source_classifier",
     "source_kl_drift",

@@ -305,3 +305,52 @@ def dedup_keep_best(spark, sf_dir):
             (F.row_number().over(w) == 1).alias("is_kept"),
         )
     )
+
+
+# Decile SQL reuses the certified scoring chain (everything before cuts).
+_SCORED_CTES = _BUCKETS_SQL[: _BUCKETS_SQL.index(",\ncuts AS")]
+
+_DECILES_SQL = (
+    _SCORED_CTES
+    + """
+SELECT doc_id, lang, avg_logprob,
+  NTILE(10) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id)
+    AS decile
+FROM scored
+"""
+)
+
+
+@query("lang_quality_deciles", oracle=_DECILES_SQL)
+def lang_quality_deciles(spark, sf_dir):
+    """Per-language quality DECILES by LM score — exact SQL NTILE(10)
+    semantics (rank-based, uneven-bucket rule), the companion to
+    `ccnet_perplexity_buckets`' value-thresholded tiers when a pipeline
+    needs equal-population slices (decile-capped sampling, per-decile
+    loss analysis).
+
+    This is the dominant-group regime on REAL data — one language holds
+    most of the corpus, so `Window.partitionBy(lang)` would funnel it
+    through a single task. The ranking runs on
+    `operators/ranks.py::grouped_row_number` instead: per-language
+    quantile cuts, per-(language, bucket) parallel windows, a
+    languages×buckets offset relation — and the oracle is the plain
+    partitioned-window NTILE, so value parity certifies the decomposition
+    under a skewed key. Ties on the rounded-6 score share a bucket and
+    break by doc_id on both engines."""
+    from importer_spark.operators.ranks import ntile_col, with_grouped_rank_stats
+    from importer_spark.queries.llm_text import unigram_logprob_scores
+
+    t = Tables(spark, sf_dir)
+    scored = unigram_logprob_scores(spark, sf_dir).select("doc_id", "avg_logprob")
+    labeled = scored.join(t.documents.select("doc_id", "lang"), "doc_id")
+    ranked = with_grouped_rank_stats(
+        labeled,
+        ["lang"],
+        "avg_logprob",
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        first_col_ascending=False,
+    )
+    return ranked.select(
+        "doc_id", "lang", "avg_logprob", ntile_col(10).alias("decile")
+    )

@@ -50,6 +50,7 @@ SWEEP_QUERIES = [
     "tfidf_weights",
     "unigram_logprob_scores",
     "ccnet_perplexity_buckets",
+    "lang_quality_deciles",
     "sequence_packing",
     "bigram_backoff_scores",
     "dsir_importance_weights",
