@@ -9,13 +9,20 @@ canonical survivor per near-dup family, and route each document into a
 quality tier. These three queries close that loop, each certified
 value-for-value against a DuckDB re-derivation:
 
-- exact_substring_removal — Lee et al. 2022's "dedup by removing the
-  repeated substring" variant: reassemble each document's text WITHOUT its
-  duplicated spans and certify the cleaned text byte-for-byte via md5.
+- exact_substring_removal (+ _incremental) — Lee et al. 2022's "dedup by
+  removing the repeated substring" variant: reassemble each document's
+  text WITHOUT its duplicated spans and certify the cleaned text
+  byte-for-byte via md5; the incremental twin rewrites a new batch against
+  the persisted gram store at batch cost.
 - ccnet_perplexity_buckets — CCNet's head/middle/tail split (Wenzek et al.
-  2020), per language, by unigram-LM score terciles.
+  2020), per language, by unigram-LM score terciles (value-thresholded).
+- lang_quality_deciles — the equal-population companion: exact SQL
+  NTILE(10) per language on the partitioned distributed rank.
 - dedup_keep_best — canonical-survivor selection per near-dup cluster by
   quality score (the policy real pipelines use instead of "keep min id").
+
+`python -m importer_spark refine` composes these into the corpus-rewriting
+front door (__main__.py).
 """
 
 from __future__ import annotations

@@ -307,3 +307,44 @@ def test_remove_duplicate_spans_property(spark, docs, dup_len):
     assert got == want
     # the planted run must actually be cut from both carriers
     assert "x" not in got[0].split(" ") and "x" not in got[1].split(" ")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.one_of(st.none(), st.integers(0, 6)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(2, 5),
+)
+def test_grouped_rank_property(spark, rows, k):
+    """Random skewed groups with heavy value ties and NULLs: grouped
+    distributed rank + ntile must equal the plain partitioned window on
+    every row (the window is the spec; the operator is the scale path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from importer_spark.operators.ranks import ntile_col, with_grouped_rank_stats
+
+    data = [(g, i, float(v) if v is not None else None)
+            for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, schema="grp string, key long, val double")
+    order = [F.col("val").asc(), F.col("key").asc()]
+    got = with_grouped_rank_stats(df, ["grp"], "val", order, n_buckets=3).select(
+        "key", "_rn", ntile_col(k).alias("nt")
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    truth = df.select(
+        "key",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(k).over(w).alias("nt_w"),
+    )
+    joined = got.join(truth, "key")
+    assert joined.count() == len(data)
+    assert joined.filter(
+        (F.col("_rn") != F.col("rn")) | (F.col("nt") != F.col("nt_w"))
+    ).count() == 0
