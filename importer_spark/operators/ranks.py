@@ -110,7 +110,13 @@ def grouped_row_number(
 
     Rows tied on ``first_col`` share a bucket, so bucketing never splits an
     order-equivalence class; ``order_cols`` must still be a total order
-    within each key for a deterministic result."""
+    within each key for a deterministic result.
+
+    Regime note: this operator is for FEW, HUGE groups (languages,
+    regions, status codes) — the cuts/offset side relations are
+    keys-sized and broadcast. For high-cardinality keys (per-customer,
+    per-order) a plain ``Window.partitionBy`` is already parallel and
+    cheaper; use it directly there."""
     if not part_cols:
         return global_row_number(
             df, first_col, order_cols, out_col, n_buckets, first_col_ascending
