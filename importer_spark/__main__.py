@@ -233,42 +233,27 @@ def _refine(args, out) -> int:
         .filter(F.col("_rk") > 1)
         .select("doc_id")
     )
-    kept = cleaned.join(losers, "doc_id", "left_anti")
+    # pin kept: it feeds the LM tokenize, the score join, and the final
+    # projection — without the checkpoint the quality-window/anti-join
+    # lineage above re-evaluates per consumer
+    kept = cleaned.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
     print(json.dumps({"stage": "keep_best",
                       "near_dup_losers_dropped": losers.count()}), file=out)
 
-    # --- stage 3: CCNet tier tag from a unigram LM over the kept corpus ---
-    tok = kept.select("doc_id", F.explode(tokens(F.col("clean_text"))).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = vocab.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9)
-        .cast("decimal(18,9)")
-        .alias("lp"),
+    # --- stage 3: CCNet tier tag — the SAME certified derivations the
+    # unigram_logprob_scores / ccnet_perplexity_buckets queries run
+    # (operators/text.py), applied to the cleaned kept corpus ------------
+    from importer_spark.operators.text import (
+        unigram_avg_logprob,
+        value_tercile_buckets,
     )
-    scored = (
-        tok.join(lp, "tok")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"), F.sum("lp").alias("_s"))
-        .select(
-            "doc_id",
-            F.round(F.col("_s").cast("double") / F.col("_nt"), 6).alias("_alp"),
-        )
+
+    scored = unigram_avg_logprob(kept, "doc_id", "clean_text").select(
+        "doc_id", "avg_logprob"
     )
-    tagged = kept.join(scored, "doc_id").localCheckpoint(eager=True)
-    cuts = tagged.groupBy("lang").agg(
-        F.percentile(F.col("_alp"), F.lit(1.0 / 3.0)).alias("_q1"),
-        F.percentile(F.col("_alp"), F.lit(2.0 / 3.0)).alias("_q2"),
-    )
-    bucket = (
-        F.when(F.col("_alp") >= F.col("_q2"), F.lit("head"))
-        .when(F.col("_alp") >= F.col("_q1"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    refined = tagged.join(F.broadcast(cuts), "lang").select(
-        "doc_id", "lang", "source", "clean_text", "clean_n_tokens",
-        bucket.alias("bucket"),
+    tagged = kept.join(scored, "doc_id")
+    refined = value_tercile_buckets(tagged, ["lang"], "avg_logprob").select(
+        "doc_id", "lang", "source", "clean_text", "clean_n_tokens", "bucket"
     )
 
     # --- stage 4: bucket-partitioned write + exit gates -------------------

@@ -137,11 +137,13 @@ def grouped_row_number(
     w_off = Window.partitionBy(*part_cols).orderBy(gb_order).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    bucketed = (
-        df.join(F.broadcast(cuts_df), part_cols)
-        .withColumn("_gb", bucket)
-        .drop("_cuts")
-    )
+    # SQL PARTITION BY treats NULL as its own (rankable) partition, and
+    # groupBy above produces its row — but a plain equi-join would drop it
+    # (NULL never equals NULL), silently deleting those rows from the
+    # output. Join the side relations null-safely on renamed keys.
+    bucketed = _null_safe_key_join(df, F.broadcast(cuts_df), part_cols).withColumn(
+        "_gb", bucket
+    ).drop("_cuts")
     offs = (
         bucketed.groupBy(*part_cols, "_gb")
         .agg(F.count("*").alias("_bn"))
@@ -149,9 +151,34 @@ def grouped_row_number(
         .drop("_bn")
     )
     return (
-        bucketed.join(F.broadcast(offs), [*part_cols, "_gb"])
+        _null_safe_key_join(bucketed, F.broadcast(offs), part_cols, extra=["_gb"])
         .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
         .drop("_gb", "_goff")
+    )
+
+
+def _null_safe_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    part_cols: list[str],
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join ``right`` onto ``left`` treating NULL key values as equal
+    (the PARTITION BY convention): right-side key columns are renamed so
+    the join condition can use eqNullSafe without ambiguity, then dropped.
+    ``extra`` columns join with plain equality (never NULL here)."""
+    renamed = right
+    cond = F.lit(True)
+    for i, c in enumerate(part_cols):
+        renamed = renamed.withColumnRenamed(c, f"_rk{i}")
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_rk{i}"))
+    for c in extra or []:
+        renamed = renamed.withColumnRenamed(c, f"_rx_{c}")
+        cond = cond & (F.col(c) == F.col(f"_rx_{c}"))
+    out = left.join(renamed, cond)
+    return out.drop(
+        *[f"_rk{i}" for i in range(len(part_cols))],
+        *[f"_rx_{c}" for c in (extra or [])],
     )
 
 
@@ -179,7 +206,7 @@ def with_grouped_rank_stats(
         total = df.agg(F.count("*").alias("_n"))
         return ranked.crossJoin(F.broadcast(total))
     totals = df.groupBy(*part_cols).agg(F.count("*").alias("_n"))
-    return ranked.join(F.broadcast(totals), part_cols)
+    return _null_safe_key_join(ranked, F.broadcast(totals), part_cols)
 
 
 def with_global_rank_stats(

@@ -52,6 +52,73 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def unigram_avg_logprob(df, id_col: str, text_col: str):
+    """Unigram-LM fluency scores with the corpus itself as the LM — the
+    DataFrame-level core of the oracle-certified `unigram_logprob_scores`
+    query (queries/llm_text.py), factored out so pipelines (the `refine`
+    CLI, cleaned-text scoring) compose the SAME certified derivation
+    instead of re-implementing it. Returns (id_col, n_tokens,
+    avg_logprob): token log-probs from corpus frequencies rounded to 9
+    places at birth, summed as exact DECIMAL(18,9), ONE double divide
+    rounded to 6 (the repo's cross-engine determinism convention).
+
+    Scale shape: one token explode feeds both the vocabulary build and the
+    scoring join; the one-row total broadcasts back; the score join keys
+    on the token (AQE broadcasts the vocab while it fits)."""
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    per = (
+        tok.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def value_tercile_buckets(
+    df,
+    part_cols: list[str],
+    val_col: str,
+    out_col: str = "bucket",
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+):
+    """CCNet-style head/middle/tail tiers by VALUE thresholds: per
+    partition key, exact tercile cut points come out of ONE aggregation (a
+    keys-sized relation that broadcasts back) and each row's tier is a
+    comparison against its key's cuts — no per-key global sort (the
+    single-task-window anti-pattern). The certified
+    `ccnet_perplexity_buckets` query runs exactly this shape; the tie
+    analysis lives in its docstring (pre-rounded values vs interpolated
+    cuts). Ties on a cut value land in the upper tier."""
+    cuts = df.groupBy(*part_cols).agg(
+        F.percentile(F.col(val_col), F.lit(1.0 / 3.0)).alias("_q1"),
+        F.percentile(F.col(val_col), F.lit(2.0 / 3.0)).alias("_q2"),
+    )
+    bucket = (
+        F.when(F.col(val_col) >= F.col("_q2"), F.lit(labels[0]))
+        .when(F.col(val_col) >= F.col("_q1"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return (
+        df.join(F.broadcast(cuts), part_cols)
+        .withColumn(out_col, bucket)
+        .drop("_q1", "_q2")
+    )
+
+
 def lsh_band_keys(sig_cols: list[Column], band_size: int) -> list[Column]:
     """Group signature components into bands; equal band key → candidate pair.
     With r rows/band and b bands, P(candidate) = 1-(1-j^r)^b."""

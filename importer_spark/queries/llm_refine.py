@@ -211,17 +211,10 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     # a localCheckpoint here was tried and bought nothing (18.2 s either
     # way), so the query stays fully declarative/plan-visible.
     labeled = scored.join(t.documents.select("doc_id", "lang"), "doc_id")
-    cuts = labeled.groupBy("lang").agg(
-        F.percentile(F.col("avg_logprob"), F.lit(1.0 / 3.0)).alias("q1"),
-        F.percentile(F.col("avg_logprob"), F.lit(2.0 / 3.0)).alias("q2"),
-    )
-    bucket = (
-        F.when(F.col("avg_logprob") >= F.col("q2"), F.lit("head"))
-        .when(F.col("avg_logprob") >= F.col("q1"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    return labeled.join(F.broadcast(cuts), "lang").select(
-        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    from importer_spark.operators.text import value_tercile_buckets
+
+    return value_tercile_buckets(labeled, ["lang"], "avg_logprob").select(
+        "doc_id", "lang", "avg_logprob", "bucket"
     )
 
 

@@ -135,13 +135,15 @@ def doc_quality_scores(spark, sf_dir):
     base = t.documents.select(
         "doc_id",
         "lang",
+        "text",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.length("text").alias("n_chars"),
         F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).alias(
             "n_stopwords"
         ),
     )
+    from importer_spark.operators.text import quality_score
+
     nt = F.col("n_tokens")
     diversity = F.col("n_unique").cast("double") / F.nullif(nt, F.lit(0))
     return base.select(
@@ -152,15 +154,9 @@ def doc_quality_scores(spark, sf_dir):
         F.round(F.col("n_stopwords").cast("double") / F.nullif(nt, F.lit(0)), 6).alias(
             "stopword_ratio"
         ),
-        F.round(
-            F.least(F.lit(100.0), nt / 5.0) * 0.4
-            + diversity * 100.0 * 0.4
-            + F.least(
-                F.lit(100.0), F.col("n_chars").cast("double") / F.nullif(nt, F.lit(0)) * 10.0
-            )
-            * 0.2,
-            6,
-        ).alias("quality_score"),
+        # the composite lives in operators/text.quality_score (ONE copy of
+        # the certified formula, shared with dedup_keep_best and refine)
+        quality_score(F.col("text")).alias("quality_score"),
         (nt.between(50, 1000) & (diversity > 0.05)).alias("passes_filter"),
     )
 
@@ -558,28 +554,18 @@ def unigram_logprob_scores(spark, sf_dir):
     determinism: log-probs are rounded to 9 places then summed as exact
     DECIMAL(18,9) — double summation order never matters — with ONE final
     double divide (the repo-wide exact-decimal convention,
-    functions/core.py)."""
+    functions/core.py). The scoring core is
+    `operators/text.py::unigram_avg_logprob` (shared with the `refine`
+    CLI, which scores CLEANED text through the same derivation)."""
+    from importer_spark.operators.text import unigram_avg_logprob
+
     t = Tables(spark, sf_dir)
-    tok = t.documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = vocab.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9)
-        .cast("decimal(18,9)")
-        .alias("lp"),
-    )
-    per = (
-        tok.join(lp, "tok")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
-    )
-    avg = F.round(F.col("s").cast("double") / F.col("n_tokens"), 6)
+    per = unigram_avg_logprob(t.documents, "doc_id", "text")
     return per.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        avg.alias("avg_logprob"),
-        (avg >= -3.5).alias("keep"),
+        "avg_logprob",
+        (F.col("avg_logprob") >= -3.5).alias("keep"),
     )
 
 

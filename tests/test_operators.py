@@ -551,8 +551,9 @@ def test_global_rank_matches_window_both_directions(spark):
 def test_grouped_rank_matches_partitioned_window(spark):
     """Partitioned distributed rank == Window.partitionBy row_number /
     NTILE / percent_rank, across skewed group sizes (one dominant key),
-    ties on the bucketing column, NULL values, and both sort directions;
-    empty part_cols falls back to the global path."""
+    ties on the bucketing column, NULL values, a NULL PARTITION KEY (SQL
+    ranks it as its own partition — a plain equi-join would drop it), and
+    both sort directions; empty part_cols falls back to the global path."""
     from pyspark.sql import Window
     from importer_spark.operators.ranks import (
         ntile_col,
@@ -563,8 +564,9 @@ def test_grouped_rank_matches_partitioned_window(spark):
     # 3 groups: dominant (181 rows), small (7), singleton (1); val has ties
     # (mod 13) and a NULL stripe in the dominant group.
     df = spark.range(189).select(
-        F.when(F.col("id") < 181, F.lit("big"))
-        .when(F.col("id") < 188, F.lit("small"))
+        F.when(F.col("id") < 178, F.lit("big"))
+        .when(F.col("id") < 185, F.lit("small"))
+        .when(F.col("id") < 188, F.lit(None).cast("string"))  # NULL partition
         .otherwise(F.lit("solo"))
         .alias("grp"),
         F.col("id").alias("key"),

@@ -69,6 +69,8 @@ def main() -> None:
     only = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit(__doc__)
         only = argv[i + 1].split(",")
         del argv[i : i + 2]
     if len(argv) < 2:
