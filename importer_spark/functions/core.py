@@ -72,7 +72,15 @@ def mode_det(df, group_cols: list[str], value_col: str, out_name: str):
     Returns a DataFrame keyed by group_cols. Two shuffles on the same keys —
     AQE coalesces; at scale the first agg does map-side partial aggregation.
     """
-    counts = df.groupBy(*group_cols, value_col).count()
+    # SQL MODE() semantics: NULL is never a candidate value (and the two
+    # engines disagree on where NULL sorts in the tie-break window, so
+    # admitting it would also be non-portable). Groups whose values are all
+    # NULL produce no row.
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .count()
+    )
     w = Window.partitionBy(*group_cols).orderBy(F.col("count").desc(), F.col(value_col).asc())
     return (
         counts.withColumn("_rn", F.row_number().over(w))

@@ -138,15 +138,26 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL media (missing payload) → NULL features, row preserved —
+            # the relational contract the SQL oracle encodes (strlen(NULL)
+            # / md5(NULL) are NULL), so dirty rows surface instead of
+            # crashing the batch or vanishing.
             decoded = [
-                decode_media(m, t) for m, t in zip(pdf["media"], pdf["media_type"])
+                None if m is None else decode_media(m, t)
+                for m, t in zip(pdf["media"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(d) for d in decoded],
-                    "content_digest": [hashlib.md5(d).hexdigest() for d in decoded],
+                    "n_bytes": pd.array(
+                        [None if d is None else len(d) for d in decoded],
+                        dtype="Int64",
+                    ),
+                    "content_digest": [
+                        None if d is None else hashlib.md5(d).hexdigest()
+                        for d in decoded
+                    ],
                 }
             )
 

@@ -46,6 +46,7 @@ FROM (
            PARTITION BY o_custkey ORDER BY COUNT(*) DESC, o_orderpriority ASC
          ) AS rn
   FROM orders
+  WHERE o_orderpriority IS NOT NULL
   GROUP BY o_custkey, o_orderpriority
 )
 WHERE rn = 1

@@ -36,12 +36,13 @@ _NB_SQL = f"""
 WITH tok AS (
   SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok FROM documents
 ),
-train AS (SELECT * FROM tok WHERE {_TRAIN_SQL}),
+train AS (SELECT * FROM tok WHERE {_TRAIN_SQL} AND source IS NOT NULL),
 cnt AS (SELECT source AS cls, tok, COUNT(*) AS c FROM train GROUP BY 1, 2),
 tot AS (SELECT cls, SUM(c) AS t FROM cnt GROUP BY 1),
 vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
 trdocs AS (
-  SELECT source AS cls, COUNT(*) AS nd FROM documents WHERE {_TRAIN_SQL} GROUP BY 1
+  SELECT source AS cls, COUNT(*) AS nd FROM documents
+  WHERE {_TRAIN_SQL} AND source IS NOT NULL GROUP BY 1
 ),
 tottr AS (SELECT SUM(nd) AS ndt FROM trdocs),
 lp AS (
@@ -100,12 +101,17 @@ def _nb_scores(spark, sf_dir):
         "doc_id", "source", is_train.alias("is_train"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    train = toks.filter("is_train")
+    # NULL-labelled docs cannot train (no class to credit) but are still
+    # scored; their is_correct comes out NULL on both engines (3VL
+    # equality). The oracle carries the same source IS NOT NULL guard.
+    train = toks.filter(F.col("is_train") & F.col("source").isNotNull())
 
     # Model scalars (bounded driver state: C classes + 1 vocab size).
     v_size = train.select("tok").distinct().count()
     tr_docs = (
-        docs.filter(is_train).groupBy("source").agg(F.count("*").alias("nd"))
+        docs.filter(is_train & F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count("*").alias("nd"))
     ).collect()
     classes = sorted(r["source"] for r in tr_docs)
     nd = {r["source"]: r["nd"] for r in tr_docs}
@@ -398,6 +404,7 @@ WITH keyed AS (
       ), 9) / CAST(n_chars AS DOUBLE),
     9) AS es_key
   FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 ranked AS (
   SELECT doc_id, source, n_chars, es_key,
@@ -433,7 +440,9 @@ def weighted_sample_es(spark, sf_dir):
     )
     u = (h + 1).cast("double") / F.lit(4294967297.0)
     es_key = F.round(-F.round(F.log(u), 9) / F.col("n_chars").cast("double"), 9)
-    keyed = t.documents.select(
+    # a NULL weight cannot be sampled proportionally — excluded on both
+    # engines (also sidesteps the NULLS FIRST/LAST sort divergence)
+    keyed = t.documents.filter(F.col("n_chars").isNotNull()).select(
         "doc_id", "source", "n_chars", es_key.alias("es_key")
     )
     w = Window.partitionBy("source").orderBy(F.col("es_key").asc(), F.col("doc_id").asc())

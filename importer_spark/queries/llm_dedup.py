@@ -46,7 +46,8 @@ def docs_exact_dedup(spark, sf_dir):
 # Shingles in DuckDB: t[i..i+2] for i in 1..len-2 (1-based), mirroring the
 # Spark word_shingles construction exactly.
 _SHINGLE_CTE = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id,
     CASE WHEN len(t) >= 3

@@ -75,8 +75,10 @@ SELECT d2.doc_id,
   CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
   CAST(len(string_split(d2.text, ' ')) - COALESCE(c.kn, 0) AS BIGINT)
     AS removed_tokens,
-  CAST(COALESCE(c.kn, 0) AS BIGINT) AS clean_n_tokens,
-  md5(COALESCE(c.ct, '')) AS clean_hash
+  CASE WHEN d2.text IS NULL THEN NULL
+       ELSE CAST(COALESCE(c.kn, 0) AS BIGINT) END AS clean_n_tokens,
+  CASE WHEN d2.text IS NULL THEN NULL
+       ELSE md5(COALESCE(c.ct, '')) END AS clean_hash
 FROM documents d2 LEFT JOIN clean c USING (doc_id)
 """
 

@@ -229,7 +229,8 @@ _WIN_K = 3  # words per gram
 _WIN_W = 4  # grams per winnowing window
 
 _WINNOW_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE text IS NOT NULL),
 h AS (
   SELECT doc_id,
     CASE WHEN len(t) >= {_WIN_K}
@@ -363,7 +364,8 @@ def simhash_near_dups(spark, sf_dir):
 
 
 _REPETITION_SQL = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id, unnest(
     CASE WHEN len(t) >= 2
