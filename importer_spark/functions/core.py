@@ -59,9 +59,14 @@ def string_agg_sorted(col: Column | str, sep: str = " | ") -> Column:
     """Deterministic STRING_AGG(DISTINCT x) (reference A5:
     int_quickbooks__company_consolidation.sql:104-111). Postgres leaves the
     order unspecified; we canonicalize: distinct → sort ascending → join.
-    Aggregate expression: use inside .agg()."""
+    Aggregate expression: use inside .agg().
+
+    SQL STRING_AGG over zero non-NULL inputs is NULL, not '' — collect_set
+    drops NULLs, so an all-NULL group yields an empty array, which must
+    surface as NULL (array_join alone would emit '')."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.array_sort(F.collect_set(c)), sep)
+    arr = F.array_sort(F.collect_set(c))
+    return F.when(F.size(arr) > 0, F.array_join(arr, sep))
 
 
 def mode_det(df, group_cols: list[str], value_col: str, out_name: str):

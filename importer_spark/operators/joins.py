@@ -56,7 +56,13 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias(mts),
     )
-    rhs = right.select(
+    rhs = right.filter(
+        # a right row with a NULL timestamp has no position on the as-of
+        # axis and must never match (pandas merge_asof rejects such keys
+        # outright); admitting it would also make it sort before every
+        # left row and pollute early fills
+        F.col(right_ts).isNotNull()
+    ).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias(ts),
@@ -76,14 +82,24 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill_cols = [*[f"{c}{suffix}" for c in right_value_cols], mts]
+    # Carry the latest right ROW as one struct (non-null exactly when the
+    # frame holds a right row), then unpack: per-column
+    # last(ignorenulls=True) would SKIP a version whose value is NULL and
+    # resurrect an older version's value — the fuzz gate caught exactly
+    # that (a null-price version must match as null, not fall through).
+    row_struct = F.when(
+        F.col(tag) == 0, F.struct(*[F.col(c) for c in fill_cols])
+    )
     filled = unioned.select(
         *[F.col(c) for c in lcols],
         F.col(ts),
         F.col(tag),
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in fill_cols
-        ],
+        F.last(row_struct, ignorenulls=True).over(w).alias("_asof_row"),
+    ).select(
+        *[F.col(c) for c in lcols],
+        F.col(ts),
+        F.col(tag),
+        *[F.col(f"_asof_row.{c}").alias(c) for c in fill_cols],
     )
     out = filled.filter(F.col(tag) == 1)
     if tolerance is not None:

@@ -32,6 +32,7 @@ from importer_spark.queries import llm_similarity  # noqa: F401,E402
 from importer_spark.queries import llm_text  # noqa: F401,E402
 from importer_spark.queries import llm_sampling  # noqa: F401,E402
 from importer_spark.queries import llm_tfidf  # noqa: F401,E402
+from importer_spark.queries import llm_mixture  # noqa: F401,E402
 from importer_spark.queries import llm_refine  # noqa: F401,E402
 from importer_spark.queries import marts  # noqa: F401,E402
 from importer_spark.queries import marts2  # noqa: F401,E402

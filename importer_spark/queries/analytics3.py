@@ -51,9 +51,23 @@ def pareto_skyline_parts(spark, sf_dir):
     never dominate each other), join back and keep rows the running max
     does not exceed. One shuffle for the group-agg, one window partitioned
     by type, one co-partitioned join — no quadratic stage anywhere, and
-    the two independent formulations certify each other."""
+    the two independent formulations certify each other.
+
+    3VL: a row with a NULL type, price, or size neither dominates nor can
+    be dominated (every dominance comparison against it is UNKNOWN), so
+    such rows bypass the sweep straight into the skyline — exactly what
+    the oracle's NOT EXISTS yields."""
     t = Tables(spark, sf_dir)
-    g = t.part.groupBy("p_type", "p_retailprice").agg(
+    has_null = (
+        F.col("p_type").isNull()
+        | F.col("p_retailprice").isNull()
+        | F.col("p_size").isNull()
+    )
+    passthrough = t.part.filter(has_null).select(
+        "p_partkey", "p_type", "p_size", "p_retailprice"
+    )
+    clean = t.part.filter(~has_null)
+    g = clean.groupBy("p_type", "p_retailprice").agg(
         F.max("p_size").alias("_gmax")
     )
     w = (
@@ -66,14 +80,15 @@ def pareto_skyline_parts(spark, sf_dir):
         "p_retailprice",
         F.max("_gmax").over(w).alias("_prev_max_size"),
     )
-    return (
-        t.part.join(g, ["p_type", "p_retailprice"])
+    swept = (
+        clean.join(g, ["p_type", "p_retailprice"])
         .filter(
             F.col("_prev_max_size").isNull()
             | (F.col("_prev_max_size") <= F.col("p_size"))
         )
         .select("p_partkey", "p_type", "p_size", "p_retailprice")
     )
+    return swept.unionByName(passthrough)
 
 
 _ALLOC_SQL = """
@@ -174,6 +189,8 @@ WITH iv AS (
     CAST(o_orderdate AS DATE) AS d0,
     CAST(l_shipdate AS DATE) AS d1
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  -- an interval needs both endpoints; a NULL date has no sweep position
+  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
 ),
 b AS (
   SELECT l_suppkey, d, SUM(delta) AS delta FROM (
@@ -213,7 +230,9 @@ def supplier_inflight_peak(spark, sf_dir):
     iv = (
         t.lineitem.join(
             t.orders, F.col("l_orderkey") == F.col("o_orderkey")
-        ).select(
+        )
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
             "l_suppkey",
             F.to_date("o_orderdate").alias("d0"),
             F.to_date("l_shipdate").alias("d1"),

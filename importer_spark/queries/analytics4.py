@@ -277,7 +277,11 @@ def incremental_join_view(spark, sf_dir):
     cust = t.customer.select("c_custkey", "c_mktsegment", "c_nationkey")
     med_cust = cust.approxQuantile("c_custkey", [0.5], 0.0)[0]
     cut1, cut2 = "1995-01-01", "1997-01-01"
-    o1 = orders.filter(F.col("o_orderdate") < cut1)
+    # batching is internal partitioning — its union must be ALL rows, so
+    # NULL order dates (which fail every range predicate) ride in batch 1
+    o1 = orders.filter(
+        (F.col("o_orderdate") < cut1) | F.col("o_orderdate").isNull()
+    )
     o2 = orders.filter(
         (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
     )

@@ -87,6 +87,9 @@ SELECT
     ELSE 'Standard'
   END AS sales_channel,
   CASE
+    -- NULL qty → NULL size (bucket() contract: missing data must not
+    -- fall through the comparisons into the top label)
+    WHEN la.total_qty IS NULL THEN NULL
     WHEN la.total_qty < 50 THEN 'small'
     WHEN la.total_qty < 150 THEN 'medium'
     ELSE 'large'

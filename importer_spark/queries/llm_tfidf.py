@@ -108,3 +108,146 @@ def near_dup_clusters_star(spark, sf_dir):
 
     pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
     return connected_components(pairs, out_id="doc_id", max_local_edges=0)
+
+
+# --- BM25 lexical retrieval ------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_N_QUERIES = 3  # the lowest doc_ids with non-null text act as queries
+
+_BM25_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+qterms AS (
+  SELECT doc_id AS query_id, term
+  FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {_BM25_N_QUERIES})
+  GROUP BY 1, 2
+),
+partials AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ROUND(
+      ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({_BM25_K1} + 1))
+      / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+    9) AS DECIMAL(18,9)) AS w
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(w) AS score_exact
+  FROM partials GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score_exact,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_exact DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+  ROUND(CAST(score_exact AS DOUBLE), 6) AS bm25
+FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k lexical retrieval (Robertson & Zaragoza 2009; the
+    Lucene idf form ln(1+(N-df+.5)/(df+.5)), always positive): the lowest
+    3 doc_ids act as queries, every other document is
+    scored over the shared-term inverted index, top-10 per query. The
+    lexical twin of `embedding_cosine_topk` — the other half of a hybrid
+    retrieval stack for corpus curation (contamination triage, hard-negative
+    mining against sparse matches).
+
+    Plan shape (the 100 TB formulation): tf is the inverted index (one
+    shuffle on term from the exploded token stream); query terms and the
+    vocabulary-sized df/stats relations BROADCAST onto it, so candidate
+    generation — the only corpus-sized work — is shuffle-free after the
+    index build; one co-shuffle on doc_id attaches doc length; the
+    per-(query, doc) sum is a map-side-partial hash agg. Scores are exact
+    DECIMAL(18,9) sums of per-term weights rounded at 9 places (the
+    llm_lm.py convention), so aggregation order can never flip a rank
+    across engines; ranking is a per-query window with doc_id tie-break —
+    #queries is small here, swap in operators/ranks.partitioned_rank when
+    the query set itself is corpus-sized."""
+    t = Tables(spark, sf_dir)
+    k1, b = _BM25_K1, _BM25_B
+    docs = t.documents.filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qids = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(_BM25_N_QUERIES).collect()
+    ]
+    qterms = (
+        tf.filter(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        9,
+    ).cast("decimal(18,9)")
+    partials = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", w.alias("w"))
+    )
+    scored = partials.groupBy("query_id", "doc_id").agg(
+        F.sum("w").alias("score_exact")
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_exact").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("score_exact").cast("double"), 6).alias("bm25"),
+        )
+    )

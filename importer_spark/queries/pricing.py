@@ -42,10 +42,10 @@ SELECT part_key, ship_date, l_orderkey AS order_key, l_linenumber AS line_number
     AS retail_ratio
 FROM obs
 WINDOW
-  w_seq AS (PARTITION BY part_key ORDER BY l_shipdate, l_orderkey, l_linenumber),
-  w_range AS (PARTITION BY part_key ORDER BY epoch_us(l_shipdate)
+  w_seq AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber),
+  w_range AS (PARTITION BY part_key ORDER BY epoch_us(l_shipdate) NULLS FIRST
               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW),
-  w_run AS (PARTITION BY part_key ORDER BY l_shipdate, l_orderkey, l_linenumber
+  w_run AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
@@ -114,7 +114,7 @@ SELECT part_key, ship_month, units_shipped,
   ROUND((units_shipped - LAG(units_shipped) OVER w)
         / NULLIF(LAG(units_shipped) OVER w, 0) * 100.0, 6) AS mom_change_pct
 FROM monthly
-WINDOW w AS (PARTITION BY part_key ORDER BY ship_month)
+WINDOW w AS (PARTITION BY part_key ORDER BY ship_month NULLS FIRST)
 """
 
 
@@ -145,6 +145,9 @@ WITH daily AS (
   SELECT l_partkey AS part_key, l_shipdate AS valid_from,
          MIN(ROUND(l_extendedprice / l_quantity, 8)) AS price
   FROM lineitem
+  -- a version without a date has no place on the validity axis (and the
+  -- engines' as-of/interval NULL conventions differ) — dates required
+  WHERE l_shipdate IS NOT NULL
   GROUP BY 1, 2
 ),
 versions AS (
@@ -193,7 +196,7 @@ def point_in_time_price(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     daily = (
-        t.lineitem.groupBy(
+        t.lineitem.filter(F.col("l_shipdate").isNotNull()).groupBy(
             F.col("l_partkey").alias("part_key"),
             F.col("l_shipdate").alias("valid_from"),
         )
@@ -214,7 +217,9 @@ def point_in_time_price(spark, sf_dir):
         left_ts="o_orderdate",
         right_ts="valid_from",
         right_value_cols=["price"],
-    ).filter(F.col("price_asof").isNotNull())
+    ).filter(F.col("_asof_match_ts_asof").isNotNull())  # matched = a version
+    # exists (match on the TS, not the price — a null-price version still
+    # covers the date and must surface as pit_price NULL)
     return pit.select(
         F.col("o_orderkey").alias("order_key"),
         F.col("part_key"),

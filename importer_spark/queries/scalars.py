@@ -14,7 +14,9 @@ from importer_spark.queries.registry import query
 _STRING_FN_SQL = """
 SELECT
   c_custkey AS cust_key,
-  split_part(c_name, '#', 2) AS cust_num,
+  -- DuckDB's split_part maps NULL input to '' — a quirk; the engine
+  -- contract is ANSI NULL-in/NULL-out, so the oracle states it explicitly
+  CASE WHEN c_name IS NULL THEN NULL ELSE split_part(c_name, '#', 2) END AS cust_num,
   lower(c_mktsegment) AS seg_lower,
   upper(c_mktsegment) AS seg_upper,
   length(c_name) AS name_len,
@@ -218,7 +220,10 @@ def case_scoring(spark, sf_dir):
     n = F.col("n_orders")
     return co.select(
         F.col("c_custkey").alias("cust_key"),
-        F.when(bal < 0, "delinquent")
+        # NULL balance → NULL tier: the final else must not promote missing
+        # data to 'gold' (NULL < x is NULL, which skips every WHEN)
+        F.when(bal.isNull(), F.lit(None).cast("string"))
+        .when(bal < 0, "delinquent")
         .when(bal < 1000, "bronze")
         .when(bal < 5000, "silver")
         .otherwise("gold")

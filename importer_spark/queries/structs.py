@@ -38,10 +38,14 @@ def json_build_roundtrip(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").cast("string").alias("nation"),
     )
+    # ignoreNullFields=false: a NULL field must serialize as "k":null —
+    # Spark's default silently drops the key, DuckDB (and JSON consumers
+    # relying on a stable document shape) keep it
+    opts = {"ignoreNullFields": "false"}
     return t.customer.select(
         F.col("c_custkey").alias("cust_key"),
-        F.to_json(obj).alias("contact_json"),
-        F.get_json_object(F.to_json(obj), "$.segment").alias("roundtrip_segment"),
+        F.to_json(obj, opts).alias("contact_json"),
+        F.get_json_object(F.to_json(obj, opts), "$.segment").alias("roundtrip_segment"),
     )
 
 
@@ -256,7 +260,10 @@ WITH per AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT o_custkey AS cust_key,
-  to_json(list_sort(list(struct_pack(k := k, v := v)))) AS priority_counts
+  -- explicit NULLS FIRST: Spark's sort_array ranks a NULL struct field
+  -- first; DuckDB's list_sort default ranks it last
+  to_json(list(struct_pack(k := k, v := v) ORDER BY k NULLS FIRST, v))
+    AS priority_counts
 FROM per GROUP BY 1
 """
 
@@ -275,7 +282,8 @@ def priority_counts_json(spark, sf_dir):
     )
     return per.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.to_json(
-            F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("v"))))
+            F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("v")))),
+            {"ignoreNullFields": "false"},  # NULL priority key → "k":null
         ).alias("priority_counts")
     )
 

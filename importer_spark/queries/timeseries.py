@@ -180,7 +180,7 @@ win AS (
     CAST(SUM(CAST(rev_d AS DECIMAL(19,2)) * CAST(rev_d AS DECIMAL(19,2)))
       OVER w AS DOUBLE) AS s2
   FROM daily
-  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+  WINDOW w AS (ORDER BY day NULLS FIRST ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
 SELECT SUBSTR(CAST(day AS STRING), 1, 10) AS day,
   CAST(rev_d AS DOUBLE) AS revenue,

@@ -82,10 +82,10 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT order_month, revenue,
-  LAG(revenue, 1) OVER (ORDER BY order_month) AS prev_month_revenue,
-  LAG(revenue, 4) OVER (ORDER BY order_month) AS rev_4mo_back,
-  ROUND((revenue - LAG(revenue, 1) OVER (ORDER BY order_month))
-        / NULLIF(LAG(revenue, 1) OVER (ORDER BY order_month), 0) * 100.0, 6) AS mom_growth_pct
+  LAG(revenue, 1) OVER (ORDER BY order_month NULLS FIRST) AS prev_month_revenue,
+  LAG(revenue, 4) OVER (ORDER BY order_month NULLS FIRST) AS rev_4mo_back,
+  ROUND((revenue - LAG(revenue, 1) OVER (ORDER BY order_month NULLS FIRST))
+        / NULLIF(LAG(revenue, 1) OVER (ORDER BY order_month NULLS FIRST), 0) * 100.0, 6) AS mom_growth_pct
 FROM monthly
 """
 
@@ -245,7 +245,7 @@ SELECT
   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
   o_totalprice AS total_price,
   MAX(o_totalprice) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS running_max_price
 FROM orders
@@ -365,8 +365,12 @@ def cumulative_distinct_types(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # COUNT(DISTINCT) never counts NULL — the first NULL-type row must not
+    # raise the running count (fuzz-gate 3VL contract)
     flagged = t.events.repartition("user_id").withColumn(
-        "_first", (F.row_number().over(first_w) == 1).cast("bigint")
+        "_first",
+        ((F.row_number().over(first_w) == 1) & F.col("event_type").isNotNull())
+        .cast("bigint"),
     )
     return flagged.select(
         "event_id",
