@@ -117,8 +117,9 @@ _BM25_B = 0.75
 _BM25_TOPK = 10
 _BM25_N_QUERIES = 3  # the lowest doc_ids with non-null text act as queries
 
-_BM25_SQL = f"""
-WITH docs AS (
+# Shared CTE block (docs → ranked): consumed by bm25_topk's oracle and by
+# the hybrid RRF oracle below, so the lexical arm is one definition.
+_BM25_CTES = f"""docs AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL
 ),
 tok AS (
@@ -166,7 +167,10 @@ ranked AS (
     ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY score_exact DESC, doc_id ASC) AS rank
   FROM scored
-)
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
   ROUND(CAST(score_exact AS DOUBLE), 6) AS bm25
 FROM ranked WHERE rank <= {_BM25_TOPK}
@@ -194,6 +198,17 @@ def bm25_topk(spark, sf_dir):
     across engines; ranking is a per-query window with doc_id tie-break —
     #queries is small here, swap in operators/ranks.partitioned_rank when
     the query set itself is corpus-sized."""
+    return _bm25_ranked(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score_exact").cast("double"), 6).alias("bm25"),
+    )
+
+
+def _bm25_ranked(spark, sf_dir):
+    """The BM25 pipeline up to (query_id, doc_id, score_exact, rank ≤ 10) —
+    shared by bm25_topk and the hybrid RRF fusion."""
     t = Tables(spark, sf_dir)
     k1, b = _BM25_K1, _BM25_B
     docs = t.documents.filter(F.col("text").isNotNull())
@@ -241,13 +256,141 @@ def bm25_topk(spark, sf_dir):
             F.col("score_exact").desc(), F.col("doc_id").asc()
         )
     )
+    return scored.withColumn("rank", rk).filter(F.col("rank") <= _BM25_TOPK)
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+
+def _hybrid_sql() -> str:
+    return f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank
+  FROM ranked WHERE rank <= {_BM25_TOPK}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dense_pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+    list_cosine_similarity(p.emb, c.emb) AS cos
+  FROM e p JOIN e c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id IN (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {_BM25_N_QUERIES})
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS dense_rank
+  FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+    FROM dense_pairs
+  ) WHERE rank <= {_BM25_TOPK}
+),
+fused AS (
+  SELECT
+    coalesce(l.query_id, d.query_id) AS query_id,
+    coalesce(l.doc_id, d.doc_id) AS doc_id,
+    l.lex_rank, d.dense_rank,
+    CAST(coalesce(CAST(ROUND(1.0 / ({_RRF_C} + l.lex_rank), 9) AS DECIMAL(18,9)), 0)
+       + coalesce(CAST(ROUND(1.0 / ({_RRF_C} + d.dense_rank), 9) AS DECIMAL(18,9)), 0)
+       AS DECIMAL(18,9)) AS rrf_exact
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, lex_rank, dense_rank,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_exact DESC, doc_id ASC) AS INTEGER) AS rank,
+  CAST(rrf_exact AS DOUBLE) AS rrf
+FROM fused
+QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
+@query("hybrid_rrf_topk", oracle=_hybrid_sql())
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    score = Σ 1/(60+rank)) of the BM25 lexical arm and the brute-force
+    cosine dense arm over the SAME query ids (the lowest 3 doc_ids with
+    text; documents and embeddings share the id space). The canonical
+    two-tower curation stack — sparse matches catch exact phrasing, dense
+    matches catch paraphrase, RRF needs no score calibration between them.
+
+    Plan: the two arms are independent subplans (each as in its standalone
+    query — inverted-index broadcasts on one side, triangle-free cosine
+    top-k on the other); fusion is a FULL OUTER join on the tiny
+    (query, candidate) top-k relations — broadcast-sized at any corpus
+    scale since both sides are ≤ queries×k rows. RRF contributions are
+    ROUND(·,9) DECIMAL(18,9) adds, so fused ordering is exact on both
+    engines."""
+    from importer_spark.operators.similarity import as_double_array, cosine_topk
+
+    t = Tables(spark, sf_dir)
+    lex = _bm25_ranked(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("lex_rank")
+    )
+    docs = t.documents.filter(F.col("text").isNotNull())
+    qids = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(_BM25_N_QUERIES).collect()
+    ]
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    probes = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("probe_emb")
+    )
+    dense = cosine_topk(
+        probes,
+        e.select(F.col("vec_id"), F.col("emb").alias("corpus_emb")),
+        probe_id="query_id",
+        corpus_id="vec_id",
+        probe_vec="probe_emb",
+        corpus_vec="corpus_emb",
+        k=_BM25_TOPK,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    contrib = lambda rank_col: F.coalesce(  # noqa: E731
+        F.round(1.0 / (_RRF_C + F.col(rank_col)), 9).cast("decimal(18,9)"),
+        F.lit(0).cast("decimal(18,9)"),
+    )
+    fused = (
+        lex.withColumnRenamed("query_id", "_lq").withColumnRenamed("doc_id", "_ld")
+        .join(
+            dense.withColumnRenamed("query_id", "_dq").withColumnRenamed(
+                "doc_id", "_dd"
+            ),
+            (F.col("_lq") == F.col("_dq")) & (F.col("_ld") == F.col("_dd")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("_lq"), F.col("_dq")).alias("query_id"),
+            F.coalesce(F.col("_ld"), F.col("_dd")).alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            (contrib("lex_rank") + contrib("dense_rank"))
+            .cast("decimal(18,9)")
+            .alias("rrf_exact"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("rrf_exact").desc(), F.col("doc_id").asc()
+        )
+    )
     return (
-        scored.withColumn("rank", rk)
+        fused.withColumn("rank", rk.cast("int"))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select(
             "query_id",
             "doc_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round(F.col("score_exact").cast("double"), 6).alias("bm25"),
+            "lex_rank",
+            "dense_rank",
+            "rank",
+            F.col("rrf_exact").cast("double").alias("rrf"),
         )
     )

@@ -142,3 +142,32 @@ def test_unimax_synthetic_extremes(spark):
     assert {r["lang"]: r["alloc_tokens"] for r in rows} == {
         "aa": 1, "bb": 1, "cc": 1,
     }
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF = Σ round(1/(60+rank), 9) over the arms that returned the doc;
+    fused ranking must agree with recomputing fusion from the standalone
+    arms' outputs (bm25_topk + a dense re-rank of the same probes)."""
+    out = QUERIES["hybrid_rrf_topk"](spark, SF_DIR).collect()
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in QUERIES["bm25_topk"](spark, SF_DIR).collect()
+    }
+    for r in out:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            assert lex[(r["query_id"], r["doc_id"])] == r["lex_rank"]
+            want += round(1 / (60 + r["lex_rank"]), 9)
+        if r["dense_rank"] is not None:
+            want += round(1 / (60 + r["dense_rank"]), 9)
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None
+        assert abs(r["rrf"] - want) < 1e-12, (r["query_id"], r["doc_id"])
+    # per query: ranks are 1..k dense and ordered by rrf desc
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        rrfs = [r["rrf"] for r in rows]
+        assert rrfs == sorted(rrfs, reverse=True)
