@@ -61,6 +61,11 @@ SWEEP_QUERIES = [
     "copurchase_pagerank",
     "semantic_dedup_cells",
     "bpe_token_stats",
+    # round-5 retrieval/mixture family
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "leakage_safe_split",
+    "unimax_language_budget",
 ]
 
 
