@@ -534,3 +534,162 @@ def cluster_balanced_sample(spark, sf_dir):
         .filter(F.col("hr") <= CB_CAP)
         .select("vec_id", "cell_id", "cell_n")
     )
+
+
+# --- margin-based pair mining (Artetxe & Schwenk 2019; CCMatrix) ------------
+MB_K = 4  # kNN-mean size per side of the ratio margin
+MB_THRESHOLD = 1.05  # ratio-margin cut: cos must beat the neighborhood mean
+
+
+def _margin_sql() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_plane_literal(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e),
+cand AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+    CAST(ROUND(list_cosine_similarity(s.emb, t.emb), 9) AS DECIMAL(18,9)) AS cos9
+  FROM b s JOIN b t ON s.bucket = t.bucket
+  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+),
+sr AS (
+  SELECT src_id, tgt_id, cos9,
+    ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY cos9 DESC NULLS LAST, tgt_id ASC) AS rn
+  FROM cand
+),
+sk AS (
+  SELECT src_id, CAST(SUM(cos9) AS DOUBLE) / COUNT(cos9) AS m_src
+  FROM sr WHERE rn <= {MB_K} GROUP BY 1
+),
+tr AS (
+  SELECT src_id, tgt_id, cos9,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id
+      ORDER BY cos9 DESC NULLS LAST, src_id ASC) AS rn
+  FROM cand
+),
+tk AS (
+  SELECT tgt_id, CAST(SUM(cos9) AS DOUBLE) / COUNT(cos9) AS m_tgt
+  FROM tr WHERE rn <= {MB_K} GROUP BY 1
+),
+m AS (
+  SELECT c.src_id, c.tgt_id, c.cos9,
+    CAST(c.cos9 AS DOUBLE) / ((sk.m_src + tk.m_tgt) / 2) AS margin_raw
+  FROM cand c
+  JOIN sk ON sk.src_id = c.src_id
+  JOIN tk ON tk.tgt_id = c.tgt_id
+  WHERE c.cos9 IS NOT NULL AND (sk.m_src + tk.m_tgt) > 0
+),
+best AS (
+  SELECT src_id, tgt_id, cos9, margin_raw,
+    ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY margin_raw DESC NULLS LAST, tgt_id ASC) AS r_s,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id
+      ORDER BY margin_raw DESC NULLS LAST, src_id ASC) AS r_t
+  FROM m
+)
+SELECT src_id, tgt_id,
+  ROUND(CAST(cos9 AS DOUBLE), 6) AS cosine,
+  ROUND(margin_raw, 6) AS margin
+FROM best
+WHERE r_s = 1 AND r_t = 1 AND ROUND(margin_raw, 6) >= {MB_THRESHOLD}
+"""
+
+
+@query("margin_bitext_mine", oracle=_margin_sql())
+def margin_bitext_mine(spark, sf_dir):
+    """Margin-based pair mining (Artetxe & Schwenk 2019 ratio margin; the
+    CCMatrix/LASER bitext-mining criterion): treat even vec_ids as the
+    source pool and odd vec_ids as the target pool, generate cross-pool
+    candidates inside shared LSH buckets, and keep mutual-best pairs whose
+    cosine beats the mean of each side's top-{MB_K} neighborhood by the
+    ratio margin ≥ {MB_THRESHOLD} — absolute cosine thresholds are
+    miscalibrated across embedding-space density, the margin normalizes by
+    local density (the reason CCMatrix mines with margins, not cosines).
+
+    Scale shape (the faiss-free 100 TB formulation): candidates come from
+    the SAME LSH bucket equi-join the ANN path uses — one shuffle on bucket,
+    never a cross-pool cartesian; the per-side kNN means are bounded-K
+    window top-Ks followed by map-partial aggs; mutual-best is two windows
+    over the candidate relation. Raise N_PLANES (or swap in the IVF
+    quantizer's cells) to keep per-bucket population bounded as the corpus
+    grows.
+
+    Float determinism: cosines are rounded to 9dp and summed as
+    DECIMAL(18,9) (the BM25 convention — order can never flip a rank);
+    the margin is then one double expression over identical exact inputs,
+    so ranking and the threshold comparison agree bitwise across engines.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    b = e.withColumn("bucket", lsh_bucket(F.col("emb"), PLANES))
+    src = b.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("emb").alias("s_emb"), "bucket"
+    )
+    tgt = b.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("emb").alias("t_emb"), "bucket"
+    )
+    cand = src.join(tgt, "bucket").select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("s_emb"), F.col("t_emb")), 9)
+        .cast("decimal(18,9)")
+        .alias("cos9"),
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("cos9").desc_nulls_last(), F.col("tgt_id").asc()
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos9").desc_nulls_last(), F.col("src_id").asc()
+    )
+    sk = (
+        cand.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= MB_K)
+        .groupBy("src_id")
+        .agg((F.sum("cos9").cast("double") / F.count("cos9")).alias("m_src"))
+    )
+    tk = (
+        cand.withColumn("rn", F.row_number().over(w_tgt))
+        .filter(F.col("rn") <= MB_K)
+        .groupBy("tgt_id")
+        .agg((F.sum("cos9").cast("double") / F.count("cos9")).alias("m_tgt"))
+    )
+    m = (
+        cand.join(sk, "src_id")
+        .join(tk, "tgt_id")
+        .filter(F.col("cos9").isNotNull() & ((F.col("m_src") + F.col("m_tgt")) > 0))
+        .withColumn(
+            "margin_raw",
+            F.col("cos9").cast("double")
+            / ((F.col("m_src") + F.col("m_tgt")) / 2),
+        )
+    )
+    wb_s = Window.partitionBy("src_id").orderBy(
+        F.col("margin_raw").desc_nulls_last(), F.col("tgt_id").asc()
+    )
+    wb_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_raw").desc_nulls_last(), F.col("src_id").asc()
+    )
+    return (
+        m.withColumn("r_s", F.row_number().over(wb_s))
+        .withColumn("r_t", F.row_number().over(wb_t))
+        .filter(
+            (F.col("r_s") == 1)
+            & (F.col("r_t") == 1)
+            & (F.round("margin_raw", 6) >= MB_THRESHOLD)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("cos9").cast("double"), 6).alias("cosine"),
+            F.round("margin_raw", 6).alias("margin"),
+        )
+    )

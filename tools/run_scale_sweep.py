@@ -66,6 +66,7 @@ SWEEP_QUERIES = [
     "hybrid_rrf_topk",
     "leakage_safe_split",
     "unimax_language_budget",
+    "margin_bitext_mine",
 ]
 
 
