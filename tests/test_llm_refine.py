@@ -261,3 +261,82 @@ def test_nb_calibration_matches_python_reference(spark):
         assert got[b][0] == want[b][0], b
         assert abs(got[b][1] - want[b][1]) < 1e-9, b
         assert abs(got[b][2] - want[b][2]) < 1e-9, b
+
+
+def test_margin_bitext_matches_python_reference(spark):
+    """margin_bitext_mine vs a brute-force plain-Python derivation: same
+    LSH buckets, sequential-fold cosines, Decimal(18,9) kNN means, mutual
+    best, ratio-margin cut — no dataframes on the reference side."""
+    from importer_spark.io import Tables
+    from importer_spark.queries import QUERIES
+    from importer_spark.queries.llm_similarity import (
+        MB_K,
+        MB_THRESHOLD,
+        PLANES,
+    )
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in Tables(spark, SF_DIR).embeddings.collect()
+        if r["vec_id"] is not None and r["embedding"] is not None
+    ]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def bucket(emb):
+        return sum(1 << j for j, p in enumerate(PLANES) if dot(emb, p) > 0)
+
+    def cos9(a, b):
+        c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return Decimal(f"{c:.9f}")
+
+    by_bucket: dict[int, tuple[list, list]] = {}
+    for vid, emb in rows:
+        side = by_bucket.setdefault(bucket(emb), ([], []))[vid % 2]
+        side.append((vid, emb))
+    cand = [
+        (s, t, cos9(se, te))
+        for srcs, tgts in by_bucket.values()
+        for s, se in srcs
+        for t, te in tgts
+    ]
+
+    def knn_mean(pairs, key_idx, other_idx):
+        per: dict[int, list] = {}
+        for c in pairs:
+            per.setdefault(c[key_idx], []).append((-c[2], c[other_idx]))
+        return {
+            k: float(sum(-c for c, _ in sorted(v)[:MB_K])) / min(MB_K, len(v))
+            for k, v in per.items()
+        }
+
+    m_src = knn_mean(cand, 0, 1)
+    m_tgt = knn_mean(cand, 1, 0)
+    scored = [
+        (s, t, c, float(c) / ((m_src[s] + m_tgt[t]) / 2))
+        for s, t, c in cand
+        if (m_src[s] + m_tgt[t]) > 0
+    ]
+    best_s = {}
+    best_t = {}
+    for s, t, c, mg in scored:
+        if s not in best_s or (-mg, t) < (-best_s[s][3], best_s[s][1]):
+            best_s[s] = (s, t, c, mg)
+        if t not in best_t or (-mg, s) < (-best_t[t][3], best_t[t][0]):
+            best_t[t] = (s, t, c, mg)
+    want = {
+        (s, t, f"{float(c):.6f}", f"{mg:.6f}")
+        for s, t, c, mg in best_s.values()
+        if best_t[t][:2] == (s, t) and float(f"{mg:.6f}") >= MB_THRESHOLD
+    }
+
+    got = {
+        (r["src_id"], r["tgt_id"], f"{r['cosine']:.6f}", f"{r['margin']:.6f}")
+        for r in QUERIES["margin_bitext_mine"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous at this SF
