@@ -8,6 +8,8 @@ buckets; within-bucket scoring then mirrors the brute-force formula.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -539,12 +541,19 @@ def cluster_balanced_sample(spark, sf_dir):
 # --- margin-based pair mining (Artetxe & Schwenk 2019; CCMatrix) ------------
 MB_K = 4  # kNN-mean size per side of the ratio margin
 MB_THRESHOLD = 1.05  # ratio-margin cut: cos must beat the neighborhood mean
+# Bucket-count dial (DEPLOY.md): per-bucket cross-pool work is
+# (pool/2^planes)^2, so planes must GROW with the corpus to keep bucket
+# populations ~10^3 (measured at 50x: 4 planes = 633 s, 8 planes = the
+# linear regime). Env-read at import so the baked oracle SQL and the Spark
+# plan always agree; scaled gates set it, published certifications use 4.
+MB_N_PLANES = int(os.environ.get("SPARK_GRAFT_MARGIN_PLANES", "4"))
+MB_PLANES = hyperplanes(MB_N_PLANES, DIMS)
 
 
 def _margin_sql() -> str:
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(emb, {_plane_literal(p)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(PLANES)
+        for j, p in enumerate(MB_PLANES)
     )
     return f"""
 WITH e AS (
@@ -617,7 +626,7 @@ def margin_bitext_mine(spark, sf_dir):
     the SAME LSH bucket equi-join the ANN path uses — one shuffle on bucket,
     never a cross-pool cartesian; the per-side kNN means are bounded-K
     window top-Ks followed by map-partial aggs; mutual-best is two windows
-    over the candidate relation. Raise N_PLANES (or swap in the IVF
+    over the candidate relation. Raise MB_N_PLANES / SPARK_GRAFT_MARGIN_PLANES (or swap in the IVF
     quantizer's cells) to keep per-bucket population bounded as the corpus
     grows.
 
@@ -630,7 +639,7 @@ def margin_bitext_mine(spark, sf_dir):
     e = t.embeddings.filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
-    b = e.withColumn("bucket", lsh_bucket(F.col("emb"), PLANES))
+    b = e.withColumn("bucket", lsh_bucket(F.col("emb"), MB_PLANES))
     src = b.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src_id"), F.col("emb").alias("s_emb"), "bucket"
     )

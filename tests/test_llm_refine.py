@@ -272,7 +272,7 @@ def test_margin_bitext_matches_python_reference(spark):
     from importer_spark.queries.llm_similarity import (
         MB_K,
         MB_THRESHOLD,
-        PLANES,
+        MB_PLANES,
     )
 
     rows = [
@@ -288,7 +288,7 @@ def test_margin_bitext_matches_python_reference(spark):
         return acc
 
     def bucket(emb):
-        return sum(1 << j for j, p in enumerate(PLANES) if dot(emb, p) > 0)
+        return sum(1 << j for j, p in enumerate(MB_PLANES) if dot(emb, p) > 0)
 
     def cos9(a, b):
         c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
