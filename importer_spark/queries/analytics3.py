@@ -367,7 +367,11 @@ p AS (
   SELECT * FROM s
   WHERE nts IS NOT NULL AND CAST(nts AS DATE) >= CAST(ts AS DATE) + 1
 ),
-g AS (
+g AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing for oracle RUNTIME only (values are
+  -- identical): DuckDB re-inlines the CTE into the wide outer projection
+  -- and re-executes the select-list unnest per referenced column --
+  -- measured 520 s vs 0.5 s at sf1 (431k grid rows).
   SELECT user_id, value, nv, t_us, nt_us,
     unnest(generate_series(
       CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP),
