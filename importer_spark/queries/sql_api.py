@@ -70,7 +70,10 @@ WITH blob AS (
     'status=' || o_orderstatus || ';priority=' || o_orderpriority AS opts
   FROM orders
 ),
-pairs AS (
+pairs AS MATERIALIZED (
+  -- MATERIALIZED is runtime-only (values identical): the wide outer
+  -- projection otherwise re-inlines this CTE and re-executes the
+  -- select-list unnest per split_part reference -- 70 s vs 4 s at sf1.
   SELECT o_orderkey, unnest(string_split(opts, ';')) AS kv FROM blob
 )
 SELECT o_orderkey,
