@@ -899,3 +899,45 @@ def test_merge_ngram_stores_interleaving_invariance(spark):
             )
             merged = delta if merged is None else merge_ngram_stores(merged, delta)
         assert store_rows(merged) == want, seed
+
+
+def test_margin_mining_recall_vs_exhaustive(spark):
+    """Bucketed margin mining vs the EXHAUSTIVE cross-pool mutual-best
+    ground truth (numpy, no buckets). These embeddings are near-uniform —
+    the adversarial case for LSH: a cross-pool pair shares a bucket w.p.
+    ~1/16, so recall ≈ that fraction, lifted because mutual-best pairs
+    have above-average cosine (measured 0.122 ≈ 2x chance, deterministic).
+    Real bitext embeddings cluster bilingually, putting true pairs in
+    shared buckets far more often; the dial for recall at scale is
+    multi-probe buckets or IVF cells (DEPLOY.md). This pins the structural
+    bound so a bucketing bug (recall -> ~0) fails loudly."""
+    import numpy as np
+
+    from importer_spark.io import Tables
+    from importer_spark.queries import QUERIES
+    from importer_spark.queries.llm_similarity import MB_K, MB_THRESHOLD
+
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in Tables(spark, SF_DIR).embeddings.collect()
+    ]
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype="float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sid, tid = ids[ids % 2 == 0], ids[ids % 2 == 1]
+    c = m[ids % 2 == 0] @ m[ids % 2 == 1].T
+    ms = np.sort(c, axis=1)[:, -MB_K:].mean(axis=1)
+    mt = np.sort(c, axis=0)[-MB_K:, :].mean(axis=0)
+    margin = c / ((ms[:, None] + mt[None, :]) / 2)
+    bs, bt = margin.argmax(axis=1), margin.argmax(axis=0)
+    truth = {
+        (int(sid[i]), int(tid[j]))
+        for i, j in enumerate(bs)
+        if bt[j] == i and margin[i, j] >= MB_THRESHOLD
+    }
+    got = {
+        (r["src_id"], r["tgt_id"])
+        for r in QUERIES["margin_bitext_mine"](spark, SF_DIR).collect()
+    }
+    assert truth and got
+    assert len(truth & got) / len(truth) >= 0.10
