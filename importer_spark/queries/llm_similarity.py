@@ -548,6 +548,15 @@ MB_THRESHOLD = 1.05  # ratio-margin cut: cos must beat the neighborhood mean
 # plan always agree; scaled gates set it, published certifications use 4.
 MB_N_PLANES = int(os.environ.get("SPARK_GRAFT_MARGIN_PLANES", "4"))
 MB_PLANES = hyperplanes(MB_N_PLANES, DIMS)
+# Recall dial: the source side additionally probes the 1-bit-flip buckets
+# of its first MB_PROBE_BITS planes (embedding_ann_lsh's multi-probe),
+# multiplying candidates by (1 + probes) and recall with them — the knob
+# that buys back what a larger MB_N_PLANES costs. 0 = exact-bucket only
+# (the published certifications); measured at sf0.001: probes 0 -> recall
+# 0.122 of the exhaustive mutual-best truth, probes 4 -> 0.46.
+MB_PROBE_BITS = min(
+    int(os.environ.get("SPARK_GRAFT_MARGIN_PROBES", "0")), MB_N_PLANES
+)
 
 
 def _margin_sql() -> str:
@@ -555,17 +564,25 @@ def _margin_sql() -> str:
         f"(CASE WHEN list_dot_product(emb, {_plane_literal(p)}) > 0 THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(MB_PLANES)
     )
+    probe_buckets = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(MB_PROBE_BITS)]
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e),
+sp AS (
+  SELECT vec_id, emb,
+    UNNEST([{probe_buckets}]) AS search_bucket
+  FROM b WHERE vec_id % 2 = 0
+),
 cand AS (
   SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
     CAST(ROUND(list_cosine_similarity(s.emb, t.emb), 9) AS DECIMAL(18,9)) AS cos9
-  FROM b s JOIN b t ON s.bucket = t.bucket
-  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  FROM sp s JOIN b t ON s.search_bucket = t.bucket
+  WHERE t.vec_id % 2 = 1
 ),
 sr AS (
   SELECT src_id, tgt_id, cos9,
@@ -640,8 +657,14 @@ def margin_bitext_mine(spark, sf_dir):
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
     b = e.withColumn("bucket", lsh_bucket(F.col("emb"), MB_PLANES))
+    search_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(MB_PROBE_BITS)],
+    )
     src = b.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("emb").alias("s_emb"), "bucket"
+        F.col("vec_id").alias("src_id"),
+        F.col("emb").alias("s_emb"),
+        F.explode(search_buckets).alias("bucket"),
     )
     tgt = b.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("tgt_id"), F.col("emb").alias("t_emb"), "bucket"
