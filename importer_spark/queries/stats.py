@@ -183,3 +183,116 @@ def event_value_quantile_rollup(spark, sf_dir):
         k=200,
     )
     return rollup_quantiles(daily, ["event_type"], [0.5, 0.95], k=200)
+
+
+# --- exact distributed AUC (Mann-Whitney rank-sum, tie-corrected) -----------
+_AUC_SQL = """
+WITH d AS (
+  SELECT source, lang,
+    ROUND(
+      LEAST(100.0, len(string_split(text, ' ')) / 5.0) * 0.4
+      + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+         / len(string_split(text, ' '))) * 100.0 * 0.4
+      + LEAST(100.0, (strlen(text)::DOUBLE / len(string_split(text, ' '))) * 10.0) * 0.2,
+    6) AS score
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+),
+s AS (
+  SELECT source, score, COUNT(*) AS cnt,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_cnt
+  FROM d GROUP BY 1, 2
+),
+c AS (
+  SELECT source, score, cnt, pos_cnt,
+    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY score ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lower_cnt
+  FROM s
+),
+agg AS (
+  SELECT source,
+    SUM(CAST(pos_cnt * (2 * (1 + lower_cnt) + cnt - 1) AS DECIMAL(38,0)))
+      AS two_rpos,
+    SUM(pos_cnt) AS n_pos, SUM(cnt) AS n
+  FROM c GROUP BY 1
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(n - n_pos AS BIGINT) AS n_neg,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+    ROUND(CAST(two_rpos - n_pos * (n_pos + 1) AS DOUBLE)
+          / (2.0 * n_pos * (n - n_pos)), 6)
+  END AS auc
+FROM agg
+"""
+
+
+@query("quality_auc_by_source", oracle=_AUC_SQL)
+def quality_auc_by_source(spark, sf_dir):
+    """Exact AUC (Mann-Whitney U / tie-corrected rank-sum) of the certified
+    quality composite as a screening classifier for the `lang='en'` label,
+    per source — the eval primitive behind every quality-filter decision
+    ("does this cheap score actually separate the stratum I care about?").
+
+    Distributed shape: scores aggregate to the DISTINCT-VALUE relation
+    (one shuffle on (source, score)); the rank prefix-sum runs over that
+    score-cardinality relation partitioned BY SOURCE (never a corpus-sized
+    or single-task window); the rank-sum itself is one map-partial agg.
+    2*avg_rank = 2*rank_min + ties - 1 keeps every term integral — sums
+    are exact DECIMAL(38,0) (BIGINT overflows past ~10^9 rows/source), and
+    AUC is ONE double division rounded at 6, so parity is exact. Sources
+    with a degenerate class (n_pos or n_neg = 0) yield NULL by explicit
+    CASE (Spark x/0 -> NULL but DuckDB -> inf — the stats.py convention).
+    """
+    from importer_spark.operators.text import quality_score
+
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    d = (
+        t.documents.filter(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "source",
+            quality_score(F.col("text")).alias("score"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+    )
+    s = d.groupBy("source", "score").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn("lower_cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    agg = c.groupBy("source").agg(
+        F.sum(
+            (
+                F.col("pos_cnt")
+                * (2 * (1 + F.col("lower_cnt")) + F.col("cnt") - 1)
+            ).cast("decimal(38,0)")
+        ).alias("two_rpos"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum("cnt").alias("n"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        F.round(
+            (F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2.0 * F.col("n_pos") * n_neg),
+            6,
+        ),
+    )
+    return agg.select(
+        "source",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        auc.alias("auc"),
+    )

@@ -340,3 +340,38 @@ def test_margin_bitext_matches_python_reference(spark):
     }
     assert got == want
     assert len(want) > 0  # non-vacuous at this SF
+
+
+def test_quality_auc_matches_pair_counting(spark):
+    """quality_auc_by_source vs the O(n^2) definition of AUC: over every
+    (positive, negative) pair within a source, wins + half-ties over
+    n_pos*n_neg — the definitional derivation, no ranks at all."""
+    from importer_spark.queries import QUERIES
+
+    docs = _docs(spark)
+    by_src: dict[str, list] = {}
+    for _d, lang, src, text in docs:
+        if text is None or lang is None or src is None:
+            continue
+        by_src.setdefault(src, []).append((_quality(text), lang == "en"))
+    want = {}
+    for src, rows in by_src.items():
+        pos = [s for s, p in rows if p]
+        neg = [s for s, p in rows if not p]
+        if not pos or not neg:
+            want[src] = (len(pos), len(neg), None)
+            continue
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        want[src] = (len(pos), len(neg), float(f"{wins / (len(pos) * len(neg)):.6f}"))
+
+    got = {
+        r["source"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in QUERIES["quality_auc_by_source"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for src in want:
+        assert got[src][0] == want[src][0] and got[src][1] == want[src][1], src
+        if want[src][2] is None:
+            assert got[src][2] is None, src
+        else:
+            assert abs(got[src][2] - want[src][2]) < 1e-9, (src, got[src], want[src])
