@@ -394,3 +394,161 @@ def hybrid_rrf_topk(spark, sf_dir):
             F.col("rrf_exact").cast("double").alias("rrf"),
         )
     )
+
+
+# --- retrieval-stack evaluation: arm agreement + pseudo-relevance nDCG ------
+
+def _arm_eval_sql() -> str:
+    return f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT query_id, doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score_exact DESC, doc_id ASC) AS INTEGER) AS lex_rank
+  FROM scored QUALIFY lex_rank <= {_BM25_TOPK}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS dense_rank FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        ORDER BY list_cosine_similarity(p.emb, c.emb) DESC, c.vec_id ASC) AS rank
+    FROM e p JOIN e c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id IN (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {_BM25_N_QUERIES})
+  ) WHERE rank <= {_BM25_TOPK}
+),
+paired AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+    l.lex_rank, d.dense_rank
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+agg AS (
+  SELECT query_id,
+    COUNT(lex_rank) AS n_lex,
+    COUNT(dense_rank) AS n_dense,
+    SUM(CASE WHEN lex_rank IS NOT NULL AND dense_rank IS NOT NULL
+        THEN 1 ELSE 0 END) AS overlap,
+    SUM(CASE WHEN lex_rank IS NOT NULL AND dense_rank IS NOT NULL THEN
+      CAST(ROUND(1.0 / log2(dense_rank + 1), 9) AS DECIMAL(18,9))
+      ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg_exact,
+    SUM(CASE WHEN lex_rank IS NOT NULL THEN
+      CAST(ROUND(1.0 / log2(lex_rank + 1), 9) AS DECIMAL(18,9))
+      ELSE CAST(0 AS DECIMAL(18,9)) END) AS idcg_exact
+  FROM paired GROUP BY 1
+)
+SELECT query_id,
+  CAST(n_lex AS BIGINT) AS n_lex,
+  CAST(n_dense AS BIGINT) AS n_dense,
+  CAST(overlap AS BIGINT) AS overlap,
+  ROUND(CAST(overlap AS DOUBLE) / (n_lex + n_dense - overlap), 6) AS jaccard,
+  CASE WHEN CAST(idcg_exact AS DOUBLE) > 0 THEN
+    ROUND(CAST(dcg_exact AS DOUBLE) / CAST(idcg_exact AS DOUBLE), 6)
+  END AS ndcg
+FROM agg
+"""
+
+
+@query("retrieval_arm_ndcg", oracle=_arm_eval_sql())
+def retrieval_arm_ndcg(spark, sf_dir):
+    """Label-free retrieval-stack evaluation: per query, the dense arm's
+    top-{_BM25_TOPK} scored against the LEXICAL arm's top-{_BM25_TOPK} as
+    pseudo-relevance — overlap count, Jaccard@k of the two sets, and
+    nDCG@k of the dense ranking with rel = membership in the lexical set
+    (the standard no-labels cross-arm validation before shipping a hybrid
+    stack: low agreement means the arms disagree on what matters and
+    fusion weights deserve attention; nDCG localizes WHERE in the dense
+    ranking the lexical hits land).
+
+    Plan: both arms are the standalone subplans (inverted-index broadcasts
+    / brute-force cosine top-k); everything after is arithmetic over
+    queries×k rows — broadcast-sized at any corpus. Per-position discounts
+    1/log2(rank+1) are ROUND(·,9) DECIMAL(18,9) terms (rank ∈ 1..k, a
+    fixed constant table in effect), so DCG sums are exact and the final
+    nDCG/Jaccard are single double divisions rounded at 6."""
+    lex = _bm25_ranked(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("lex_rank")
+    )
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("text").isNotNull())
+    qids = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(_BM25_N_QUERIES).collect()
+    ]
+    from importer_spark.operators.similarity import as_double_array, cosine_topk
+
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    probes = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("probe_emb")
+    )
+    dense = cosine_topk(
+        probes,
+        e.select(F.col("vec_id"), F.col("emb").alias("corpus_emb")),
+        probe_id="query_id",
+        corpus_id="vec_id",
+        probe_vec="probe_emb",
+        corpus_vec="corpus_emb",
+        k=_BM25_TOPK,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    w9 = lambda rank_col: F.round(  # noqa: E731
+        1.0 / F.log2(F.col(rank_col) + 1), 9
+    ).cast("decimal(18,9)")
+    zero9 = F.lit(0).cast("decimal(18,9)")
+    both = (
+        lex.withColumnRenamed("query_id", "_lq")
+        .withColumnRenamed("doc_id", "_ld")
+        .join(
+            dense,
+            (F.col("_lq") == F.col("query_id")) & (F.col("_ld") == F.col("doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("_lq"), F.col("query_id")).alias("query_id"),
+            "lex_rank",
+            "dense_rank",
+        )
+    )
+    agg = both.groupBy("query_id").agg(
+        F.count("lex_rank").alias("n_lex"),
+        F.count("dense_rank").alias("n_dense"),
+        F.sum(
+            F.when(
+                F.col("lex_rank").isNotNull() & F.col("dense_rank").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("overlap"),
+        F.sum(
+            F.when(
+                F.col("lex_rank").isNotNull() & F.col("dense_rank").isNotNull(),
+                w9("dense_rank"),
+            ).otherwise(zero9)
+        ).alias("dcg_exact"),
+        F.sum(
+            F.when(F.col("lex_rank").isNotNull(), w9("lex_rank")).otherwise(zero9)
+        ).alias("idcg_exact"),
+    )
+    jac = F.round(
+        F.col("overlap").cast("double")
+        / (F.col("n_lex") + F.col("n_dense") - F.col("overlap")),
+        6,
+    )
+    ndcg = F.when(
+        F.col("idcg_exact").cast("double") > 0,
+        F.round(
+            F.col("dcg_exact").cast("double") / F.col("idcg_exact").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "query_id",
+        F.col("n_lex").cast("bigint").alias("n_lex"),
+        F.col("n_dense").cast("bigint").alias("n_dense"),
+        F.col("overlap").cast("bigint").alias("overlap"),
+        jac.alias("jaccard"),
+        ndcg.alias("ndcg"),
+    )
