@@ -67,6 +67,8 @@ SWEEP_QUERIES = [
     "leakage_safe_split",
     "unimax_language_budget",
     "margin_bitext_mine",
+    "quality_auc_by_source",
+    "retrieval_arm_ndcg",
 ]
 
 
