@@ -667,3 +667,104 @@ def bpe_token_stats(spark, sf_dir):
             6,
         ).alias("tokens_per_word"),
     )
+
+
+# --- classifier agreement: Cohen's kappa of lang-ID vs the label ------------
+def _kappa_sql() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    g = "greatest({})".format(", ".join(f"score_{lang}" for lang in LANG_PRECEDENCE))
+    case = "CASE WHEN {} = 0 THEN 'unknown' {} ELSE 'unknown' END".format(
+        g,
+        " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in LANG_PRECEDENCE),
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols} FROM documents WHERE lang IS NOT NULL
+),
+cells AS (
+  SELECT lang AS labeled, {case} AS predicted, COUNT(*) AS n
+  FROM scored GROUP BY 1, 2
+),
+marg AS (
+  SELECT
+    SUM(n) AS total,
+    SUM(CASE WHEN labeled = predicted THEN n ELSE 0 END) AS diag
+  FROM cells
+),
+rows_m AS (SELECT labeled AS cls, SUM(n) AS rn FROM cells GROUP BY 1),
+cols_m AS (SELECT predicted AS cls, SUM(n) AS cn FROM cells GROUP BY 1),
+pe AS (
+  SELECT SUM(r.rn * c.cn) AS pe_num
+  FROM rows_m r JOIN cols_m c ON r.cls = c.cls
+)
+SELECT CAST(m.total AS BIGINT) AS n_docs,
+  ROUND(CAST(m.diag AS DOUBLE) / m.total, 6) AS po,
+  ROUND(CAST(p.pe_num AS DOUBLE) / (m.total * m.total), 6) AS pe,
+  CASE WHEN m.total * m.total - p.pe_num > 0 THEN
+    ROUND(CAST(m.total * m.diag - p.pe_num AS DOUBLE)
+          / (m.total * m.total - p.pe_num), 6)
+  END AS kappa
+FROM marg m CROSS JOIN pe p
+"""
+
+
+@query("lang_id_kappa", oracle=_kappa_sql())
+def lang_id_kappa(spark, sf_dir):
+    """Cohen's kappa between the stopword lang-ID classifier and the
+    labeled language — chance-corrected agreement, the honest summary of a
+    classifier whose accuracy rides on class balance (the eval twin of
+    `lang_id`, which reports per-doc agreement). 'unknown' predictions are
+    a real class in the confusion matrix; NULL-labeled docs are out of the
+    eval domain on both engines.
+
+    Exactness: kappa = (N·Σdiag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c)
+    stays INTEGER until the single final division — no po/pe rounding can
+    leak into kappa. Distributed shape: one groupBy over (labeled,
+    predicted) — a ≤(L+1)² cell relation — then class-marginal aggs over
+    those cells; nothing downstream of the first agg is corpus-sized."""
+    from importer_spark.operators.text import lang_predict, lang_scores, tokens
+
+    t = Tables(spark, sf_dir)
+    scores = lang_scores(tokens(F.col("text")))
+    pred = lang_predict({lang: scores[lang] for lang in LANG_PRECEDENCE})
+    cells = (
+        t.documents.filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.when(F.col("labeled") == F.col("predicted"), F.col("n")).otherwise(0)
+        ).alias("diag"),
+    )
+    rows_m = cells.groupBy(F.col("labeled").alias("cls")).agg(F.sum("n").alias("rn"))
+    cols_m = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("cn")
+    )
+    pe = (
+        rows_m.join(cols_m, "cls")
+        .select((F.col("rn") * F.col("cn")).alias("rc"))
+        .agg(F.sum("rc").alias("pe_num"))
+    )
+    nn = F.col("total") * F.col("total")
+    kappa = F.when(
+        (nn - F.col("pe_num")) > 0,
+        F.round(
+            (F.col("total") * F.col("diag") - F.col("pe_num")).cast("double")
+            / (nn - F.col("pe_num")),
+            6,
+        ),
+    )
+    return marg.crossJoin(pe).select(
+        F.col("total").cast("bigint").alias("n_docs"),
+        F.round(F.col("diag").cast("double") / F.col("total"), 6).alias("po"),
+        F.round(F.col("pe_num").cast("double") / nn, 6).alias("pe"),
+        kappa.alias("kappa"),
+    )

@@ -375,3 +375,47 @@ def test_quality_auc_matches_pair_counting(spark):
             assert got[src][2] is None, src
         else:
             assert abs(got[src][2] - want[src][2]) < 1e-9, (src, got[src], want[src])
+
+
+def test_lang_id_kappa_matches_confusion_counting(spark):
+    """lang_id_kappa vs the definitional derivation: build the confusion
+    matrix in plain Python (same stopword scoring + precedence tie-break),
+    then kappa from integer marginals with one final division."""
+    from importer_spark.operators.text import LANG_PRECEDENCE, STOPWORDS
+    from importer_spark.queries import QUERIES
+
+    cells: dict[tuple, int] = {}
+    for _d, lang, _s, text in _docs(spark):
+        if lang is None:
+            continue
+        toks = text.split(" ") if text is not None else []
+        scores = {
+            lg: sum(1 for t in toks if t in ws) for lg, ws in STOPWORDS.items()
+        }
+        best = max(scores[lg] for lg in LANG_PRECEDENCE)
+        pred = "unknown"
+        if best > 0:
+            pred = next(lg for lg in LANG_PRECEDENCE if scores[lg] == best)
+        cells[(lang, pred)] = cells.get((lang, pred), 0) + 1
+    n = sum(cells.values())
+    diag = sum(v for (a, b), v in cells.items() if a == b)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for (a, b), v in cells.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    pe_num = sum(rn * cols.get(c, 0) for c, rn in rows.items())
+    want_kappa = (
+        float(f"{(n * diag - pe_num) / (n * n - pe_num):.6f}")
+        if n * n - pe_num > 0
+        else None
+    )
+
+    r = QUERIES["lang_id_kappa"](spark, SF_DIR).collect()[0]
+    assert r["n_docs"] == n
+    assert abs(r["po"] - float(f"{diag / n:.6f}")) < 1e-9
+    assert abs(r["pe"] - float(f"{pe_num / (n * n):.6f}")) < 1e-9
+    if want_kappa is None:
+        assert r["kappa"] is None
+    else:
+        assert abs(r["kappa"] - want_kappa) < 1e-9
