@@ -768,3 +768,95 @@ def lang_id_kappa(spark, sf_dir):
         F.round(F.col("pe_num").cast("double") / nn, 6).alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+# --- collocation extraction: top bigrams by PMI -----------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS cur,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, pos, cur,
+         LAG(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+uni AS (SELECT cur AS tok, COUNT(*) AS c1 FROM seq GROUP BY 1),
+tot AS (SELECT SUM(c1) AS t FROM uni),
+big AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM seq
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+)
+SELECT b.prev, b.cur, CAST(b.c2 AS BIGINT) AS pair_count,
+  ROUND(ln(CAST(b.c2 AS DOUBLE) * t.t / (CAST(up.c1 AS DOUBLE) * uc.c1)), 6)
+    AS pmi
+FROM big b
+JOIN uni up ON up.tok = b.prev
+JOIN uni uc ON uc.tok = b.cur
+CROSS JOIN tot t
+ORDER BY pmi DESC, b.prev ASC, b.cur ASC
+LIMIT {_PMI_TOP}
+"""
+
+
+@query("pmi_collocations", oracle=_PMI_SQL)
+def pmi_collocations(spark, sf_dir):
+    """Collocation extraction: top-{_PMI_TOP} adjacent-token bigrams by
+    pointwise mutual information, min pair count {_PMI_MIN_COUNT} (the
+    standard PMI floor — rare pairs have inflated PMI). The corpus-analysis
+    primitive behind phrase vocabularies, tokenizer merge seeding, and
+    boilerplate discovery.
+
+    Distributed shape: ONE posexplode pass builds the adjacent-pair stream
+    (array_zip of the token array with itself shifted — no self-join, the
+    llm_lm.py pattern), two hash aggs (pair counts, unigram counts), the
+    vocabulary-sized unigram relation joins back onto the min-count-
+    filtered pair relation, and the global top-{_PMI_TOP} is
+    TakeOrderedAndProject (never a single-task window). PMI doubles come
+    from ONE expression over exact integer counts (products bounded by
+    tokens² — swap to DECIMAL past ~10^9 tokens), so ranking and the
+    emitted values agree bitwise across engines."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    seq = t.documents.select(F.explode(toks).alias("cur"))
+    uni = seq.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("t"))
+    big = (
+        t.documents.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= _PMI_MIN_COUNT)
+    )
+    up = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("cp"))
+    uc = uni.select(F.col("tok").alias("cur"), F.col("c1").alias("cc"))
+    pmi = F.round(
+        F.log(
+            F.col("c2").cast("double")
+            * F.col("t")
+            / (F.col("cp").cast("double") * F.col("cc"))
+        ),
+        6,
+    )
+    return (
+        big.join(F.broadcast(up), "prev")
+        .join(F.broadcast(uc), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev", "cur", F.col("c2").cast("bigint").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("prev").asc(), F.col("cur").asc())
+        .limit(_PMI_TOP)
+    )
