@@ -70,6 +70,7 @@ SWEEP_QUERIES = [
     "quality_auc_by_source",
     "retrieval_arm_ndcg",
     "lang_id_kappa",
+    "pmi_collocations",
 ]
 
 
