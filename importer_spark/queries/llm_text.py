@@ -860,3 +860,122 @@ def pmi_collocations(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), F.col("prev").asc(), F.col("cur").asc())
         .limit(_PMI_TOP)
     )
+
+
+# --- chunk-level partial-overlap dedup ---------------------------------------
+_CHUNK_DF_CAP = 50  # boilerplate guard: chunks shared by more docs than this
+#                     are template/boilerplate, not copied content
+
+_CHUNK_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id, toks,
+    (greatest(n_tokens - {CHUNK_WIN}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+      AS last_chunk
+  FROM toks
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(
+      list_slice(toks, k * {CHUNK_STRIDE} + 1, k * {CHUNK_STRIDE} + {CHUNK_WIN}), ' '))
+      AS chunk_md5
+  FROM (SELECT doc_id, toks, UNNEST(range(0, last_chunk + 1)) AS k FROM spans)
+),
+sized AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1),
+rare AS (
+  SELECT doc_id, chunk_md5 FROM (
+    SELECT doc_id, chunk_md5,
+      COUNT(*) OVER (PARTITION BY chunk_md5) AS df
+    FROM chunks
+  ) WHERE df <= {_CHUNK_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM rare a JOIN rare b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+  ROUND(CAST(p.n_shared AS DOUBLE) / sa.n_chunks, 6) AS frac_a,
+  ROUND(CAST(p.n_shared AS DOUBLE) / sb.n_chunks, 6) AS frac_b
+FROM pairs p
+JOIN sized sa ON sa.doc_id = p.id_a
+JOIN sized sb ON sb.doc_id = p.id_b
+"""
+
+
+@query("chunk_overlap_pairs", oracle=_CHUNK_PAIRS_SQL)
+def chunk_overlap_pairs(spark, sf_dir):
+    """Partial-overlap dedup: doc pairs sharing at least one EXACT
+    duplicate chunk (sliding-window md5, the `doc_chunks` grid), with each
+    side's shared-chunk fraction — the detector for copied SECTIONS inside
+    otherwise-different documents, which whole-doc MinHash underweights
+    (Jaccard dilutes a copied passage by the unshared remainder) and
+    ExactSubstr finds only at the span level. frac ≈ 1 on one side flags
+    containment (quote-and-extend); frac ≈ 1 both sides is a near-exact
+    dup.
+
+    Scale shape: chunking is zero-shuffle narrow ops; candidate generation
+    is ONE equi-join on chunk_md5 with a df ≤ {_CHUNK_DF_CAP} boilerplate
+    cap (template chunks would both flood the join and mean nothing —
+    the ngram_jaccard_pairs rare-gram rule), then a pair-keyed map-partial
+    count. Same join geometry as the gram store, so the incremental path
+    (persisted chunk store, probe new docs only) drops in unchanged."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    last_chunk = F.floor(
+        (F.greatest(F.size(toks) - CHUNK_WIN, F.lit(0)) + CHUNK_STRIDE - 1)
+        / CHUNK_STRIDE
+    ).cast("int")
+    ks = t.documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), last_chunk)).alias("k"),
+    )
+    chunks = ks.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("k") * CHUNK_STRIDE + 1, CHUNK_WIN),
+            )
+        ).alias("chunk_md5"),
+    ).distinct()
+    sized = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    from pyspark.sql import Window
+
+    rare = (
+        chunks.withColumn(
+            "df", F.count("*").over(Window.partitionBy("chunk_md5"))
+        )
+        .filter(F.col("df") <= _CHUNK_DF_CAP)
+        .drop("df")
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "chunk_md5")
+    b = rare.select(F.col("doc_id").alias("id_b"), "chunk_md5")
+    pairs = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("_ca"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("_cb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared").cast("double") / F.col("_ca"), 6).alias(
+                "frac_a"
+            ),
+            F.round(F.col("n_shared").cast("double") / F.col("_cb"), 6).alias(
+                "frac_b"
+            ),
+        )
+    )

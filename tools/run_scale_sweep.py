@@ -71,6 +71,7 @@ SWEEP_QUERIES = [
     "retrieval_arm_ndcg",
     "lang_id_kappa",
     "pmi_collocations",
+    "chunk_overlap_pairs",
 ]
 
 
