@@ -72,6 +72,7 @@ SWEEP_QUERIES = [
     "lang_id_kappa",
     "pmi_collocations",
     "chunk_overlap_pairs",
+    "chunk_overlap_pairs_incremental",
 ]
 
 
