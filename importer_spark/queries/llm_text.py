@@ -1070,3 +1070,112 @@ def chunk_overlap_pairs_incremental(spark, sf_dir):
             ),
         )
     )
+
+
+# --- per-class precision / recall / F1 for the lang-ID classifier -----------
+def _class_f1_sql() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    g = "greatest({})".format(", ".join(f"score_{lang}" for lang in LANG_PRECEDENCE))
+    case = "CASE WHEN {} = 0 THEN 'unknown' {} ELSE 'unknown' END".format(
+        g,
+        " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in LANG_PRECEDENCE),
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols} FROM documents WHERE lang IS NOT NULL
+),
+cells AS (
+  SELECT lang AS labeled, {case} AS predicted, COUNT(*) AS n
+  FROM scored GROUP BY 1, 2
+),
+rows_m AS (SELECT labeled AS cls, SUM(n) AS rn FROM cells GROUP BY 1),
+cols_m AS (SELECT predicted AS cls, SUM(n) AS cn FROM cells GROUP BY 1),
+diag AS (SELECT labeled AS cls, SUM(n) AS tp FROM cells
+         WHERE labeled = predicted GROUP BY 1),
+uni AS (
+  SELECT COALESCE(r.cls, c.cls) AS cls,
+    COALESCE(r.rn, 0) AS rn, COALESCE(c.cn, 0) AS cn
+  FROM rows_m r FULL OUTER JOIN cols_m c ON r.cls = c.cls
+),
+m AS (
+  SELECT u.cls, COALESCE(d.tp, 0) AS tp,
+    u.cn - COALESCE(d.tp, 0) AS fp,
+    u.rn - COALESCE(d.tp, 0) AS fn
+  FROM uni u LEFT JOIN diag d ON d.cls = u.cls
+)
+SELECT cls,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+    AS precision_,
+  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+    AS recall_,
+  CASE WHEN 2 * tp + fp + fn > 0 THEN
+    ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1
+FROM m
+"""
+
+
+@query("lang_id_class_f1", oracle=_class_f1_sql())
+def lang_id_class_f1(spark, sf_dir):
+    """Per-class precision/recall/F1 of the lang-ID classifier — the class
+    breakdown kappa summarizes away (which languages the classifier
+    actually finds vs which it hallucinates; 'unknown' shows up as a
+    precision-less prediction-only class). tp/fp/fn stay exact integers
+    from the confusion marginals; each metric is one guarded double
+    division rounded at 6 (denominator-zero classes yield NULL, the
+    stats.py convention). Same class-squared cell relation as
+    lang_id_kappa — nothing downstream of the first agg is corpus-sized."""
+    from importer_spark.operators.text import lang_predict, lang_scores, tokens
+
+    t = Tables(spark, sf_dir)
+    scores = lang_scores(tokens(F.col("text")))
+    pred = lang_predict({lang: scores[lang] for lang in LANG_PRECEDENCE})
+    cells = (
+        t.documents.filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    rows_m = cells.groupBy(F.col("labeled").alias("cls")).agg(F.sum("n").alias("rn"))
+    cols_m = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("cn")
+    )
+    diag = (
+        cells.filter(F.col("labeled") == F.col("predicted"))
+        .groupBy(F.col("labeled").alias("cls"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    uni = (
+        rows_m.withColumnRenamed("cls", "_rc")
+        .join(cols_m.withColumnRenamed("cls", "_cc"),
+              F.col("_rc") == F.col("_cc"), "full_outer")
+        .select(
+            F.coalesce(F.col("_rc"), F.col("_cc")).alias("cls"),
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+    )
+    m = uni.join(diag, "cls", "left").select(
+        "cls",
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        (F.col("cn") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+        (F.col("rn") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+    )
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num.cast("double") / den, 6))
+    return m.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        ratio(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+            "f1"
+        ),
+    )

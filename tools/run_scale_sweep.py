@@ -70,6 +70,7 @@ SWEEP_QUERIES = [
     "quality_auc_by_source",
     "retrieval_arm_ndcg",
     "lang_id_kappa",
+    "lang_id_class_f1",
     "pmi_collocations",
     "chunk_overlap_pairs",
     "chunk_overlap_pairs_incremental",
