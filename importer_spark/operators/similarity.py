@@ -254,3 +254,58 @@ def int_dot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def cosine_pairs_probe(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_scale: int = 6,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """Incremental threshold pairs: the BATCH side (bounded by definition
+    for daily-ingest dedup) broadcasts as a normalized float64 matrix; each
+    CORPUS partition matmuls its block against it. Returns every pair with
+    cosine >= threshold touching a batch vector, as normalized id_a < id_b
+    rows (batch-batch pairs arrive in both orientations — identical matmul
+    reductions, so a distinct() collapses them exactly).
+
+    The probe-side twin of :func:`cosine_pairs_blockwise`: same numeric
+    path (row-normalized ``a @ b.T``), same broadcast bound, but the big
+    side streams — corpus scale costs one scan, never a corpus broadcast."""
+    import numpy as np
+
+    pdf = batch.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_pairs_probe batch exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; split the ingest batch"
+        )
+    ids_b = pdf[id_col].to_numpy()
+    mb = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+    bc = batch.sparkSession.sparkContext.broadcast((ids_b, mb))
+
+    def blocks(it):
+        import pandas as pd
+
+        bids, bm = bc.value
+        for block in it:
+            ids_a = block[id_col].to_numpy()
+            a = np.vstack(block[vec_col].to_numpy()).astype("float64")
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ bm.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] != bids[None, :]))
+            lo = np.minimum(ids_a[ii], bids[jj])
+            hi = np.maximum(ids_a[ii], bids[jj])
+            yield pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], round_scale)}
+            )
+
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(blocks, schema="id_a bigint, id_b bigint, cosine double")
+        .distinct()
+    )

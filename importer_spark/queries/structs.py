@@ -331,3 +331,37 @@ def variant_payload_extract(spark, sf_dir):
         F.variant_get(v, "$.order.priority", "string").alias("priority"),
         F.variant_get(v, "$.price_cents", "bigint").alias("price_cents"),
     )
+
+
+_INCR_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+"""
+
+
+@query("embedding_near_dups_incremental", oracle=_INCR_EMB_NEAR_DUP_SQL)
+def embedding_near_dups_incremental(spark, sf_dir):
+    """Incremental embedding dedup: vectors with vec_id % 5 == 0 play the
+    NEW ingest batch, probed against the full stored corpus with
+    `cosine_pairs_probe` — the batch broadcasts (bounded by definition),
+    the corpus streams one scan, and the result is EXACTLY the batch
+    slice of `embedding_near_dups`' full answer (the same contract the
+    gram/band/chunk stores carry, completing the incremental quartet
+    across all four dedup modalities: substring, shingle, chunk,
+    embedding). At production scale the corpus scan prunes further
+    through the LSH bucket store (probe only the batch's buckets — the
+    embedding_ann_lsh geometry); the exact streamed scan here is the
+    certifiable baseline."""
+    from importer_spark.operators.similarity import (
+        as_double_array,
+        cosine_pairs_probe,
+    )
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    return cosine_pairs_probe(batch, e, "vec_id", "emb", threshold=0.45)

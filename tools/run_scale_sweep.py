@@ -74,6 +74,7 @@ SWEEP_QUERIES = [
     "pmi_collocations",
     "chunk_overlap_pairs",
     "chunk_overlap_pairs_incremental",
+    "embedding_near_dups_incremental",
 ]
 
 
