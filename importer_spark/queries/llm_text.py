@@ -927,25 +927,7 @@ def chunk_overlap_pairs(spark, sf_dir):
     count. Same join geometry as the gram store, so the incremental path
     (persisted chunk store, probe new docs only) drops in unchanged."""
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    last_chunk = F.floor(
-        (F.greatest(F.size(toks) - CHUNK_WIN, F.lit(0)) + CHUNK_STRIDE - 1)
-        / CHUNK_STRIDE
-    ).cast("int")
-    ks = t.documents.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), last_chunk)).alias("k"),
-    )
-    chunks = ks.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(F.col("toks"), F.col("k") * CHUNK_STRIDE + 1, CHUNK_WIN),
-            )
-        ).alias("chunk_md5"),
-    ).distinct()
+    chunks = _chunk_rows(t.documents)
     sized = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     from pyspark.sql import Window
 
