@@ -670,7 +670,9 @@ def bpe_token_stats(spark, sf_dir):
 
 
 # --- classifier agreement: Cohen's kappa of lang-ID vs the label ------------
-def _kappa_sql() -> str:
+def _lang_cells_sql() -> str:
+    """Confusion-cell CTE (labeled x predicted counts) shared by the kappa
+    and per-class-F1 oracles — one definition of the classifier."""
     score_cols = ",\n  ".join(
         "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
             ", ".join(f"'{w}'" for w in ws), lang
@@ -689,7 +691,27 @@ WITH scored AS (
 cells AS (
   SELECT lang AS labeled, {case} AS predicted, COUNT(*) AS n
   FROM scored GROUP BY 1, 2
-),
+)"""
+
+
+def _lang_cells(spark, sf_dir):
+    """Confusion-cell DataFrame (labeled, predicted, n) — the Spark twin of
+    :func:`_lang_cells_sql`, shared by lang_id_kappa and lang_id_class_f1."""
+    from importer_spark.operators.text import lang_predict, lang_scores, tokens
+
+    t = Tables(spark, sf_dir)
+    scores = lang_scores(tokens(F.col("text")))
+    pred = lang_predict({lang: scores[lang] for lang in LANG_PRECEDENCE})
+    return (
+        t.documents.filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _kappa_sql() -> str:
+    return _lang_cells_sql() + """,
 marg AS (
   SELECT
     SUM(n) AS total,
@@ -727,17 +749,7 @@ def lang_id_kappa(spark, sf_dir):
     leak into kappa. Distributed shape: one groupBy over (labeled,
     predicted) — a ≤(L+1)² cell relation — then class-marginal aggs over
     those cells; nothing downstream of the first agg is corpus-sized."""
-    from importer_spark.operators.text import lang_predict, lang_scores, tokens
-
-    t = Tables(spark, sf_dir)
-    scores = lang_scores(tokens(F.col("text")))
-    pred = lang_predict({lang: scores[lang] for lang in LANG_PRECEDENCE})
-    cells = (
-        t.documents.filter(F.col("lang").isNotNull())
-        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
-        .groupBy("labeled", "predicted")
-        .agg(F.count("*").alias("n"))
-    )
+    cells = _lang_cells(spark, sf_dir)
     marg = cells.agg(
         F.sum("n").alias("total"),
         F.sum(
@@ -1056,25 +1068,7 @@ def chunk_overlap_pairs_incremental(spark, sf_dir):
 
 # --- per-class precision / recall / F1 for the lang-ID classifier -----------
 def _class_f1_sql() -> str:
-    score_cols = ",\n  ".join(
-        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
-            ", ".join(f"'{w}'" for w in ws), lang
-        )
-        for lang, ws in STOPWORDS.items()
-    )
-    g = "greatest({})".format(", ".join(f"score_{lang}" for lang in LANG_PRECEDENCE))
-    case = "CASE WHEN {} = 0 THEN 'unknown' {} ELSE 'unknown' END".format(
-        g,
-        " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in LANG_PRECEDENCE),
-    )
-    return f"""
-WITH scored AS (
-  SELECT doc_id, lang, {score_cols} FROM documents WHERE lang IS NOT NULL
-),
-cells AS (
-  SELECT lang AS labeled, {case} AS predicted, COUNT(*) AS n
-  FROM scored GROUP BY 1, 2
-),
+    return _lang_cells_sql() + """,
 rows_m AS (SELECT labeled AS cls, SUM(n) AS rn FROM cells GROUP BY 1),
 cols_m AS (SELECT predicted AS cls, SUM(n) AS cn FROM cells GROUP BY 1),
 diag AS (SELECT labeled AS cls, SUM(n) AS tp FROM cells
@@ -1112,17 +1106,7 @@ def lang_id_class_f1(spark, sf_dir):
     division rounded at 6 (denominator-zero classes yield NULL, the
     stats.py convention). Same class-squared cell relation as
     lang_id_kappa — nothing downstream of the first agg is corpus-sized."""
-    from importer_spark.operators.text import lang_predict, lang_scores, tokens
-
-    t = Tables(spark, sf_dir)
-    scores = lang_scores(tokens(F.col("text")))
-    pred = lang_predict({lang: scores[lang] for lang in LANG_PRECEDENCE})
-    cells = (
-        t.documents.filter(F.col("lang").isNotNull())
-        .select(F.col("lang").alias("labeled"), pred.alias("predicted"))
-        .groupBy("labeled", "predicted")
-        .agg(F.count("*").alias("n"))
-    )
+    cells = _lang_cells(spark, sf_dir)
     rows_m = cells.groupBy(F.col("labeled").alias("cls")).agg(F.sum("n").alias("rn"))
     cols_m = cells.groupBy(F.col("predicted").alias("cls")).agg(
         F.sum("n").alias("cn")
