@@ -24,6 +24,7 @@ def asof_join(
     suffix: str = "_asof",
     direction: str = "backward",
     tolerance: Column | None = None,
+    keep_match_ts: bool = False,
 ) -> DataFrame:
     """As-of join: for every left row, attach the nearest right row within
     the same ``on`` key group — the most recent with ``right_ts <= left_ts``
@@ -42,6 +43,13 @@ def asof_join(
 
     Returns the left rows with ``<col><suffix>`` columns appended (plus
     ``<left_ts>`` preserved); right-side misses are null, like a LEFT join.
+    With ``keep_match_ts=True`` the matched right timestamp is also kept as
+    ``_asof_match_ts<suffix>`` — THE documented way to distinguish "matched
+    a version whose value is NULL" from "no match" (non-null exactly when a
+    right row matched). Callers must not filter on that column without
+    requesting it: it only resolves through Spark's ResolveMissingReferences
+    analyzer rule, which any intervening select/cache silently breaks
+    (r5 advice, pricing.point_in_time_price).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -118,7 +126,7 @@ def asof_join(
                 for c in fill_cols
             ],
         )
-    return out.drop(tag, ts, mts)
+    return out.drop(tag, ts) if keep_match_ts else out.drop(tag, ts, mts)
 
 
 def range_attribution(

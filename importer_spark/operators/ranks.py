@@ -141,7 +141,7 @@ def grouped_row_number(
     # groupBy above produces its row — but a plain equi-join would drop it
     # (NULL never equals NULL), silently deleting those rows from the
     # output. Join the side relations null-safely on renamed keys.
-    bucketed = _null_safe_key_join(df, F.broadcast(cuts_df), part_cols).withColumn(
+    bucketed = null_safe_key_join(df, F.broadcast(cuts_df), part_cols).withColumn(
         "_gb", bucket
     ).drop("_cuts")
     offs = (
@@ -151,13 +151,13 @@ def grouped_row_number(
         .drop("_bn")
     )
     return (
-        _null_safe_key_join(bucketed, F.broadcast(offs), part_cols, extra=["_gb"])
+        null_safe_key_join(bucketed, F.broadcast(offs), part_cols, extra=["_gb"])
         .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
         .drop("_gb", "_goff")
     )
 
 
-def _null_safe_key_join(
+def null_safe_key_join(
     left: DataFrame,
     right: DataFrame,
     part_cols: list[str],
@@ -166,7 +166,14 @@ def _null_safe_key_join(
     """Inner-join ``right`` onto ``left`` treating NULL key values as equal
     (the PARTITION BY convention): right-side key columns are renamed so
     the join condition can use eqNullSafe without ambiguity, then dropped.
-    ``extra`` columns join with plain equality (never NULL here)."""
+    ``extra`` columns join with plain equality (never NULL here).
+
+    Public because every per-key-broadcast operator that must not drop
+    NULL-key rows shares it (grouped ranks here, tercile buckets in
+    operators/text.py — r5 advice: a plain equi-join silently deletes
+    NULL partition keys). eqNullSafe keys still hash-join: Catalyst
+    rewrites ``a <=> b`` to coalesced equi-keys, so the broadcast plan
+    shape is identical to the plain join it replaces."""
     renamed = right
     cond = F.lit(True)
     for i, c in enumerate(part_cols):
@@ -206,7 +213,7 @@ def with_grouped_rank_stats(
         total = df.agg(F.count("*").alias("_n"))
         return ranked.crossJoin(F.broadcast(total))
     totals = df.groupBy(*part_cols).agg(F.count("*").alias("_n"))
-    return _null_safe_key_join(ranked, F.broadcast(totals), part_cols)
+    return null_safe_key_join(ranked, F.broadcast(totals), part_cols)
 
 
 def with_global_rank_stats(

@@ -103,7 +103,9 @@ def semdedup_flags(
         order = np.argsort(pdf[id_col].to_numpy())
         ids = pdf[id_col].to_numpy()[order]
         m = np.vstack(pdf[vec_col].to_numpy()[order]).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        from importer_spark.operators.similarity import row_normalize
+
+        row_normalize(m)
         n = len(ids)
         dup = np.zeros(n, dtype=bool)
         chunk = max(256, int(1.5e7 / max(n, 1)))

@@ -27,6 +27,22 @@ def as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def row_normalize(m):
+    """Row-normalize a float64 numpy matrix IN PLACE, leaving zero-norm
+    rows as zero rows instead of dividing 0/0 into NaN (r5 advice): a NaN
+    row propagates NaN cosines that silently never clear any >= threshold,
+    plus a RuntimeWarning per batch. The resulting contract — shared by
+    every numpy block-matmul operator here and in semdedup.py — is that a
+    zero-norm vector has cosine 0 with everything: it never flags as a
+    duplicate and never causes one. (NaN/Inf COMPONENTS still propagate;
+    the ANN stack's documented precondition is finite embeddings.)"""
+    import numpy as np
+
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    np.divide(m, norms, out=m, where=norms != 0)
+    return m
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-accumulation dot product (bitwise-portable)."""
     return F.aggregate(
@@ -87,7 +103,7 @@ def cosine_pairs_blockwise(
         )
     ids_all = pdf[id_col].to_numpy()
     m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    row_normalize(m)
     bc = df.sparkSession.sparkContext.broadcast((ids_all, m))
 
     def blocks(it):
@@ -97,7 +113,7 @@ def cosine_pairs_blockwise(
         for block in it:
             ids_a = block[id_col].to_numpy()
             a = np.vstack(block[vec_col].to_numpy()).astype("float64")
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            row_normalize(a)
             sims = a @ mb.T
             ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
@@ -165,7 +181,7 @@ def cosine_pairs_exact(
             if len(ids) == 0:
                 return ids, None
             m = np.vstack(part["_vec"].to_numpy()).astype("float64")
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            row_normalize(m)
             return ids, m
 
         ids_a, ma = side(ba)
@@ -285,7 +301,7 @@ def cosine_pairs_probe(
         )
     ids_b = pdf[id_col].to_numpy()
     mb = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-    mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+    row_normalize(mb)
     bc = batch.sparkSession.sparkContext.broadcast((ids_b, mb))
 
     def blocks(it):
@@ -295,7 +311,7 @@ def cosine_pairs_probe(
         for block in it:
             ids_a = block[id_col].to_numpy()
             a = np.vstack(block[vec_col].to_numpy()).astype("float64")
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            row_normalize(a)
             sims = a @ bm.T
             ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] != bids[None, :]))
             lo = np.minimum(ids_a[ii], bids[jj])

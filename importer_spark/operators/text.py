@@ -102,7 +102,15 @@ def value_tercile_buckets(
     single-task-window anti-pattern). The certified
     `ccnet_perplexity_buckets` query runs exactly this shape; the tie
     analysis lives in its docstring (pre-rounded values vs interpolated
-    cuts). Ties on a cut value land in the upper tier."""
+    cuts). Ties on a cut value land in the upper tier.
+
+    NULL partition keys are a rankable partition, not dropped (the
+    PARTITION BY convention, same as operators/ranks.grouped_row_number):
+    the cuts relation joins back null-safely, so e.g. NULL-lang documents
+    get tiered within their own cohort instead of silently vanishing from
+    the output — the r5-advice refine-CLI data-loss path."""
+    from importer_spark.operators.ranks import null_safe_key_join
+
     cuts = df.groupBy(*part_cols).agg(
         F.percentile(F.col(val_col), F.lit(1.0 / 3.0)).alias("_q1"),
         F.percentile(F.col(val_col), F.lit(2.0 / 3.0)).alias("_q2"),
@@ -113,7 +121,7 @@ def value_tercile_buckets(
         .otherwise(F.lit(labels[2]))
     )
     return (
-        df.join(F.broadcast(cuts), part_cols)
+        null_safe_key_join(df, F.broadcast(cuts), part_cols)
         .withColumn(out_col, bucket)
         .drop("_q1", "_q2")
     )

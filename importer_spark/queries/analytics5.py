@@ -345,8 +345,10 @@ def hard_negative_pairs(spark, sf_dir):
 
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
+        from importer_spark.operators.similarity import row_normalize
+
         m = np.vstack(pdf["emb"].to_numpy()[order]).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        row_normalize(m)  # zero-norm rows stay zero, never NaN (r5 advice)
         n = len(ids)
         out_a, out_n, out_r, out_c = [], [], [], []
         chunk = max(256, int(1.5e7 / max(n, 1)))

@@ -139,6 +139,21 @@ FROM marked
 """
 
 
+def unimax_budget(sizes):
+    """One-row budget relation ``b`` = floor(total_tokens * NUM / DEN) in
+    EXACT integer arithmetic (r5 advice): the docstring/oracle promise
+    BIGINT floor division, but ``* NUM / DEN`` routes through a double
+    whose 53-bit mantissa diverges from DuckDB's exact int128 ``//`` once
+    total tokens exceed 2^53. DECIMAL(38,0) multiply + DIV is exact and
+    can't overflow at any corpus size a BIGINT sum can represent."""
+    return sizes.agg(
+        F.expr(
+            "CAST(CAST(SUM(n_tokens) AS DECIMAL(38,0))"
+            f" * {_UNIMAX_BUDGET_NUM} DIV {_UNIMAX_BUDGET_DEN} AS BIGINT)"
+        ).alias("b")
+    )
+
+
 @query("unimax_language_budget", oracle=_UNIMAX_SQL)
 def unimax_language_budget(spark, sf_dir):
     """UniMax language sampling (Chung et al. 2023): allocate a total token
@@ -164,13 +179,7 @@ def unimax_language_budget(spark, sf_dir):
         .groupBy("lang")
         .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
     )
-    budget = sizes.agg(
-        (
-            F.sum("n_tokens") * _UNIMAX_BUDGET_NUM / F.lit(_UNIMAX_BUDGET_DEN)
-        )
-        .cast("bigint")
-        .alias("b")
-    )
+    budget = unimax_budget(sizes)
     w_ord = Window.orderBy(F.col("cap"), F.col("lang"))
     ordered = (
         sizes.withColumn("cap", F.col("n_tokens") * e_cap)
@@ -195,9 +204,9 @@ def unimax_language_budget(spark, sf_dir):
         )
     )
     below = F.col("m").isNull() | (F.col("i") < F.col("m"))
-    share = F.floor(
-        (F.col("b") - F.col("capped_sum")) / (F.col("k") - F.col("m") + 1)
-    )
+    # Same exact-integer rule as B: `/` + floor would round the leftover
+    # through a double; DIV keeps the equal-share split exact past 2^53.
+    share = F.expr("(b - capped_sum) DIV (k - m + 1)")
     alloc = F.when(below, F.col("cap")).otherwise(share).cast("bigint")
     return marked.select(
         "lang",

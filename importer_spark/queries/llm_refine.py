@@ -182,7 +182,7 @@ SELECT s.doc_id, s.lang, s.avg_logprob,
   CASE WHEN s.avg_logprob >= c.q2 THEN 'head'
        WHEN s.avg_logprob >= c.q1 THEN 'middle'
        ELSE 'tail' END AS bucket
-FROM scored s JOIN cuts c USING (lang)
+FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
 """
 
 

@@ -217,9 +217,11 @@ def point_in_time_price(spark, sf_dir):
         left_ts="o_orderdate",
         right_ts="valid_from",
         right_value_cols=["price"],
-    ).filter(F.col("_asof_match_ts_asof").isNotNull())  # matched = a version
-    # exists (match on the TS, not the price — a null-price version still
-    # covers the date and must surface as pit_price NULL)
+        keep_match_ts=True,  # matched = a version exists (filter on the TS,
+        # not the price — a null-price version still covers the date and
+        # must surface as pit_price NULL). Requested explicitly: filtering
+        # on the dropped column only worked via ResolveMissingReferences.
+    ).filter(F.col("_asof_match_ts_asof").isNotNull())
     return pit.select(
         F.col("o_orderkey").alias("order_key"),
         F.col("part_key"),

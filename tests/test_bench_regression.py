@@ -32,7 +32,12 @@ from bench import ISO_TOLERANCE as TOLERANCE
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "bench_isolated_baseline.json")
-DETAIL_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.json")
+# The gate judges the most recent run: bench.py writes every run to
+# BENCH_DETAIL.latest.json (uncommitted) and only re-pins the committed
+# BENCH_DETAIL.json under --pin / SPARK_GRAFT_BENCH_PIN=1 (r5 verdict #4).
+_LATEST_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.latest.json")
+_PINNED_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.json")
+DETAIL_PATH = _LATEST_PATH if os.path.exists(_LATEST_PATH) else _PINNED_PATH
 
 
 def _load(path):

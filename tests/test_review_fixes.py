@@ -248,3 +248,94 @@ def test_merge_by_key_rejects_changed_keys(spark, tmp_path):
             path,
             keys=["k", "ver"],
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice regressions (fixed round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_tercile_buckets_keep_null_partition_keys(spark):
+    """r5 advice (operators/text.py:116 + __main__.py:255): a plain
+    equi-join against the cuts relation silently deleted NULL-key rows —
+    the refine CLI dropped every NULL-lang document with no stage metric.
+    NULL is now a rankable partition (null-safe join, the
+    grouped_row_number convention)."""
+    from importer_spark.operators.text import value_tercile_buckets
+
+    df = spark.createDataFrame(
+        [("a", "en", 1.0), ("b", "en", 2.0), ("c", "en", 3.0),
+         ("d", None, 10.0), ("e", None, 20.0), ("f", None, 30.0)],
+        "doc_id string, lang string, score double",
+    )
+    out = value_tercile_buckets(df, ["lang"], "score").collect()
+    assert len(out) == 6  # nothing dropped
+    null_rows = {r.doc_id: r.bucket for r in out if r.lang is None}
+    # NULL-lang cohort tiered within itself, same rule as any lang
+    assert null_rows == {"d": "tail", "e": "middle", "f": "head"}
+
+
+def test_asof_join_keep_match_ts_contract(spark):
+    """r5 advice (pricing.py:220): filtering on _asof_match_ts_asof only
+    worked via ResolveMissingReferences because asof_join dropped it.
+    keep_match_ts=True is the documented way to get the matched-version
+    flag; the default output must NOT carry the internal column."""
+    from importer_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 1)], "k int, lts int")
+    right = spark.createDataFrame([(1, 5, None)], "k int, rts int, v string")
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_value_cols=["v"], keep_match_ts=True,
+    )
+    assert "_asof_match_ts_asof" in out.columns
+    rows = {r.lts: r for r in out.collect()}
+    # lts=10 matched the rts=5 version (whose value is legitimately NULL):
+    # the match ts distinguishes that from lts=1's true miss.
+    assert rows[10]._asof_match_ts_asof == 5 and rows[10].v_asof is None
+    assert rows[1]._asof_match_ts_asof is None
+    default = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_value_cols=["v"],
+    )
+    assert "_asof_match_ts_asof" not in default.columns
+
+
+def test_unimax_budget_exact_past_double_precision(spark):
+    """r5 advice (llm_mixture.py:169): B must be exact BIGINT floor
+    division as the oracle computes it — the old double path rounds once
+    total tokens exceed 2^53."""
+    from importer_spark.queries.llm_mixture import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        unimax_budget,
+    )
+
+    n = (1 << 62) + 12345  # far past the 53-bit mantissa
+    sizes = spark.createDataFrame([("en", n)], "lang string, n_tokens long")
+    got = unimax_budget(sizes).collect()[0].b
+    assert got == n * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+
+
+def test_zero_norm_embeddings_never_nan_never_dup(spark):
+    """r5 advice (semdedup.py:106): an all-zero embedding divided 0/0 into
+    a NaN row. Contract now: zero-norm vectors have cosine 0 with
+    everything — never flagged, never flag others, no NaN in any output."""
+    import math
+
+    from importer_spark.operators.semdedup import semdedup_flags
+    from importer_spark.operators.similarity import cosine_pairs_blockwise
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),  # true dups
+        (3, [0.0, 0.0], 0), (4, [0.0, 0.0], 0),  # zero-norm pair
+    ]
+    cells = spark.createDataFrame(rows, "vec_id bigint, emb array<double>, cell bigint")
+    flags = {r.vec_id: r.is_semantic_dup
+             for r in semdedup_flags(cells, "vec_id", "emb", tau=0.9).collect()}
+    assert flags == {1: False, 2: True, 3: False, 4: False}
+    pairs = cosine_pairs_blockwise(
+        cells.select("vec_id", "emb"), "vec_id", "emb", threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(not math.isnan(r.cosine) for r in pairs)
