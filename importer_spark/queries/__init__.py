@@ -57,7 +57,24 @@ from importer_spark.queries import windows  # noqa: F401,E402
 # round-4 block (driver-green in CORRECTNESS_r04), then the r3 order.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # Round-5 additions: no driver evidence yet
+    # Round-6 addition + the 13 late-round-5 queries the driver's 50-query
+    # draw has never sampled (r5 VERDICT gap #1): least driver evidence
+    # first, so CORRECTNESS_r06 rows accumulate for exactly these.
+    "lang_id_ngram_nb",
+    "bm25_topk",
+    "margin_bitext_mine",
+    "hybrid_rrf_topk",
+    "retrieval_arm_ndcg",
+    "pmi_collocations",
+    "lang_id_kappa",
+    "lang_id_class_f1",
+    "quality_auc_by_source",
+    "leakage_safe_split",
+    "unimax_language_budget",
+    "chunk_overlap_pairs",
+    "chunk_overlap_pairs_incremental",
+    "embedding_near_dups_incremental",
+    # Round-5 additions sampled in CORRECTNESS_r05
     "exact_substring_removal",
     "ccnet_perplexity_buckets",
     "dedup_keep_best",

@@ -377,25 +377,78 @@ def test_quality_auc_matches_pair_counting(spark):
             assert abs(got[src][2] - want[src][2]) < 1e-9, (src, got[src], want[src])
 
 
+def _nb_lang_reference(docs):
+    """Plain-Python char-trigram multinomial NB (engine convention: per-
+    trigram round-9 Decimal log-probs, exact Decimal sums, priors, argmax
+    ties to the alphabetically first class) — the third derivation behind
+    lang_id_ngram_nb / lang_id_kappa / lang_id_class_f1."""
+    labeled = [
+        (d, lang, " " + text + " ")
+        for d, lang, _s, text in docs
+        if lang is not None and text is not None and len(text) >= 1
+    ]
+    cls_cnt: dict[str, dict[str, int]] = {}
+    cls_tot: dict[str, int] = {}
+    nd: dict[str, int] = {}
+    vocab: set[str] = set()
+    for _d, lang, p in labeled:
+        nd[lang] = nd.get(lang, 0) + 1
+        c = cls_cnt.setdefault(lang, {})
+        for i in range(len(p) - 2):
+            g = p[i : i + 3]
+            vocab.add(g)
+            c[g] = c.get(g, 0) + 1
+            cls_tot[lang] = cls_tot.get(lang, 0) + 1
+    classes = sorted(nd)
+    v = len(vocab)
+    ndt = sum(nd.values())
+    lp = {
+        cls: {
+            g: Decimal(f"{math.log((c + 1) / (cls_tot[cls] + v)):.9f}")
+            for g, c in cnt.items()
+        }
+        for cls, cnt in cls_cnt.items()
+    }
+    lp0 = {
+        cls: Decimal(f"{math.log(1 / (cls_tot[cls] + v)):.9f}") for cls in classes
+    }
+    pri = {cls: Decimal(f"{math.log(nd[cls] / ndt):.9f}") for cls in classes}
+    preds = {}
+    for d, lang, p in labeled:
+        grams = [p[i : i + 3] for i in range(len(p) - 2)]
+        best_cls, best_s = None, None
+        for cls in classes:  # ascending -> first max wins ties
+            s = sum((lp[cls].get(g, lp0[cls]) for g in grams), Decimal(0)) + pri[cls]
+            if best_s is None or s > best_s:
+                best_cls, best_s = cls, s
+        preds[d] = (lang, best_cls, float(best_s))
+    return preds
+
+
+def test_lang_id_ngram_nb_matches_python_reference(spark):
+    """Per-doc NB predictions vs the plain-Python model — every doc\'s
+    predicted class and (6dp) log-prob must agree."""
+    from importer_spark.queries import QUERIES
+
+    want = _nb_lang_reference(_docs(spark))
+    got = {
+        r["doc_id"]: (r["labeled_lang"], r["predicted_lang"], r["nb_logprob"])
+        for r in QUERIES["lang_id_ngram_nb"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for d, (lang, pred, s) in want.items():
+        assert got[d][0] == lang and got[d][1] == pred, d
+        assert abs(got[d][2] - s) < 1e-6, d
+
+
 def test_lang_id_kappa_matches_confusion_counting(spark):
     """lang_id_kappa vs the definitional derivation: build the confusion
-    matrix in plain Python (same stopword scoring + precedence tie-break),
-    then kappa from integer marginals with one final division."""
-    from importer_spark.operators.text import LANG_PRECEDENCE, STOPWORDS
+    matrix from the plain-Python NB reference predictions, then kappa from
+    integer marginals with one final division."""
     from importer_spark.queries import QUERIES
 
     cells: dict[tuple, int] = {}
-    for _d, lang, _s, text in _docs(spark):
-        if lang is None:
-            continue
-        toks = text.split(" ") if text is not None else []
-        scores = {
-            lg: sum(1 for t in toks if t in ws) for lg, ws in STOPWORDS.items()
-        }
-        best = max(scores[lg] for lg in LANG_PRECEDENCE)
-        pred = "unknown"
-        if best > 0:
-            pred = next(lg for lg in LANG_PRECEDENCE if scores[lg] == best)
+    for lang, pred, _s in _nb_lang_reference(_docs(spark)).values():
         cells[(lang, pred)] = cells.get((lang, pred), 0) + 1
     n = sum(cells.values())
     diag = sum(v for (a, b), v in cells.items() if a == b)
@@ -419,3 +472,6 @@ def test_lang_id_kappa_matches_confusion_counting(spark):
         assert r["kappa"] is None
     else:
         assert abs(r["kappa"] - want_kappa) < 1e-9
+    # the whole point of the r6 swap: a trained classifier with real
+    # agreement (the stopword heuristic measured kappa ~0.0016 here)
+    assert want_kappa is not None and want_kappa > 0.2

@@ -69,6 +69,7 @@ SWEEP_QUERIES = [
     "margin_bitext_mine",
     "quality_auc_by_source",
     "retrieval_arm_ndcg",
+    "lang_id_ngram_nb",
     "lang_id_kappa",
     "lang_id_class_f1",
     "pmi_collocations",
