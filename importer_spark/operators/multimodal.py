@@ -4,9 +4,12 @@ pandas functions over ``mapInPandas``.
 
 Two REAL pure-stdlib codecs run end-to-end: RIFF/WAVE PCM audio (stdlib
 ``wave``; 16-bit mono/stereo) and binary P6 PPM images (hand-written header
-parser, comment-tolerant). Compressed formats (JPEG/MP3/H.264) have no codec
-in this container, so ``decode_media`` raises NotImplementedError for them;
-swapping in PIL/ffmpeg/librosa is a local change inside ``decode_media``.
+parser, comment-tolerant). JPEG/PNG are wired through an IMPORT-GATED
+Pillow path (``pil_available()`` — the ``tws_available()`` pattern): absent
+in this container they raise the documented NotImplementedError, on a
+cluster with Pillow they decode with no code change. Other compressed
+formats (MP3/H.264) remain the NotImplementedError boundary; ffmpeg/librosa
+swap in the same way inside ``decode_media``.
 A deterministic fake ('text/fake-image' → the UTF-8 bytes themselves) keeps
 the byte-level plumbing oracle-checkable against SQL string functions.
 
@@ -30,6 +33,36 @@ from pyspark.sql import functions as F
 FAKE_IMAGE = "text/fake-image"
 WAV_TYPE = "audio/wav"
 PPM_TYPE = "image/x-portable-pixmap"
+JPEG_TYPE = "image/jpeg"
+PNG_TYPE = "image/png"
+
+
+def pil_available() -> bool:
+    """Import-gate for the compressed-image codec path (the
+    ``tws_available()`` pattern — r5 verdict #8): this container ships no
+    PIL, so JPEG/PNG decode raises NotImplementedError here, but on a real
+    cluster with Pillow installed the same ``decode_media`` call lights up
+    with no code change. Gate on the exact module the decode imports."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_compressed_image(data: bytes) -> np.ndarray:
+    """JPEG/PNG → RGB uint8 raster (h, w, 3) via Pillow when available.
+    Raises NotImplementedError (not ImportError) when the codec is absent,
+    so callers see the same documented container boundary either way."""
+    if not pil_available():
+        raise NotImplementedError(
+            "JPEG/PNG decode needs Pillow; this container does not ship it "
+            "(import-gated — install Pillow on the cluster to enable)"
+        )
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 FEATURES_SCHEMA = "doc_id long, media_type string, n_bytes long, content_digest string"
 FRAMES_SCHEMA = "doc_id long, frame_idx integer, frame_bytes long, frame_digest string"
@@ -128,6 +161,8 @@ def decode_media(data: bytes, media_type: str) -> bytes:
         return decode_wav(data)[0].tobytes()
     if media_type == PPM_TYPE:
         return decode_ppm(data).tobytes()
+    if media_type in (JPEG_TYPE, PNG_TYPE):
+        return decode_compressed_image(data).tobytes()
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; see module docstring"
     )

@@ -34,12 +34,16 @@ def row_normalize(m):
     plus a RuntimeWarning per batch. The resulting contract — shared by
     every numpy block-matmul operator here and in semdedup.py — is that a
     zero-norm vector has cosine 0 with everything: it never flags as a
-    duplicate and never causes one. (NaN/Inf COMPONENTS still propagate;
-    the ANN stack's documented precondition is finite embeddings.)"""
+    duplicate and never causes one. A NaN/Inf COMPONENT degrades only its
+    own row: the row normalizes to NaNs, every cosine against it is NaN,
+    and NaN >= threshold is False — so non-finite vectors self-exclude
+    from pair output instead of failing the job or polluting finite rows
+    (pinned by test_nonfinite_embeddings_self_exclude)."""
     import numpy as np
 
     norms = np.linalg.norm(m, axis=1, keepdims=True)
-    np.divide(m, norms, out=m, where=norms != 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        np.divide(m, norms, out=m, where=norms != 0)
     return m
 
 

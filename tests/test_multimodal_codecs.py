@@ -93,3 +93,36 @@ def test_image_features_query_parity(spark):
     from tests.conftest import assert_query_matches
 
     assert_query_matches(spark, "image_ppm_features")
+
+
+def test_compressed_image_codec_import_gated():
+    """r5 verdict #8: JPEG/PNG decode is import-gated on Pillow (the
+    tws_available pattern) — absent codec raises the documented
+    NotImplementedError; with Pillow installed the same call decodes a
+    real PNG to an RGB raster with no code change."""
+    import pytest
+
+    from importer_spark.operators.multimodal import (
+        JPEG_TYPE,
+        PNG_TYPE,
+        decode_media,
+        pil_available,
+    )
+
+    if not pil_available():
+        for mt in (JPEG_TYPE, PNG_TYPE):
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                decode_media(b"\x89PNG\r\n\x1a\n", mt)
+        return
+    # environment with Pillow: round-trip a generated 2x1 PNG
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(
+        np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    ).save(buf, format="PNG")
+    raster = decode_media(buf.getvalue(), PNG_TYPE)
+    assert raster == bytes([255, 0, 0, 0, 255, 0])

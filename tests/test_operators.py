@@ -941,3 +941,49 @@ def test_margin_mining_recall_vs_exhaustive(spark):
     }
     assert truth and got
     assert len(truth & got) / len(truth) >= 0.10
+
+
+def test_nonfinite_embeddings_self_exclude(spark):
+    """Float-special hardening (r5 verdict #8 — the fuzz gate covers NULLs,
+    not NaN/Inf): a NaN or Inf component normalizes its OWN row to NaN,
+    every cosine against it is NaN, and numpy's NaN >= threshold is False —
+    so non-finite vectors silently self-exclude from every block-matmul
+    pair operator instead of crashing the job or polluting finite pairs."""
+    from importer_spark.operators.semdedup import semdedup_flags
+    from importer_spark.operators.similarity import (
+        cosine_pairs_blockwise,
+        cosine_pairs_exact,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [1.0, 2.0]), (2, [2.0, 4.0]),      # finite near-dup pair
+        (3, [nan, 1.0]), (4, [1.0, inf]),      # poisoned rows
+        (5, [-inf, nan]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+    want = {(1, 2)}
+    got_block = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blockwise(df, "vec_id", "emb", threshold=0.99).collect()
+    }
+    got_exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_exact(
+            df, "vec_id", "emb", threshold=0.99, n_blocks=2
+        ).collect()
+    }
+    assert got_block == want and got_exact == want
+    cells = df.select("vec_id", "emb", (df.vec_id % 2).alias("cell"))
+    flags = {
+        r.vec_id: r.is_semantic_dup
+        for r in semdedup_flags(cells, "vec_id", "emb", tau=0.99).collect()
+    }
+    # finite dup pair is in different cells here; nothing may flag
+    assert flags == {1: False, 2: False, 3: False, 4: False, 5: False}
+    same_cell = df.select("vec_id", "emb", F.lit(0).alias("cell"))
+    flags2 = {
+        r.vec_id: r.is_semantic_dup
+        for r in semdedup_flags(same_cell, "vec_id", "emb", tau=0.99).collect()
+    }
+    assert flags2 == {1: False, 2: True, 3: False, 4: False, 5: False}

@@ -221,7 +221,23 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    merge = bench_exactly_once_merge(spark, sf_dir)
+    # SPARK_GRAFT_MERGE_BATCHES splits the events table into that many
+    # micro-batches (default 10). Point SPARK_GRAFT_SF_DIR at a scaled
+    # events table to measure PRODUCTION batch sizes — e.g. /tmp/sf10
+    # (10M events) with 10 batches = 1M-row commits, the amortization
+    # claim PERF.md makes for the commit-bound sf0.1 number (r5 verdict
+    # item 7). --merge-only skips the other three surfaces for that run.
+    n_batches = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "10"))
+    merge = bench_exactly_once_merge(spark, sf_dir, n_batches=n_batches)
+    if "--merge-only" in sys.argv:
+        spark.stop()
+        print(json.dumps({
+            "exactly_once_merge_rows_per_s": merge["rows_per_s"],
+            "detail": {"exactly_once_merge": merge},
+            "n_batches": n_batches,
+            "sf": sf,
+        }))
+        return
     sessions = bench_stateful_sessions(spark, sf_dir)
     ssjoin = bench_stream_stream_join(spark, sf_dir)
     sdedup = bench_stream_dedup(spark, sf_dir)
