@@ -510,3 +510,85 @@ def duplicate_ngram_spans_incremental(
         F.min(id_col).alias("solo_id"),
     )
     return _merge_hit_spans(hits, id_col, n), delta
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 16,
+) -> DataFrame:
+    """Corpus-wide SEGMENT dedup (CCNet's paragraph-hash dedup, Wenzek et
+    al. 2020 §3.1, on fixed ``width``-token disjoint segments — the
+    line/paragraph analog for whitespace-token corpora without newline
+    structure): every segment whose exact text appeared EARLIER in the
+    corpus (first occurrence = lexicographic min (id, seg) over its md5)
+    is dropped; each document's text is rebuilt from its kept segments in
+    order. NULL-``text_col`` rows are out of the operator's domain.
+
+    Returns one row per non-NULL-text document: id, ``n_segments``,
+    ``removed_segments``, ``clean_n_tokens`` (kept-token count) and
+    ``clean_text`` (the rebuilt text — md5 it to certify the surgery).
+
+    Scale shape: segmenting is narrow (split/sequence/explode/slice);
+    first-occurrence selection is ONE hash agg (min-struct per segment
+    md5, map-side partial) plus ONE equi-join back on the md5 — never a
+    corpus-sized window over skewed hash partitions (a boilerplate
+    segment shared by millions of documents lands in one window
+    partition; the agg+join shape partial-aggregates it) — then ONE
+    groupBy(id) rebuild. Three shuffles total, all on natural keys."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    sliced = F.slice(F.col("_t"), F.col("seg") * width + 1, F.lit(width))
+    segs = (
+        base.select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(_n + {width - 1}) div {width}") - 1)
+            ).alias("seg"),
+        )
+        .select(
+            id_col,
+            "seg",
+            F.concat_ws(" ", sliced).alias("seg_text"),
+            F.size(sliced).alias("seg_tokens"),
+        )
+        .select(
+            id_col, "seg", "seg_text", "seg_tokens", F.md5("seg_text").alias("_h")
+        )
+    )
+    first = segs.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg").alias("s"))).alias(
+            "_first"
+        )
+    )
+    flagged = segs.join(first, "_h").select(
+        id_col,
+        "seg",
+        "seg_text",
+        "seg_tokens",
+        (
+            (F.col("_first.i") == F.col(id_col)) & (F.col("_first.s") == F.col("seg"))
+        ).alias("_keep"),
+    )
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("seg"), F.col("seg_text"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed_segments"),
+        F.sum(F.when(F.col("_keep"), F.col("seg_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("clean_n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg_text"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

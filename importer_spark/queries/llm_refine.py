@@ -356,3 +356,78 @@ def lang_quality_deciles(spark, sf_dir):
     return ranked.select(
         "doc_id", "lang", "avg_logprob", ntile_col(10).alias("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup_removal — CCNet paragraph-hash dedup as a corpus rewrite
+# ---------------------------------------------------------------------------
+_SEG_W = 16
+
+_SEG_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, t, UNNEST(range(0, (n + {_SEG_W - 1}) // {_SEG_W})) AS seg
+  FROM toks
+),
+h AS (
+  SELECT doc_id, seg,
+    array_to_string(list_slice(t, seg*{_SEG_W} + 1, seg*{_SEG_W} + {_SEG_W}), ' ')
+      AS seg_text,
+    len(list_slice(t, seg*{_SEG_W} + 1, seg*{_SEG_W} + {_SEG_W})) AS seg_tokens
+  FROM segs
+),
+r AS (
+  SELECT doc_id, seg, seg_text, seg_tokens,
+    ROW_NUMBER() OVER (PARTITION BY md5(seg_text) ORDER BY doc_id, seg) AS rk
+  FROM h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments,
+  CAST(SUM(CASE WHEN rk = 1 THEN seg_tokens ELSE 0 END) AS BIGINT)
+    AS clean_n_tokens,
+  md5(COALESCE(
+    string_agg(CASE WHEN rk = 1 THEN seg_text END, ' ' ORDER BY seg), ''))
+    AS clean_hash
+FROM r GROUP BY doc_id
+"""
+
+
+@query("segment_dedup_removal", oracle=_SEG_DEDUP_SQL)
+def segment_dedup_removal(spark, sf_dir):
+    """CCNet-style corpus-level segment dedup AS A REWRITE (Wenzek et al.
+    2020 §3.1 dedups paragraph hashes corpus-wide, keeping the first
+    occurrence; on this newline-free token corpus the paragraph analog is
+    fixed {_SEG_W}-token disjoint segments): every segment whose exact
+    text occurred earlier in the corpus — first occurrence = min
+    (doc_id, seg) over the segment md5 — is cut, each document's text is
+    rebuilt from its kept segments in order, and `clean_hash` (md5 of the
+    rebuilt text) certifies the surgery byte-for-byte across engines.
+    Complements the detect→rewrite loop the gram family already has
+    (exact_substring_spans → exact_substring_removal): this is the
+    COARSE-grained rewrite real pipelines run first — cheap, alignment-
+    based, one hash per segment — before the O(n·grams) fine-grained
+    pass.
+
+    Distributed shape (`operators/dedup.dedup_segments`): narrow
+    segmenting, first-occurrence via min-struct hash agg + md5 equi-join
+    back (never a corpus-sized window over the md5 — boilerplate
+    segments shared by millions of docs partial-aggregate instead of
+    landing in one window partition), one groupBy(doc_id) rebuild. The
+    oracle keeps the definitional ROW_NUMBER formulation — parity
+    certifies the agg+join rewrite."""
+    from importer_spark.operators.dedup import dedup_segments
+
+    t = Tables(spark, sf_dir)
+    out = dedup_segments(t.documents, "doc_id", "text", width=_SEG_W)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "removed_segments",
+        "clean_n_tokens",
+        F.md5("clean_text").alias("clean_hash"),
+    )

@@ -475,3 +475,53 @@ def test_lang_id_kappa_matches_confusion_counting(spark):
     # the whole point of the r6 swap: a trained classifier with real
     # agreement (the stopword heuristic measured kappa ~0.0016 here)
     assert want_kappa is not None and want_kappa > 0.2
+
+
+def test_segment_dedup_removal_matches_python_reference(spark):
+    """Third derivation of segment_dedup_removal: brute-force Python —
+    disjoint 16-token segments, global first-occurrence by (doc_id, seg),
+    rebuild — must agree with the Spark/agg-join answer doc for doc,
+    including the rebuilt-text md5."""
+    import hashlib
+
+    W = 16
+    segs = []  # (doc_id, seg, seg_text, seg_tokens) in corpus order
+    for d, _lang, _s, text in sorted(_docs(spark)):
+        if text is None:
+            continue
+        t = text.split(" ")
+        n_seg = (len(t) + W - 1) // W
+        for k in range(n_seg):
+            part = t[k * W : k * W + W]
+            segs.append((d, k, " ".join(part), len(part)))
+    seen: set[str] = set()
+    want: dict[int, list] = {}
+    for d, k, st, sn in segs:  # sorted (doc_id, seg) = corpus order
+        rec = want.setdefault(d, [0, 0, 0, []])
+        rec[0] += 1
+        if st in seen:
+            rec[1] += 1
+        else:
+            seen.add(st)
+            rec[2] += sn
+            rec[3].append(st)
+    from importer_spark.queries import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["segment_dedup_removal"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    removed_total = 0
+    for d, (ns, rm, kn, kept) in want.items():
+        r = got[d]
+        assert (r["n_segments"], r["removed_segments"], r["clean_n_tokens"]) == (
+            ns,
+            rm,
+            kn,
+        ), d
+        assert r["clean_hash"] == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest(), d
+        removed_total += rm
+    assert removed_total > 0  # the corpus must actually exercise removal

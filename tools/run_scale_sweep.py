@@ -75,6 +75,7 @@ SWEEP_QUERIES = [
     "pmi_collocations",
     "chunk_overlap_pairs",
     "chunk_overlap_pairs_incremental",
+    "segment_dedup_removal",
     "embedding_near_dups_incremental",
 ]
 
