@@ -47,6 +47,20 @@ def row_normalize(m):
     return m
 
 
+# Per-task scratch budget for block matmuls: the sims matrix a tile
+# produces is block_rows × tile float64s. Without tiling, a 10k-row Arrow
+# block against a 40k-row broadcast allocates 3.2 GB PER TASK (measured at
+# the 100× sweep: run-to-run wall 18→117 s from memory thrash across 32
+# tasks); capped at 16M doubles (128 MB) the same work streams in column
+# tiles with identical outputs — values and rounding are untouched, only
+# the evaluation order of independent (row, col) cells changes.
+_TILE_BUDGET_DOUBLES = 16_000_000
+
+
+def _col_tile(n_block_rows: int) -> int:
+    return max(512, _TILE_BUDGET_DOUBLES // max(1, n_block_rows))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-accumulation dot product (bitwise-portable)."""
     return F.aggregate(
@@ -118,15 +132,20 @@ def cosine_pairs_blockwise(
             ids_a = block[id_col].to_numpy()
             a = np.vstack(block[vec_col].to_numpy()).astype("float64")
             row_normalize(a)
-            sims = a @ mb.T
-            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ii],
-                    "id_b": ids_b[jj],
-                    "cosine": np.round(sims[ii, jj], round_scale),
-                }
-            )
+            tile = _col_tile(len(ids_a))
+            for t0 in range(0, len(ids_b), tile):
+                idc = ids_b[t0 : t0 + tile]
+                sims = a @ mb[t0 : t0 + tile].T
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (ids_a[:, None] < idc[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids_a[ii],
+                        "id_b": idc[jj],
+                        "cosine": np.round(sims[ii, jj], round_scale),
+                    }
+                )
 
     return df.select(id_col, vec_col).mapInPandas(
         blocks, schema="id_a bigint, id_b bigint, cosine double"
@@ -192,23 +211,38 @@ def cosine_pairs_exact(
         if ma is None:
             return empty
         if ba == bb:
-            sims = ma @ ma.T
-            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_a[None, :]))
-            ids_b = ids_a
+            ids_b, mb = ids_a, ma
+            same = True
         else:
             ids_b, mb = side(bb)
             if mb is None:
                 return empty
-            sims = ma @ mb.T
-            ii, jj = np.nonzero(sims >= threshold)
-        left, right = ids_a[ii], ids_b[jj]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(left, right),
-                "id_b": np.maximum(left, right),
-                "cosine": np.round(sims[ii, jj], round_scale),
-            }
-        )
+            same = False
+        # Column-tiled matmul (same _TILE_BUDGET_DOUBLES cap as the
+        # broadcast operators): a 200k-corpus / 8-block group would
+        # otherwise allocate a 25k x 25k = 5 GB sims temp per task.
+        parts = []
+        tile = _col_tile(len(ids_a))
+        for t0 in range(0, len(ids_b), tile):
+            idc = ids_b[t0 : t0 + tile]
+            sims = ma @ mb[t0 : t0 + tile].T
+            if same:
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (ids_a[:, None] < idc[None, :])
+                )
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+            left, right = ids_a[ii], idc[jj]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(left, right),
+                        "id_b": np.maximum(left, right),
+                        "cosine": np.round(sims[ii, jj], round_scale),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return rep.groupBy("blk_a", "blk_b").applyInPandas(
         compute, schema="id_a bigint, id_b bigint, cosine double"
@@ -316,13 +350,22 @@ def cosine_pairs_probe(
             ids_a = block[id_col].to_numpy()
             a = np.vstack(block[vec_col].to_numpy()).astype("float64")
             row_normalize(a)
-            sims = a @ bm.T
-            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] != bids[None, :]))
-            lo = np.minimum(ids_a[ii], bids[jj])
-            hi = np.maximum(ids_a[ii], bids[jj])
-            yield pd.DataFrame(
-                {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], round_scale)}
-            )
+            tile = _col_tile(len(ids_a))
+            for t0 in range(0, len(bids), tile):
+                idc = bids[t0 : t0 + tile]
+                sims = a @ bm[t0 : t0 + tile].T
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (ids_a[:, None] != idc[None, :])
+                )
+                lo = np.minimum(ids_a[ii], idc[jj])
+                hi = np.maximum(ids_a[ii], idc[jj])
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo,
+                        "id_b": hi,
+                        "cosine": np.round(sims[ii, jj], round_scale),
+                    }
+                )
 
     return (
         corpus.select(id_col, vec_col)

@@ -49,3 +49,16 @@ def test_stream_dedup_throughput(spark):
     assert r["rows"] == 200_000
     assert r["unique_emitted"] == 100_000  # dedup exactly halves the stream
     assert r["rows_per_s"] >= SDEDUP_FLOOR, r
+
+
+def test_merge_amortizes_at_batch_scale(spark):
+    """r6 (r5 verdict item 7): the merge sink's cost is per-COMMIT, not
+    per-row — the same 100k rows pushed as ONE batch must clear at least
+    1.8x the 10-batch throughput measured in the same session (relative
+    floor: immune to machine noise, pins the amortization curve itself;
+    the absolute 100x-scale point — 10M rows / 1M-row batches =
+    364,787 rows/s — is recorded in PERF.md)."""
+    many = bench_exactly_once_merge(spark, SF_DIR, n_batches=10)
+    one = bench_exactly_once_merge(spark, SF_DIR, n_batches=1)
+    assert one["rows"] == many["rows"] == 100_000
+    assert one["rows_per_s"] >= 1.8 * many["rows_per_s"], (one, many)
