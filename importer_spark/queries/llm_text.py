@@ -775,27 +775,33 @@ def _lang_nb_pred(spark, sf_dir):
         ).alias("g"),
     )
 
-    # ONE pass over the trigram stream builds the model-sized (cls, g, c)
-    # relation; every model scalar (per-class totals, vocab size) derives
-    # from it, so the corpus is scanned twice total (model build + scoring)
-    # instead of once per scalar. localCheckpoint pins the V×C relation —
-    # bounded by alphabet³ × C, never corpus-sized.
+    # Two linear passes over the trigram stream: the model build (below;
+    # localCheckpoint pins the MODEL-SIZED (cls, g, c) relation — bounded
+    # by alphabet³ × C, never corpus-sized. An r6 draft checkpointed a
+    # corpus-sized (doc, g, k) relation to share it between the passes
+    # and OOMed multi-query sessions at 50× — materializing corpus-sized
+    # state for a ~0.3 s win is exactly the trade this repo refuses) and
+    # the scoring job (per-instance broadcast-join + one groupBy(doc_id),
+    # whose map-side partial agg already collapses the shuffle to one row
+    # per (doc, class-vector)).
     cnt = (
         toks.groupBy(F.col("lang").alias("cls"), "g")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
-    # Bounded model scalars (C classes + 1 vocab size) — the certified
-    # _nb_scores convention: collected once at plan-build time.
-    v_size = cnt.select("g").distinct().count()
+    # Bounded model scalars — the certified _nb_scores convention
+    # (collected once at plan-build time), in ONE rollup job over the
+    # model-sized cnt relation: per-class rows carry the token totals,
+    # the grand-total row carries the distinct-trigram vocabulary size.
+    roll = cnt.rollup("cls").agg(
+        F.sum("c").alias("t"), F.countDistinct("g").alias("vg")
+    ).collect()
+    v_size = next(int(r["vg"]) for r in roll if r["cls"] is None)
+    tot = {r["cls"]: r["t"] for r in roll if r["cls"] is not None}
     nd_rows = base.groupBy("lang").agg(F.count("*").alias("n_docs")).collect()
     classes = sorted(r["lang"] for r in nd_rows)
     nd = {r["lang"]: r["n_docs"] for r in nd_rows}
     ndt = sum(nd.values())
-    tot = {
-        r["cls"]: r["t"]
-        for r in cnt.groupBy("cls").agg(F.sum("c").alias("t")).collect()
-    }
 
     def _lndec(num, den):
         # round(ln(num/den), 9) computed IN the engine over identical
