@@ -512,6 +512,55 @@ def duplicate_ngram_spans_incremental(
     return _merge_hit_spans(hits, id_col, n), delta
 
 
+def segment_rows(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """(id, seg, seg_text, seg_tokens, _h) rows of the disjoint
+    ``width``-token segment grid — the segment STORE's row format, shared
+    by the batch and incremental paths so hashes are
+    construction-identical (the `_chunk_rows` convention). Narrow ops
+    only: split / sequence / explode / slice, zero shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    sliced = F.slice(F.col("_t"), F.col("seg") * width + 1, F.lit(width))
+    return (
+        base.select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(_n + {width - 1}) div {width}") - 1)
+            ).alias("seg"),
+        )
+        .select(
+            id_col,
+            "seg",
+            F.concat_ws(" ", sliced).alias("seg_text"),
+            F.size(sliced).alias("seg_tokens"),
+        )
+        .select(
+            id_col, "seg", "seg_text", "seg_tokens", F.md5("seg_text").alias("_h")
+        )
+    )
+
+
+def segment_store(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """The persisted segment-dedup store: (_h, _first) — each segment
+    md5's FIRST corpus occurrence as a (i, s) = (id, seg) struct. A
+    monoid: merging a new batch is min(_first, batch_min) per hash, so
+    production appends fold in at batch cost (the gram/band/chunk-store
+    contract); bucket by pmod of the hash so probes prune to touched
+    buckets."""
+    return segment_rows(df, id_col, text_col, width).groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg").alias("s"))).alias(
+            "_first"
+        )
+    )
+
+
 def dedup_segments(
     df: DataFrame,
     id_col: str,
@@ -537,34 +586,8 @@ def dedup_segments(
     segment shared by millions of documents lands in one window
     partition; the agg+join shape partial-aggregates it) — then ONE
     groupBy(id) rebuild. Three shuffles total, all on natural keys."""
-    toks = F.split(F.col(text_col), " ")
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
-    )
-    sliced = F.slice(F.col("_t"), F.col("seg") * width + 1, F.lit(width))
-    segs = (
-        base.select(
-            id_col,
-            "_t",
-            F.explode(
-                F.sequence(F.lit(0), F.expr(f"(_n + {width - 1}) div {width}") - 1)
-            ).alias("seg"),
-        )
-        .select(
-            id_col,
-            "seg",
-            F.concat_ws(" ", sliced).alias("seg_text"),
-            F.size(sliced).alias("seg_tokens"),
-        )
-        .select(
-            id_col, "seg", "seg_text", "seg_tokens", F.md5("seg_text").alias("_h")
-        )
-    )
-    first = segs.groupBy("_h").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg").alias("s"))).alias(
-            "_first"
-        )
-    )
+    segs = segment_rows(df, id_col, text_col, width)
+    first = segment_store(df, id_col, text_col, width)
     flagged = segs.join(first, "_h").select(
         id_col,
         "seg",
@@ -574,6 +597,12 @@ def dedup_segments(
             (F.col("_first.i") == F.col(id_col)) & (F.col("_first.s") == F.col("seg"))
         ).alias("_keep"),
     )
+    return _rebuild_from_kept(flagged, id_col)
+
+
+def _rebuild_from_kept(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Shared rebuild tail of the segment-dedup paths: per-doc counts +
+    clean_text reassembled from kept segments in order."""
     kept_struct = F.when(
         F.col("_keep"), F.struct(F.col("seg"), F.col("seg_text"))
     )
@@ -592,3 +621,39 @@ def dedup_segments(
             " ",
         ).alias("clean_text"),
     )
+
+
+def dedup_segments_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 16,
+) -> DataFrame:
+    """Incremental segment dedup: rewrite ONLY the new batch against the
+    persisted :func:`segment_store` without re-segmenting the corpus. A
+    batch segment survives iff its (id, seg) equals the min of the
+    store's first occurrence and the batch's own first occurrence for
+    that hash (`F.least` skips NULLs, so store-unseen hashes fall back to
+    the batch min) — exactly the batch slice of :func:`dedup_segments`'
+    full-corpus answer, at batch-probe cost: one batch-sized agg + one
+    equi-join against the (bucketable) store + the per-doc rebuild."""
+    rows = segment_rows(new_docs, id_col, text_col, width)
+    batch_min = rows.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg").alias("s"))).alias(
+            "_bfirst"
+        )
+    )
+    merged = batch_min.join(store, "_h", "left").select(
+        "_h", F.least("_first", "_bfirst").alias("_first")
+    )
+    flagged = rows.join(merged, "_h").select(
+        id_col,
+        "seg",
+        "seg_text",
+        "seg_tokens",
+        (
+            (F.col("_first.i") == F.col(id_col)) & (F.col("_first.s") == F.col("seg"))
+        ).alias("_keep"),
+    )
+    return _rebuild_from_kept(flagged, id_col)

@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "chunk_overlap_pairs_incremental",
     "embedding_near_dups_incremental",
     "segment_dedup_removal",
+    "segment_dedup_removal_incremental",
     # Round-5 additions sampled in CORRECTNESS_r05
     "exact_substring_removal",
     "ccnet_perplexity_buckets",

@@ -431,3 +431,45 @@ def segment_dedup_removal(spark, sf_dir):
         "clean_n_tokens",
         F.md5("clean_text").alias("clean_hash"),
     )
+
+
+_SEG_DEDUP_INCR_SQL = _SEG_DEDUP_SQL.replace(
+    "FROM r GROUP BY doc_id",
+    "FROM r WHERE doc_id % 5 = 0 GROUP BY doc_id",
+)
+
+
+@query("segment_dedup_removal_incremental", oracle=_SEG_DEDUP_INCR_SQL)
+def segment_dedup_removal_incremental(spark, sf_dir):
+    """Incremental segment-dedup rewrite: docs with doc_id % 5 == 0 play
+    the NEW daily batch, the rest are the already-segmented corpus
+    represented ONLY by its persisted `operators/dedup.segment_store`
+    (one (md5 → first (doc, seg)) row per distinct segment — a MIN
+    monoid, so production batches fold in with one merge and the store
+    never re-reads the corpus). The oracle is the full-corpus answer
+    restricted to batch docs — agreement proves the probe path returns
+    EXACTLY the batch slice of `segment_dedup_removal`'s answer at
+    batch-probe cost, the same contract the gram / band / chunk /
+    embedding stores carry (this completes the incremental QUINTET: one
+    per dedup modality). Bucket the store by pmod(_h, B) in production
+    so batch probes prune to touched buckets."""
+    from importer_spark.operators.dedup import (
+        dedup_segments_incremental,
+        segment_store,
+    )
+
+    t = Tables(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    store = segment_store(
+        t.documents.filter(~is_new), "doc_id", "text", width=_SEG_W
+    )  # persisted in production
+    out = dedup_segments_incremental(
+        t.documents.filter(is_new), store, "doc_id", "text", width=_SEG_W
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "removed_segments",
+        "clean_n_tokens",
+        F.md5("clean_text").alias("clean_hash"),
+    )

@@ -525,3 +525,33 @@ def test_segment_dedup_removal_matches_python_reference(spark):
         ).hexdigest(), d
         removed_total += rm
     assert removed_total > 0  # the corpus must actually exercise removal
+
+
+def test_segment_dedup_incremental_is_batch_slice(spark):
+    """The incremental probe (persisted segment store + batch rewrite)
+    must return EXACTLY the batch-doc rows of the full-corpus rewrite —
+    same counts, same rebuilt-text hash, and a nonempty batch."""
+    from importer_spark.queries import QUERIES
+
+    full = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["removed_segments"],
+            r["clean_n_tokens"],
+            r["clean_hash"],
+        )
+        for r in QUERIES["segment_dedup_removal"](spark, SF_DIR).collect()
+        if r["doc_id"] % 5 == 0
+    }
+    incr = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["removed_segments"],
+            r["clean_n_tokens"],
+            r["clean_hash"],
+        )
+        for r in QUERIES["segment_dedup_removal_incremental"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert incr and incr == full

@@ -76,6 +76,7 @@ SWEEP_QUERIES = [
     "chunk_overlap_pairs",
     "chunk_overlap_pairs_incremental",
     "segment_dedup_removal",
+    "segment_dedup_removal_incremental",
     "embedding_near_dups_incremental",
 ]
 
