@@ -113,8 +113,12 @@ def kmeans_fit(
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's algorithm with deterministic seeds (the k lowest-id vectors).
     Returns (centroids, per-iteration SSE) — the SSE trace is the
-    convergence audit."""
-    embs = embs.select(id_col, vec_col).cache()
+    convergence audit. Non-finite vectors self-exclude from training
+    (the `similarity.finite_vectors` contract — a single NaN component
+    otherwise poisons its cluster's centroid mean and the SSE trace)."""
+    from importer_spark.operators.similarity import finite_vectors
+
+    embs = finite_vectors(embs, vec_col).select(id_col, vec_col).cache()
     seeds = [list(r[vec_col]) for r in embs.orderBy(id_col).limit(k).collect()]
     if len(seeds) < k:
         embs.unpersist()
@@ -154,9 +158,15 @@ def kmeans_fit(
 def kmeans_assignments(
     embs: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
-    """Final (id, cluster, cluster_size) after `iters` Lloyd rounds."""
+    """Final (id, cluster, cluster_size) after `iters` Lloyd rounds.
+    Non-finite vectors self-exclude (train AND output — assigning a NaN
+    vector is argmin over NaNs, a meaningless bucket)."""
+    from importer_spark.operators.similarity import finite_vectors
+
     cents, _ = kmeans_fit(embs, id_col, vec_col, k=k, iters=iters)
-    assigned = assign_clusters(embs, id_col, vec_col, cents).select(id_col, "cluster")
+    assigned = assign_clusters(
+        finite_vectors(embs, vec_col), id_col, vec_col, cents
+    ).select(id_col, "cluster")
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return assigned.join(F.broadcast(sizes), "cluster").select(
         id_col, "cluster", "cluster_size"

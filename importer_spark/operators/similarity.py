@@ -61,6 +61,25 @@ def _col_tile(n_block_rows: int) -> int:
     return max(512, _TILE_BUDGET_DOUBLES // max(1, n_block_rows))
 
 
+def finite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose vector has ONLY finite components. The ANN/clustering
+    contract for dirty data (row_normalize's self-exclusion, applied at
+    ingestion): a NaN/±Inf/NULL component disqualifies its OWN vector
+    from model training and candidate generation instead of crashing the
+    job (k-means SSE went None, int8 scaling divided by zero — both found
+    by the FLOATSPECIAL smoke gate) or poisoning centroids/codebooks.
+    Pure JVM predicate (forall), no Python."""
+    x = F.col(vec_col)
+    return df.filter(
+        F.forall(
+            x,
+            lambda v: v.isNotNull()
+            & ~F.isnan(v)
+            & (F.abs(v) < F.lit(float("inf"))),
+        )
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-accumulation dot product (bitwise-portable)."""
     return F.aggregate(

@@ -281,8 +281,13 @@ def embedding_ivf_trained_topk(spark, sf_dir):
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     nlist = _ivf_stride(e.count())
+    from importer_spark.operators.similarity import finite_vectors
+
     cents, _sse = kmeans_fit(e, "vec_id", "emb", k=nlist, iters=3)
-    return ivf_search(e, list(range(nlist)), cents)
+    # non-finite vectors self-exclude from the search side too (the
+    # finite_vectors contract; cell assignment of a NaN vector is argmin
+    # over NaNs)
+    return ivf_search(finite_vectors(e, "emb"), list(range(nlist)), cents)
 
 
 @query("kmeans_embeddings", catalog=False)
@@ -355,12 +360,20 @@ def embedding_quantized_topk(spark, sf_dir):
     for ~k·RESCORE_MULT rows per probe. Quantization error only costs
     recall (measured in tests), never wrong scores: everything emitted is
     exactly rescored."""
-    from importer_spark.operators.similarity import int_dot, max_abs, quantize_int8
+    from importer_spark.operators.similarity import (
+        finite_vectors,
+        int_dot,
+        max_abs,
+        quantize_int8,
+    )
 
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", as_double_array(F.col("embedding")).alias("emb")
-    )
+    e = finite_vectors(
+        t.embeddings.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("emb")
+        ),
+        "emb",
+    )  # a NaN/Inf component breaks int8 scaling (0/0) — self-exclude
     q = e.withColumn("maxabs", max_abs(F.col("emb")))
     q = q.withColumn("qv", quantize_int8(F.col("emb"), F.col("maxabs")))
     q = q.select(

@@ -350,9 +350,8 @@ def embedding_near_dups_incremental(spark, sf_dir):
     `cosine_pairs_probe` — the batch broadcasts (bounded by definition),
     the corpus streams one scan, and the result is EXACTLY the batch
     slice of `embedding_near_dups`' full answer (the same contract the
-    gram/band/chunk stores carry, completing the incremental quartet
-    across all four dedup modalities: substring, shingle, chunk,
-    embedding). At production scale the corpus scan prunes further
+    gram/band/chunk/segment stores carry — one incremental twin per
+    dedup modality: substring, shingle, chunk, embedding, segment). At production scale the corpus scan prunes further
     through the LSH bucket store (probe only the batch's buckets — the
     embedding_ann_lsh geometry); the exact streamed scan here is the
     certifiable baseline."""

@@ -987,3 +987,28 @@ def test_nonfinite_embeddings_self_exclude(spark):
         for r in semdedup_flags(same_cell, "vec_id", "emb", tau=0.99).collect()
     }
     assert flags2 == {1: False, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_training_paths_survive_nonfinite_vectors(spark):
+    """FLOATSPECIAL smoke-gate regressions (r6): k-means training crashed
+    (SSE None) and int8 quantization divided by zero when a vector
+    carried a NaN/Inf component. finite_vectors self-excludes such
+    vectors at training/scoring ingestion — the model is built from the
+    finite rows only, and poisoned ids never appear in output."""
+    from importer_spark.operators.clustering import kmeans_assignments
+    from importer_spark.operators.similarity import (
+        finite_vectors,
+        max_abs,
+        quantize_int8,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(1, 21)]
+    rows += [(100, [nan, 1.0]), (101, [inf, 2.0]), (102, [1.0, -inf]),
+             (103, [None, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+    got = kmeans_assignments(df, "vec_id", "emb", k=4, iters=2).collect()
+    assert {r.vec_id for r in got} == {i for i in range(1, 21)}
+    q = finite_vectors(df, "emb").withColumn("m", max_abs(F.col("emb")))
+    q = q.withColumn("qv", quantize_int8(F.col("emb"), F.col("m"))).collect()
+    assert {r.vec_id for r in q} == {i for i in range(1, 21)}
