@@ -117,7 +117,12 @@ def main() -> None:
         for dp, _, fs in os.walk(sf_dir)
         for f in fs
     ) / 1e6
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(128, int(size_mb / 32)))))
+    # ~1 partition per 16 MB of input, capped at 256: the earlier /32 rule
+    # under-partitioned the 100x dir (57 partitions -> shuffle spill showed
+    # up as a fake 1.3 growth exponent on the join-heavy marts; at 128
+    # partitions the same queries measure 0.75-0.95 — SCALE_SWEEP
+    # sf10_100x_sh128).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 16)))))
     spark = get_spark(
         app_name=f"scale-sweep-{label}",
         master=f"local[{cpus}]",
