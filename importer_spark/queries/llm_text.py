@@ -740,24 +740,10 @@ pred AS (
 )"""
 
 
-def _lang_nb_pred(spark, sf_dir):
-    """Per-doc char-trigram NB prediction DataFrame (doc_id, labeled,
-    predicted, nb_logprob) — the Spark twin of ``_LANG_NB_CTES``'s `pred`
-    relation, shared by lang_id_ngram_nb / lang_id_kappa /
-    lang_id_class_f1 (one definition of the classifier).
-
-    Same certified shape as analytics5._nb_scores: Laplace-smoothed
-    per-class trigram log-probs and priors quantize to DECIMAL(18,9) at
-    birth; the V×C model PIVOTS to per-class columns and broadcast-joins
-    the exploded corpus once; ONE groupBy(doc_id) sums all C class scores
-    as exact decimals (the oracle keeps the naive doc×class formulation —
-    parity certifies the pivot rewrite). Argmax over quantized decimals,
-    ties to the alphabetically first class. Driver state is model-sized
-    (C totals + priors + vocab size), never corpus-sized. At 100 TB the
-    only change is the broadcast threshold: a trigram vocabulary past
-    memory turns the model join into a shuffle join on g — trigram vocab
-    is bounded (~alphabet³) so in practice it always broadcasts."""
-    dec = "decimal(18,9)"
+def _nb_base_toks(spark, sf_dir):
+    """(base, toks) relations for the NB classifier — the labeled-doc
+    projection and its exploded char-trigram stream. Lazy plans rebuilt
+    per call (corpus-sized state is never cached — see `_lang_nb_model`)."""
     t = Tables(spark, sf_dir)
     base = (
         t.documents.filter(
@@ -774,14 +760,45 @@ def _lang_nb_pred(spark, sf_dir):
             F.expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")
         ).alias("g"),
     )
+    return base, toks
 
+
+# MODEL-sized NB state cached per (SparkContext, corpus dir): the
+# localCheckpointed (cls, g, c) relation, its pivoted per-class twin, and
+# the collected scalars. Bounded by alphabet³ × C — a few MB — NEVER
+# corpus-sized (an r6 draft cached the corpus-sized (doc, g, k) relation
+# and OOMed multi-query sessions at 50×; that trade stays refused). The
+# r6 verdict measured the alternative — retraining inside each of the
+# lang_id_ngram_nb / lang_id_kappa / lang_id_class_f1 trio — at ~18 s of
+# the isolated bench and ~210 s at 100×, for a model that is identical
+# across the trio by construction. Keyed on applicationId so a new
+# SparkContext (whose checkpointed RDDs are gone) rebuilds; capped so a
+# scale sweep over many corpus dirs cannot accumulate unbounded
+# checkpoint state (evicted entries are unpersisted and GC'd).
+_NB_MODEL_CACHE: dict = {}
+_NB_MODEL_CACHE_MAX = 4
+_NB_MODEL_BUILDS = 0  # monotone build counter — pinned by tests
+
+
+def _lang_nb_model(spark, sf_dir):
+    """Build — or fetch the cached — model-sized NB state for this
+    (session, corpus) pair: dict with `lp_wide` (V×C pivoted log-prob
+    DataFrame over the localCheckpointed count relation), `classes`,
+    `tot`, `nd`, `ndt`, `v_size`."""
+    global _NB_MODEL_BUILDS
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(str(sf_dir)))
+    hit = _NB_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    dec = "decimal(18,9)"
+    base, toks = _nb_base_toks(spark, sf_dir)
     # Two linear passes over the trigram stream: the model build (below;
     # localCheckpoint pins the MODEL-SIZED (cls, g, c) relation — bounded
-    # by alphabet³ × C, never corpus-sized. An r6 draft checkpointed a
-    # corpus-sized (doc, g, k) relation to share it between the passes
-    # and OOMed multi-query sessions at 50× — materializing corpus-sized
-    # state for a ~0.3 s win is exactly the trade this repo refuses) and
-    # the scoring job (per-instance broadcast-join + one groupBy(doc_id),
+    # by alphabet³ × C, never corpus-sized) and the scoring job in
+    # `_lang_nb_pred` (per-instance broadcast-join + one groupBy(doc_id),
     # whose map-side partial agg already collapses the shuffle to one row
     # per (doc, class-vector)).
     cnt = (
@@ -803,10 +820,6 @@ def _lang_nb_pred(spark, sf_dir):
     nd = {r["lang"]: r["n_docs"] for r in nd_rows}
     ndt = sum(nd.values())
 
-    def _lndec(num, den):
-        # round(ln(num/den), 9) computed IN the engine over identical
-        # exact-integer inputs on both sides (llm_lm.py convention)
-        return F.round(F.log(F.lit(float(num)) / F.lit(float(den))), 9).cast(dec)
     den = F.when(F.col("cls") == classes[0], F.lit(float(tot[classes[0]] + v_size)))
     for c in classes[1:]:
         den = den.when(F.col("cls") == c, F.lit(float(tot[c] + v_size)))
@@ -817,7 +830,61 @@ def _lang_nb_pred(spark, sf_dir):
     )
     lp_wide = lp_long.groupBy("g").pivot("cls", classes).agg(F.first("lp"))
 
-    joined = toks.join(F.broadcast(lp_wide), "g", "left")
+    model = {
+        "lp_wide": lp_wide,
+        "classes": classes,
+        "tot": tot,
+        "nd": nd,
+        "ndt": ndt,
+        "v_size": v_size,
+        "_cnt": cnt,  # keep the checkpointed parent reachable
+    }
+    _nb_cache_put(key, model)
+    _NB_MODEL_BUILDS += 1
+    return model
+
+
+def _nb_cache_put(key, model) -> None:
+    """Insert into the bounded model cache, evicting oldest-first. An
+    evicted entry's checkpointed RDD loses its last reference and the
+    ContextCleaner reclaims the blocks (dicts are insertion-ordered)."""
+    while len(_NB_MODEL_CACHE) >= _NB_MODEL_CACHE_MAX:
+        del _NB_MODEL_CACHE[next(iter(_NB_MODEL_CACHE))]
+    _NB_MODEL_CACHE[key] = model
+
+
+def _lang_nb_pred(spark, sf_dir):
+    """Per-doc char-trigram NB prediction DataFrame (doc_id, labeled,
+    predicted, nb_logprob) — the Spark twin of ``_LANG_NB_CTES``'s `pred`
+    relation, shared by lang_id_ngram_nb / lang_id_kappa /
+    lang_id_class_f1 (one definition of the classifier). The model is
+    trained ONCE per (session, corpus) via `_lang_nb_model` and reused by
+    the whole trio; only the scoring pass below is per-query.
+
+    Same certified shape as analytics5._nb_scores: Laplace-smoothed
+    per-class trigram log-probs and priors quantize to DECIMAL(18,9) at
+    birth; the V×C model PIVOTS to per-class columns and broadcast-joins
+    the exploded corpus once; ONE groupBy(doc_id) sums all C class scores
+    as exact decimals (the oracle keeps the naive doc×class formulation —
+    parity certifies the pivot rewrite). Argmax over quantized decimals,
+    ties to the alphabetically first class. Driver state is model-sized
+    (C totals + priors + vocab size), never corpus-sized. At 100 TB the
+    only change is the broadcast threshold: a trigram vocabulary past
+    memory turns the model join into a shuffle join on g — trigram vocab
+    is bounded (~alphabet³) so in practice it always broadcasts."""
+    dec = "decimal(18,9)"
+    m = _lang_nb_model(spark, sf_dir)
+    classes, tot, nd, ndt, v_size = (
+        m["classes"], m["tot"], m["nd"], m["ndt"], m["v_size"],
+    )
+    _, toks = _nb_base_toks(spark, sf_dir)
+
+    def _lndec(num, den):
+        # round(ln(num/den), 9) computed IN the engine over identical
+        # exact-integer inputs on both sides (llm_lm.py convention)
+        return F.round(F.log(F.lit(float(num)) / F.lit(float(den))), 9).cast(dec)
+
+    joined = toks.join(F.broadcast(m["lp_wide"]), "g", "left")
     score_cols = [
         (
             F.sum(F.coalesce(F.col(f"`{c}`"), _lndec(1, tot[c] + v_size)))

@@ -339,3 +339,46 @@ def test_zero_norm_embeddings_never_nan_never_dup(spark):
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert all(not math.isnan(r.cosine) for r in pairs)
+
+
+def test_lang_nb_model_trained_once_per_session_and_corpus(spark):
+    """r6 verdict #1: the lang-ID trio (ngram_nb / kappa / class_f1) must
+    share ONE model build per (session, corpus) — the retrain cost ~18s of
+    the isolated bench and ~210s at 100x. Pins: (a) repeated invocations
+    reuse the cached model-sized state, (b) a different corpus dir builds a
+    fresh model, (c) cached predictions stay value-identical."""
+    from importer_spark.queries import llm_text as lt
+
+    lt._NB_MODEL_CACHE.clear()
+    before = lt._NB_MODEL_BUILDS
+    p1 = lt._lang_nb_pred(spark, "/root/testdata/sf0.001")
+    r1 = sorted(map(tuple, p1.collect()))
+    assert lt._NB_MODEL_BUILDS == before + 1
+    # Whole trio over the same corpus: zero extra builds.
+    lt.lang_id_ngram_nb(spark, "/root/testdata/sf0.001").count()
+    lt.lang_id_kappa(spark, "/root/testdata/sf0.001").collect()
+    lt.lang_id_class_f1(spark, "/root/testdata/sf0.001").count()
+    assert lt._NB_MODEL_BUILDS == before + 1
+    # Cached model yields byte-identical predictions.
+    r2 = sorted(map(tuple, lt._lang_nb_pred(spark, "/root/testdata/sf0.001").collect()))
+    assert r1 == r2
+    # A different corpus dir is a different model.
+    lt._lang_nb_pred(spark, "/root/testdata/sf0.01").count()
+    assert lt._NB_MODEL_BUILDS == before + 2
+
+
+def test_lang_nb_model_cache_bounded(spark, tmp_path):
+    """The model cache is capped: sweeping many corpus dirs (scale sweep)
+    must not accumulate unbounded checkpointed state."""
+    from importer_spark.queries import llm_text as lt
+
+    assert len(lt._NB_MODEL_CACHE) <= lt._NB_MODEL_CACHE_MAX
+    # Synthetic keys exercise the real eviction path without Spark cost.
+    lt._NB_MODEL_CACHE.clear()
+    for i in range(lt._NB_MODEL_CACHE_MAX + 3):
+        lt._nb_cache_put(("app", f"dir{i}"), {"i": i})
+    assert len(lt._NB_MODEL_CACHE) == lt._NB_MODEL_CACHE_MAX
+    # Oldest evicted first, newest retained.
+    assert ("app", "dir0") not in lt._NB_MODEL_CACHE
+    assert ("app", f"dir{lt._NB_MODEL_CACHE_MAX + 2}") in lt._NB_MODEL_CACHE
+    lt._NB_MODEL_CACHE.clear()
