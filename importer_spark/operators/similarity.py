@@ -337,6 +337,8 @@ def cosine_pairs_probe(
     threshold: float,
     round_scale: int = 6,
     max_broadcast_rows: int = 100_000,
+    max_pairs_per_probe: int | None = None,
+    return_overflow: bool = False,
 ) -> DataFrame:
     """Incremental threshold pairs: the BATCH side (bounded by definition
     for daily-ingest dedup) broadcasts as a normalized float64 matrix; each
@@ -347,7 +349,22 @@ def cosine_pairs_probe(
 
     The probe-side twin of :func:`cosine_pairs_blockwise`: same numeric
     path (row-normalized ``a @ b.T``), same broadcast bound, but the big
-    side streams — corpus scale costs one scan, never a corpus broadcast."""
+    side streams — corpus scale costs one scan, never a corpus broadcast.
+
+    ``max_pairs_per_probe`` is the production emit-cap dial (r6 verdict:
+    the 100× exponent ~2.3 is output-driven — emitted pairs grow 4.01× per
+    corpus doubling on clone-heavy data, so an adversarially duplicate-
+    heavy shard materializes an unbounded pair set). With a cap K, each
+    batch vector keeps only its K highest-cosine matches (ties broken by
+    the other id ascending — deterministic): the kernel pre-caps per Arrow
+    block (exact, since any global top-K match is top-K within its block),
+    a single shuffle on the probe id finishes the global top-K, and output
+    is bounded by K·|batch| regardless of corpus duplication. Degradation
+    is OBSERVABLE, not silent: with ``return_overflow=True`` the function
+    returns ``(pairs, overflow)`` where overflow holds one row per
+    saturated probe — (probe_id, n_matches, emit_cap) with the exact
+    pre-cap match degree. Default (None) is byte-identical to the uncapped
+    contract — the certified catalog path."""
     import numpy as np
 
     pdf = batch.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
@@ -361,7 +378,46 @@ def cosine_pairs_probe(
     row_normalize(mb)
     bc = batch.sparkSession.sparkContext.broadcast((ids_b, mb))
 
-    def blocks(it):
+    if max_pairs_per_probe is None:
+        if return_overflow:
+            raise ValueError("return_overflow requires max_pairs_per_probe")
+
+        def blocks(it):
+            import pandas as pd
+
+            bids, bm = bc.value
+            for block in it:
+                ids_a = block[id_col].to_numpy()
+                a = np.vstack(block[vec_col].to_numpy()).astype("float64")
+                row_normalize(a)
+                tile = _col_tile(len(ids_a))
+                for t0 in range(0, len(bids), tile):
+                    idc = bids[t0 : t0 + tile]
+                    sims = a @ bm[t0 : t0 + tile].T
+                    ii, jj = np.nonzero(
+                        (sims >= threshold) & (ids_a[:, None] != idc[None, :])
+                    )
+                    lo = np.minimum(ids_a[ii], idc[jj])
+                    hi = np.maximum(ids_a[ii], idc[jj])
+                    yield pd.DataFrame(
+                        {
+                            "id_a": lo,
+                            "id_b": hi,
+                            "cosine": np.round(sims[ii, jj], round_scale),
+                        }
+                    )
+
+        return (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(blocks, schema="id_a bigint, id_b bigint, cosine double")
+            .distinct()
+        )
+
+    cap = int(max_pairs_per_probe)
+    if cap < 1:
+        raise ValueError(f"max_pairs_per_probe must be >= 1, got {cap}")
+
+    def blocks_capped(it):
         import pandas as pd
 
         bids, bm = bc.value
@@ -376,18 +432,70 @@ def cosine_pairs_probe(
                 ii, jj = np.nonzero(
                     (sims >= threshold) & (ids_a[:, None] != idc[None, :])
                 )
-                lo = np.minimum(ids_a[ii], idc[jj])
-                hi = np.maximum(ids_a[ii], idc[jj])
+                if len(ii) == 0:
+                    continue
+                s = sims[ii, jj]
+                others = ids_a[ii]
+                if return_overflow:
+                    # Exact pre-cap degree per probe in this tile (count
+                    # rows) — only when the caller asked for the overflow
+                    # relation; otherwise they'd double the shuffled rows
+                    # for nothing.
+                    deg = np.bincount(jj, minlength=len(idc))
+                    hit = np.nonzero(deg)[0]
+                    yield pd.DataFrame(
+                        {
+                            "probe_id": idc[hit],
+                            "other_id": np.full(len(hit), -1, dtype="int64"),
+                            "cosine": np.zeros(len(hit)),
+                            "n_matched": deg[hit].astype("int64"),
+                        }
+                    )
+                # Local top-cap per probe, sorted by the SAME key the
+                # global window uses (cosine desc, other id asc) so the
+                # cap is deterministic under any partitioning.
+                order = np.lexsort((others, -s, jj))
+                jj_o = jj[order]
+                starts = np.r_[0, np.flatnonzero(np.diff(jj_o)) + 1]
+                counts = np.diff(np.r_[starts, len(jj_o)])
+                rank = np.arange(len(jj_o)) - np.repeat(starts, counts)
+                keep = order[rank < cap]
                 yield pd.DataFrame(
                     {
-                        "id_a": lo,
-                        "id_b": hi,
-                        "cosine": np.round(sims[ii, jj], round_scale),
+                        "probe_id": idc[jj[keep]],
+                        "other_id": others[keep],
+                        "cosine": np.round(s[keep], round_scale),
+                        "n_matched": np.zeros(len(keep), dtype="int64"),
                     }
                 )
 
-    return (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(blocks, schema="id_a bigint, id_b bigint, cosine double")
+    raw = corpus.select(id_col, vec_col).mapInPandas(
+        blocks_capped,
+        schema="probe_id bigint, other_id bigint, cosine double, n_matched bigint",
+    )
+    # Discriminate on n_matched (count rows carry the pre-cap degree >= 1,
+    # pair rows carry 0) — no assumption about the id domain.
+    pair_rows = raw.filter(F.col("n_matched") == 0)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("other_id").asc()
+    )
+    pairs = (
+        pair_rows.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select(
+            F.least("probe_id", "other_id").alias("id_a"),
+            F.greatest("probe_id", "other_id").alias("id_b"),
+            "cosine",
+        )
         .distinct()
     )
+    if not return_overflow:
+        return pairs
+    overflow = (
+        raw.filter(F.col("n_matched") > 0)
+        .groupBy("probe_id")
+        .agg(F.sum("n_matched").alias("n_matches"))
+        .filter(F.col("n_matches") > cap)
+        .select("probe_id", "n_matches", F.lit(cap).alias("emit_cap"))
+    )
+    return pairs, overflow

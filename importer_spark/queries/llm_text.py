@@ -328,22 +328,44 @@ WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SIMHASH_HAM_K}
 """
 
 
-@query("simhash_near_dups", oracle=_SIMHASH_PAIRS_SQL.format(base=_simhash_sql().strip()))
-def simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs, EXACT within Hamming radius 3: the 32-bit
-    fingerprint splits into 4 byte bands, docs sharing any band value become
-    candidates (pigeonhole: ≤3 differing bits cannot touch all 4 bands, so
-    banding loses nothing at this radius), and candidates verify with
-    bit_count(xor). The 100 TB shape mirrors MinHash-LSH: the band self-join
-    moves only (doc_id, simhash, band_val) — 4 small rows per doc, never
-    content — and the verify is two integer ops. The oracle replays the
-    same banded plan over the shared simhash SQL base."""
+def _simhash_pairs(spark, sf_dir, bucket_cap: int | None = None):
+    """Banded SimHash pair generation shared by the certified catalog query
+    (``bucket_cap=None`` — the identity path, plan untouched) and the
+    production overflow dial. The r6 100× sweep measured the exponent 1.51
+    as CANDIDATE-BUCKET growth on clone-heavy data (clone buckets grow
+    quadratically in members; emitted pairs only 2.08×/doubling) — with a
+    cap B, any (band, band_val) bucket holding more than B docs is routed
+    to an overflow relation instead of the self-join, so candidate work is
+    bounded by B²/2 per bucket regardless of duplication. Degradation is
+    observable, not silent: returns (pairs, overflow) where overflow lists
+    each skipped bucket's (band, band_val, bucket_size). Recall loss is
+    confined to pairs whose ONLY shared band is oversized — on real
+    corpora an oversized simhash bucket is a boilerplate/clone cluster
+    better handled by exact dedup upstream."""
     sh = simhash_fingerprints(spark, sf_dir)
     bands = sh.select(
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
     ).withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
+    overflow = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        # Window count, not a groupBy+rejoin: the band relation is already
+        # consumed twice by the self-join below (each side recomputes the
+        # fingerprints — the certified base shape), so a third consumption
+        # for a sizes join would cost one more full fingerprint pass. The
+        # window adds one shuffle on the SAME key the self-join shuffles
+        # on and annotates in place.
+        w_bucket = Window.partitionBy("band", "band_val")
+        sized = bands.withColumn("bucket_size", F.count("*").over(w_bucket))
+        overflow = (
+            sized.filter(F.col("bucket_size") > bucket_cap)
+            .select("band", "band_val", "bucket_size")
+            .distinct()
+        )
+        bands = sized.filter(F.col("bucket_size") <= bucket_cap).drop("bucket_size")
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "band_val"
     )
@@ -357,10 +379,45 @@ def simhash_near_dups(spark, sf_dir):
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(ham <= _SIMHASH_HAM_K)
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    pairs = cand.filter(ham <= _SIMHASH_HAM_K).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+    return pairs, overflow
+
+
+@query("simhash_near_dups", oracle=_SIMHASH_PAIRS_SQL.format(base=_simhash_sql().strip()))
+def simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs, EXACT within Hamming radius 3: the 32-bit
+    fingerprint splits into 4 byte bands, docs sharing any band value become
+    candidates (pigeonhole: ≤3 differing bits cannot touch all 4 bands, so
+    banding loses nothing at this radius), and candidates verify with
+    bit_count(xor). The 100 TB shape mirrors MinHash-LSH: the band self-join
+    moves only (doc_id, simhash, band_val) — 4 small rows per doc, never
+    content — and the verify is two integer ops. The oracle replays the
+    same banded plan over the shared simhash SQL base. Duplicate-heavy
+    shards: see :func:`_simhash_pairs`' bucket_cap overflow dial."""
+    pairs, _ = _simhash_pairs(spark, sf_dir, bucket_cap=None)
+    return pairs
+
+
+@query("simhash_bucket_capped", catalog=False)
+def simhash_bucket_capped(spark, sf_dir):
+    """The production bucket-cap dial over the same banded SimHash probe
+    (r6 verdict #2): the 100× exponent 1.51 was measured as candidate-
+    BUCKET growth (clone buckets grow quadratically in members), so a
+    duplicate-heavy shard pays unbounded candidate verification. With the
+    cap (SPARK_GRAFT_SIMHASH_BUCKET_CAP, read per call, default 64) any
+    (band, band_val) bucket holding more docs is routed to the overflow
+    relation instead of the self-join — candidate work bounded by cap²/2
+    per bucket. Diagnostic (no oracle): the capped answer deliberately
+    drops pairs whose only shared band is an oversized clone bucket; the
+    uncapped `simhash_near_dups` stays the certified catalog entry, and
+    tests/test_emit_caps.py pins subset + overflow-accounting semantics."""
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_SIMHASH_BUCKET_CAP", "64"))
+    pairs, _overflow = _simhash_pairs(spark, sf_dir, bucket_cap=cap)
+    return pairs
 
 
 _REPETITION_SQL = """

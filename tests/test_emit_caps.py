@@ -1,0 +1,139 @@
+"""Emit-cap / overflow dials for the pair-emitting dedup probes (r6 verdict
+#2): the 100x exponents of embedding_near_dups_incremental and
+simhash_near_dups are output/candidate-driven on clone-heavy data (pairs grow
+4.01x per corpus doubling) — production needs BOUNDED degradation with an
+observable overflow relation instead of unbounded pair materialization.
+
+Pins: (a) parity — the capped path with a non-binding cap reproduces the
+uncapped certified output exactly; (b) bound — with a binding cap, output is
+<= cap per probe and the kept pairs are the top-cosine ones; (c) overflow —
+saturated probes / oversized buckets are reported with their exact pre-cap
+degree, never silently dropped."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from importer_spark.operators.similarity import cosine_pairs_probe
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, emb=[float(x) for x in v]) for i, v in rows],
+        schema="vec_id bigint, emb array<double>",
+    )
+
+
+def test_probe_cap_nonbinding_matches_uncapped(spark):
+    corpus = _emb(
+        spark,
+        [(1, [1, 0]), (2, [0.9, 0.1]), (3, [0, 1]), (4, [0.95, 0.05]), (5, [1, 0.01])],
+    )
+    batch = corpus.filter(F.col("vec_id").isin(1, 3))
+    base = cosine_pairs_probe(batch, corpus, "vec_id", "emb", threshold=0.8)
+    capped = cosine_pairs_probe(
+        batch, corpus, "vec_id", "emb", threshold=0.8, max_pairs_per_probe=1000
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_probe_cap_binding_keeps_top_cosine_and_reports_overflow(spark):
+    # Probe 1 matches 2, 4, 5 (cosines ~0.994, 0.9986, 0.99995); cap 2 must
+    # keep the two highest and report pre-cap degree 3.
+    corpus = _emb(
+        spark,
+        [(1, [1, 0]), (2, [0.9, 0.1]), (3, [0, 1]), (4, [0.95, 0.05]), (5, [1, 0.01])],
+    )
+    batch = corpus.filter(F.col("vec_id") == 1)
+    pairs, overflow = cosine_pairs_probe(
+        batch,
+        corpus,
+        "vec_id",
+        "emb",
+        threshold=0.8,
+        max_pairs_per_probe=2,
+        return_overflow=True,
+    )
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 4), (1, 5)]  # top-2 cosines; (1,2) capped out
+    ov = overflow.collect()
+    assert [(r.probe_id, r.n_matches, r.emit_cap) for r in ov] == [(1, 3, 2)]
+
+
+def test_probe_cap_bounds_clone_heavy_output(spark):
+    # 40 exact clones: uncapped emits 39 pairs for the probe; cap 5 bounds
+    # output at 5 and reports the full degree.
+    corpus = _emb(spark, [(i, [1, 0]) for i in range(40)])
+    batch = corpus.filter(F.col("vec_id") == 0)
+    pairs, overflow = cosine_pairs_probe(
+        batch,
+        corpus,
+        "vec_id",
+        "emb",
+        threshold=0.9,
+        max_pairs_per_probe=5,
+        return_overflow=True,
+    )
+    rows = pairs.collect()
+    assert len(rows) == 5
+    # Deterministic tie-break: all cosines tie at 1.0, so the lowest other
+    # ids win.
+    assert sorted((r.id_a, r.id_b) for r in rows) == [(0, i) for i in (1, 2, 3, 4, 5)]
+    assert [(r.probe_id, r.n_matches) for r in overflow.collect()] == [(0, 39)]
+
+
+def test_probe_cap_unsaturated_probe_absent_from_overflow(spark):
+    corpus = _emb(spark, [(1, [1, 0]), (2, [1, 0.01]), (3, [0, 1])])
+    batch = corpus
+    pairs, overflow = cosine_pairs_probe(
+        batch,
+        corpus,
+        "vec_id",
+        "emb",
+        threshold=0.9,
+        max_pairs_per_probe=5,
+        return_overflow=True,
+    )
+    assert sorted((r.id_a, r.id_b) for r in pairs.collect()) == [(1, 2)]
+    assert overflow.count() == 0
+
+
+def test_simhash_bucket_cap_identity_and_overflow(spark):
+    from importer_spark.queries.llm_text import _simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    base, ov_none = _simhash_pairs(spark, sf, bucket_cap=None)
+    assert ov_none is None
+    huge, ov_huge = _simhash_pairs(spark, sf, bucket_cap=10**9)
+    # Non-binding cap: identical pairs, empty overflow.
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, huge.collect()))
+    assert ov_huge.count() == 0
+    # Binding cap: every surviving candidate bucket is within the cap, the
+    # overflow relation lists each oversized bucket with its exact size,
+    # and output pairs are a subset of the uncapped answer.
+    capped, ov = _simhash_pairs(spark, sf, bucket_cap=3)
+    base_set = set(map(tuple, base.collect()))
+    capped_set = set(map(tuple, capped.collect()))
+    assert capped_set <= base_set
+    ov_rows = ov.collect()
+    assert all(r.bucket_size > 3 for r in ov_rows)
+    # The sf0.001 corpus has at least one bucket past any small cap iff the
+    # uncapped candidate join had >3-member buckets; cross-check against a
+    # direct bucket-size count.
+    from importer_spark.queries.llm_text import simhash_fingerprints
+
+    sizes = (
+        simhash_fingerprints(spark, sf)
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+            "simhash",
+        )
+        .withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
+        .groupBy("band", "band_val")
+        .count()
+        .filter(F.col("count") > 3)
+        .count()
+    )
+    assert len(ov_rows) == sizes

@@ -78,6 +78,11 @@ SWEEP_QUERIES = [
     "segment_dedup_removal",
     "segment_dedup_removal_incremental",
     "embedding_near_dups_incremental",
+    # r7 emit-cap dials: the bounded-degradation twins of the two
+    # output/candidate-driven probes above (SPARK_GRAFT_PROBE_EMIT_CAP /
+    # SPARK_GRAFT_SIMHASH_BUCKET_CAP, read per call).
+    "embedding_probe_emit_capped",
+    "simhash_bucket_capped",
 ]
 
 
