@@ -200,7 +200,8 @@ def main() -> None:
         "1",
         "true",
     )
-    targets = [os.path.join(here, "BENCH_DETAIL.latest.json")]
+    latest_path = os.path.join(here, "BENCH_DETAIL.latest.json")
+    targets = [latest_path]
     if pin:
         targets.append(os.path.join(here, "BENCH_DETAIL.json"))
     for detail_path in targets:
@@ -209,6 +210,14 @@ def main() -> None:
                 json.dump(detail, fh, indent=1, sort_keys=True)
         except OSError:
             # Read-only checkout: the map still lands on stdout below.
+            pass
+    if pin:
+        # A pin IS the judged record — drop the ad-hoc latest file so it
+        # can never shadow the freshly pinned one (r6 advice; the
+        # regression gate also sf/mtime-checks before preferring latest).
+        try:
+            os.remove(latest_path)
+        except OSError:
             pass
     print("BENCH_DETAIL: " + json.dumps(times, sort_keys=True))
     if times_isolated:

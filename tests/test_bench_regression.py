@@ -37,12 +37,36 @@ BASELINE_PATH = os.path.join(HERE, "bench_isolated_baseline.json")
 # BENCH_DETAIL.json under --pin / SPARK_GRAFT_BENCH_PIN=1 (r5 verdict #4).
 _LATEST_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.latest.json")
 _PINNED_PATH = os.path.join(HERE, os.pardir, "BENCH_DETAIL.json")
-DETAIL_PATH = _LATEST_PATH if os.path.exists(_LATEST_PATH) else _PINNED_PATH
 
 
 def _load(path):
     with open(path) as fh:
         return json.load(fh)
+
+
+def _detail_path():
+    """Judge the latest ad-hoc record ONLY when it is (a) at the baseline's
+    scale factor and (b) not older than the pinned record — one stale
+    ad-hoc run at a different sf/config must not silently shadow the
+    committed record for every future test run (r6 advice). bench.py --pin
+    also deletes the latest file, so a fresh pin is never shadowed."""
+    if not os.path.exists(_LATEST_PATH):
+        return _PINNED_PATH
+    if not os.path.exists(_PINNED_PATH):
+        return _LATEST_PATH
+    try:
+        latest_sf = _load(_LATEST_PATH).get("sf")
+        base_sf = _load(BASELINE_PATH)["sf"]
+    except (OSError, ValueError, KeyError):
+        return _PINNED_PATH
+    if latest_sf != base_sf:
+        return _PINNED_PATH
+    if os.path.getmtime(_LATEST_PATH) < os.path.getmtime(_PINNED_PATH):
+        return _PINNED_PATH
+    return _LATEST_PATH
+
+
+DETAIL_PATH = _detail_path()
 
 
 def test_baseline_exists_and_covers_catalog():

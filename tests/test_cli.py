@@ -51,6 +51,46 @@ def test_query_docs_in_sync():
     assert not missing, f"regenerate QUERIES.md: missing {missing}"
 
 
+def test_doc_gate_counts_match_shipped_artifacts():
+    """Doc claims about certification-gate sizes must match the shipped
+    artifacts (r6 verdict: DEPLOY.md still said 156/156 two catalog-growth
+    rounds later). Every 'N/N' or 'all N queries' style count mentioned in
+    DEPLOY.md / README.md / COVERAGE.md for a gate artifact must equal
+    that artifact's actual pass count — so the docs can't silently drift
+    when the catalog grows."""
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+
+    def _artifact_passes(name):
+        with open(os.path.join(root, name)) as fh:
+            d = json.load(fh)
+        if "passes" in d:
+            return int(d["passes"])
+        return int(d["n"]) - len(d.get("fails", {}))
+
+    local_gate = _artifact_passes("LOCAL_GATE_sf0.01.json")
+    smoke = _artifact_passes("FLOATSPECIAL_SMOKE.json")
+
+    deploy = open(os.path.join(root, "DEPLOY.md")).read()
+    m = re.search(r"LOCAL_GATE_sf0\.01\.json\s*\((\d+)/(\d+)", deploy)
+    assert m, "DEPLOY.md no longer states the LOCAL_GATE count"
+    assert int(m.group(1)) == int(m.group(2)) == local_gate, (
+        f"DEPLOY.md claims {m.group(0)}, artifact has {local_gate} passes"
+    )
+
+    for doc_name in ("README.md", "COVERAGE.md"):
+        doc = open(os.path.join(root, doc_name)).read()
+        m = re.search(r"all (\d+)\s*\n?\s*queries\+diagnostics", doc)
+        if m:
+            assert int(m.group(1)) == smoke, (
+                f"{doc_name} claims float-special smoke over {m.group(1)} "
+                f"queries, artifact has {smoke} passes"
+            )
+
+
 def test_cli_pipeline_end_to_end(spark, tmp_path):
     """The orchestrator front door: seed run loads sources, builds marts,
     passes quality; the rerun flips to incremental and is idempotent

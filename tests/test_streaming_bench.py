@@ -58,7 +58,16 @@ def test_merge_amortizes_at_batch_scale(spark):
     floor: immune to machine noise, pins the amortization curve itself;
     the absolute 100x-scale point — 10M rows / 1M-row batches =
     364,787 rows/s — is recorded in PERF.md)."""
-    many = bench_exactly_once_merge(spark, SF_DIR, n_batches=10)
-    one = bench_exactly_once_merge(spark, SF_DIR, n_batches=1)
-    assert one["rows"] == many["rows"] == 100_000
-    assert one["rows_per_s"] >= 1.8 * many["rows_per_s"], (one, many)
+    # Best-of-2 per configuration, interleaved (r6 advice): a single run
+    # per side can flake under ambient load or JIT/warmup skew even though
+    # the typical margin is ~3.7x; interleaving means any transient
+    # slowdown hits both configurations, and best-of-2 is the throughput
+    # twin of the bench's min-of-2 time convention.
+    runs = [
+        bench_exactly_once_merge(spark, SF_DIR, n_batches=n)
+        for n in (10, 1, 10, 1)
+    ]
+    assert all(r["rows"] == 100_000 for r in runs)
+    many = max(runs[0]["rows_per_s"], runs[2]["rows_per_s"])
+    one = max(runs[1]["rows_per_s"], runs[3]["rows_per_s"])
+    assert one >= 1.8 * many, (one, many, runs)

@@ -9,8 +9,11 @@ is.
     python tools/make_float_special_data.py /root/testdata/sf0.01 /tmp/fspec
     python tools/run_smoke_gate.py /tmp/fspec FLOATSPECIAL_SMOKE.json
 
-A query passes when it fully materializes (noop sink) and its row count
-is reproducible. Failures record the exception head.
+A query passes when it fully materializes through the noop sink — which
+evaluates EVERY output column (a bare .count() lets Catalyst prune
+projections, so a crash-prone expression over a NaN/Inf column could go
+unexecuted; r6 advice) — and then reports its row count from a separate
+count job. Failures record the exception head.
 """
 
 from __future__ import annotations
@@ -44,8 +47,12 @@ def main() -> None:
     t0 = time.perf_counter()
     for name in sorted(catalog):
         try:
-            n = catalog[name](spark, data_dir).count()
-            results[name] = {"rows": int(n)}
+            df = catalog[name](spark, data_dir)
+            # Noop sink first: materializes all columns (the no-crash
+            # certification); count() alone would let column pruning skip
+            # the very expressions this gate exists to execute.
+            df.write.format("noop").mode("overwrite").save()
+            results[name] = {"rows": int(df.count())}
         except Exception as exc:  # record, keep smoking
             head = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             results[name] = {"error": head}
