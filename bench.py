@@ -71,10 +71,23 @@ def _warm_workers(it):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # At bench scale (sf<=0.1, single JVM) per-task overhead dominates: 8
-    # shuffle partitions measured ~30% faster than 32 on the heavy queries.
-    # AQE coalescing handles the rest; override for bigger inputs.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # Shuffle partitions derive from input bytes (~12 MB of compressed
+    # input per partition, floor 8, cap 256) — the same rule
+    # run_scale_sweep.py encodes (with the measured spill-cliff history in
+    # its comment) and DEPLOY.md §Session configuration prescribes as
+    # ~150 MB of decompressed shuffle per partition. At sf0.1 (~60 MB) the
+    # rule lands on the measured-best floor of 8 (per-task overhead
+    # dominates a single JVM); at the 100× dir it lands ~153, past the
+    # spill cliff the marts hit at ≤114 partitions. AQE coalescing handles
+    # the rest; override via SPARK_GRAFT_SHUFFLE.
+    size_mb = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(sf_dir)
+        for f in fs
+    ) / 1e6
+    shuffle = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 12))))
+    )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(

@@ -122,12 +122,15 @@ def main() -> None:
         for dp, _, fs in os.walk(sf_dir)
         for f in fs
     ) / 1e6
-    # ~1 partition per 16 MB of input, capped at 256: the earlier /32 rule
-    # under-partitioned the 100x dir (57 partitions -> shuffle spill showed
-    # up as a fake 1.3 growth exponent on the join-heavy marts; at 128
-    # partitions the same queries measure 0.75-0.95 — SCALE_SWEEP
-    # sf10_100x_sh128).
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 16)))))
+    # ~1 partition per 12 MB of compressed input, capped at 256. History of
+    # the divisor, all MEASURED on the join-heavy marts at the 100x dir
+    # (1.8 GB): /32 -> 57 partitions, spill, fake exp 1.3; /16 -> 114
+    # partitions, STILL on the spill cliff (mart_product_period_spending
+    # 38.8 s min-of-4); /12 -> ~153, past the cliff (24.3 s at 128 in the
+    # same session — sf10_100x_sh128chk). The cliff between 114 and 128
+    # partitions corresponds to ~150 MB of decompressed shuffle per
+    # partition (parquet expands ~2.5x) — the DEPLOY.md sizing rule.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 12)))))
     spark = get_spark(
         app_name=f"scale-sweep-{label}",
         master=f"local[{cpus}]",
