@@ -68,6 +68,44 @@ def _warm_workers(it):
     yield from it
 
 
+# Calibration anchor (r6 verdict #5): a FIXED synthetic workload —
+# independent of the catalog, the input data, and every line of engine
+# code — whose time measures only this session's machine speed. Each
+# record carries its calibration; comparing two records, the ratio of
+# their calibrations is the ambient noise factor, so per-query deltas can
+# be noise-normalized mechanically instead of eyeballed (r6 saw a uniform
+# +20-30% drift on untouched queries and had to argue it was ambient).
+_CALIBRATION_ROWS = 20_000_000
+_CALIBRATION_RUNS = 3
+
+
+def calibration_seconds(spark) -> float:
+    """min-of-N seconds for the fixed calibration job: a 20M-row range →
+    modulo-key hash aggregate through the noop sink (shuffle + codegen +
+    sink, the same machinery the catalog queries exercise; 32 fixed input
+    slices so the jobs are identical across sessions)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(_CALIBRATION_RUNS):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, _CALIBRATION_ROWS, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 2147483647).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -115,6 +153,8 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+
+    calibration = calibration_seconds(spark)
 
     errors: dict[str, str] = {}
 
@@ -171,11 +211,18 @@ def main() -> None:
             "bench_isolated_baseline.json",
         )
         baseline_map: dict[str, float] = {}
+        cal_factor = 1.0
         try:
             with open(base_path) as fh:
                 _b = json.load(fh)
             if _b.get("sf") == sf:
                 baseline_map = _b.get("queries_isolated", {})
+                _bc = _b.get("calibration_seconds")
+                if _bc and calibration:
+                    # Normalize the violation check by the session's
+                    # calibration anchor (clamped ±2×): a uniformly slow
+                    # machine day should not trigger a retry storm.
+                    cal_factor = max(0.5, min(2.0, _bc / calibration))
         except (OSError, ValueError):
             pass
         for name, t_base in baseline_map.items():
@@ -183,8 +230,8 @@ def main() -> None:
             if t_now is None:
                 continue
             while (
-                t_now > t_base * ISO_TOLERANCE
-                and (t_now - t_base) > ISO_NOISE_FLOOR_SEC
+                t_now * cal_factor > t_base * ISO_TOLERANCE
+                and (t_now * cal_factor - t_base) > ISO_NOISE_FLOOR_SEC
                 and isolated_retries.get(name, 0) < ISO_MAX_RETRIES
             ):
                 rerun: dict[str, float] = {}
@@ -205,9 +252,31 @@ def main() -> None:
         "queries_isolated": times_isolated,
         "isolated_wall_seconds": isolated_wall,
         "isolated_retries": isolated_retries,
+        "calibration_seconds": calibration,
         "errors": errors,
         "sf": sf,
     }
+    # Noise-normalized isolated times: when the pinned baseline carries its
+    # own calibration, scale this run's times by base_cal/this_cal (clamped
+    # ±2× — a clamp hit means the sessions aren't comparable at all). A
+    # normalized map lets a reader separate real per-query regressions from
+    # ambient session speed without a judgement call.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "bench_isolated_baseline.json",
+    )
+    try:
+        with open(base_path) as fh:
+            base_cal = json.load(fh).get("calibration_seconds")
+    except (OSError, ValueError):
+        base_cal = None
+    if base_cal and calibration and times_isolated:
+        factor = max(0.5, min(2.0, base_cal / calibration))
+        detail["noise_factor_vs_baseline"] = round(calibration / base_cal, 3)
+        detail["queries_isolated_normalized"] = {
+            q: round(t * factor, 3) for q, t in times_isolated.items()
+        }
     here = os.path.dirname(os.path.abspath(__file__))
     pin = "--pin" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_PIN") in (
         "1",

@@ -93,7 +93,16 @@ def test_no_isolated_latency_regressions():
         pytest.skip(
             f"latest bench ran at sf={detail.get('sf')}, baseline is sf={base['sf']}"
         )
-    current = detail.get("queries_isolated") or {}
+    # Prefer the calibration-normalized map when the record carries one
+    # (bench.py computes it whenever both the run and the pinned baseline
+    # have a calibration anchor): it mechanically removes ambient session
+    # speed from the comparison, so the gate flags real regressions, not
+    # a slow machine day.
+    current = (
+        detail.get("queries_isolated_normalized")
+        or detail.get("queries_isolated")
+        or {}
+    )
     if not current:
         pytest.skip("latest bench ran without the isolated pass")
     regressions = []
