@@ -836,6 +836,16 @@ _NB_MODEL_CACHE: dict = {}
 _NB_MODEL_CACHE_MAX = 4
 _NB_MODEL_BUILDS = 0  # monotone build counter — pinned by tests
 
+# Broadcast ceiling for the pivoted V×C model (rows = distinct trigrams).
+# ASCII-ish corpora sit around 10³-10⁴ trigram types; CJK worst-case is
+# ~10⁶, where a V×C decimal matrix stops being a sane broadcast. Past the
+# ceiling the model join degrades to a SHUFFLE join on the trigram key —
+# same plan shape, same values (pinned by
+# test_lang_nb_shuffle_join_fallback_same_answer), just an exchange on g
+# instead of a broadcast. The ceiling compares against v_size, which the
+# model build already collects — no extra job.
+_NB_BROADCAST_MAX_VOCAB = 2_000_000
+
 
 def _lang_nb_model(spark, sf_dir):
     """Build — or fetch the cached — model-sized NB state for this
@@ -941,7 +951,17 @@ def _lang_nb_pred(spark, sf_dir):
         # exact-integer inputs on both sides (llm_lm.py convention)
         return F.round(F.log(F.lit(float(num)) / F.lit(float(den))), 9).cast(dec)
 
-    joined = toks.join(F.broadcast(m["lp_wide"]), "g", "left")
+    # Past the vocab ceiling the model side gets an explicit shuffle-hash
+    # hint, not just a dropped broadcast hint: the pivoted relation hangs
+    # off a checkpointed RDD whose size Catalyst can only estimate, and a
+    # mis-estimated auto-broadcast of a CJK-scale model is exactly the
+    # driver OOM this dial exists to prevent.
+    lp_side = (
+        F.broadcast(m["lp_wide"])
+        if m["v_size"] <= _NB_BROADCAST_MAX_VOCAB
+        else m["lp_wide"].hint("shuffle_hash")
+    )
+    joined = toks.join(lp_side, "g", "left")
     score_cols = [
         (
             F.sum(F.coalesce(F.col(f"`{c}`"), _lndec(1, tot[c] + v_size)))

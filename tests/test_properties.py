@@ -348,3 +348,79 @@ def test_grouped_rank_property(spark, rows, k):
     assert joined.filter(
         (F.col("_rn") != F.col("rn")) | (F.col("nt") != F.col("nt_w"))
     ).count() == 0
+
+
+# --- segment dedup on adversarial whitespace (r6 verdict #8) ---------------
+# The fuzz gate covers NULLs; this covers the whitespace pathology space:
+# empty strings, runs of spaces (split(" ") yields EMPTY tokens), leading/
+# trailing spaces, and documents sized exactly at / around the width
+# boundary. Truth is a plain-Python third derivation of the same contract.
+
+
+def _ref_segment_dedup(docs: dict[int, str], width: int):
+    import hashlib as _hl
+
+    firsts: dict[str, tuple[int, int]] = {}
+    rows: dict[int, list] = {}
+    for i in sorted(docs):
+        toks = docs[i].split(" ")
+        nseg = (len(toks) + width - 1) // width
+        rows[i] = []
+        for s in range(nseg):
+            seg_text = " ".join(toks[s * width : (s + 1) * width])
+            h = _hl.md5(seg_text.encode()).hexdigest()
+            rows[i].append((s, seg_text, len(toks[s * width : (s + 1) * width]), h))
+            if h not in firsts or (i, s) < firsts[h]:
+                firsts[h] = (i, s)
+    out = {}
+    for i, rs in rows.items():
+        kept = [(s, t, n) for (s, t, n, h) in rs if firsts[h] == (i, s)]
+        out[i] = (
+            len(rs),
+            len(rs) - len(kept),
+            sum(n for _, _, n in kept),
+            " ".join(t for _, t, _ in kept),
+        )
+    return out
+
+
+_WS_TOKEN = st.sampled_from(["x", "y", "zz", ""])  # "" models a space run
+_WS_DOC = st.one_of(
+    st.just(""),
+    st.just(" "),
+    st.just("  "),
+    # widths straddling the 4-token boundary: 3, 4, 5, 8 tokens
+    st.integers(3, 9).flatmap(
+        lambda n: st.lists(_WS_TOKEN, min_size=n, max_size=n).map(" ".join)
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(_WS_DOC, min_size=1, max_size=6))
+def test_segment_dedup_adversarial_whitespace_matches_reference(texts):
+    """dedup_segments on space-pathological corpora == the plain-Python
+    derivation: same counts AND byte-identical rebuilt text (width 4 so
+    boundary cases are dense)."""
+    from pyspark.sql import Row, SparkSession
+
+    from importer_spark.operators.dedup import dedup_segments
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()],
+        schema="doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["removed_segments"],
+            r["clean_n_tokens"],
+            r["clean_text"],
+        )
+        for r in dedup_segments(df, "doc_id", "text", width=4).collect()
+    }
+    assert got == _ref_segment_dedup(docs, width=4)

@@ -382,3 +382,23 @@ def test_lang_nb_model_cache_bounded(spark, tmp_path):
     assert ("app", "dir0") not in lt._NB_MODEL_CACHE
     assert ("app", f"dir{lt._NB_MODEL_CACHE_MAX + 2}") in lt._NB_MODEL_CACHE
     lt._NB_MODEL_CACHE.clear()
+
+
+def test_lang_nb_shuffle_join_fallback_same_answer(spark, monkeypatch):
+    """r6 verdict #8: DEPLOY.md documents the NB model join degrading to a
+    shuffle join when a CJK-scale trigram vocabulary outgrows broadcast —
+    force that path (ceiling 0) and pin that (a) the broadcast hint is
+    gone from the plan, (b) predictions are value-identical."""
+    from importer_spark.queries import llm_text as lt
+
+    sf = "/root/testdata/sf0.001"
+    lt._NB_MODEL_CACHE.clear()
+    base = sorted(map(tuple, lt._lang_nb_pred(spark, sf).collect()))
+
+    monkeypatch.setattr(lt, "_NB_BROADCAST_MAX_VOCAB", 0)
+    lt._NB_MODEL_CACHE.clear()  # model caches no plan, but force a clean build
+    df = lt._lang_nb_pred(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan.split("== Photon")[0]
+    assert sorted(map(tuple, df.collect())) == base
+    lt._NB_MODEL_CACHE.clear()  # don't leak the fallback-built model
