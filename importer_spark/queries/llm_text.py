@@ -1019,11 +1019,33 @@ cells AS (
 
 def _lang_cells(spark, sf_dir):
     """Confusion-cell DataFrame (labeled, predicted, n) — the Spark twin of
-    :func:`_lang_cells_sql`, shared by lang_id_kappa and lang_id_class_f1."""
-    return (
-        _lang_nb_pred(spark, sf_dir)
-        .groupBy("labeled", "predicted")
-        .agg(F.count("*").alias("n"))
+    :func:`_lang_cells_sql`, shared by lang_id_kappa and lang_id_class_f1.
+
+    The cell relation is ≤(L+1)² rows — MODEL-sized in the strict sense
+    (languages², never corpus-anything) — so it follows the `_lang_nb_model`
+    convention: the distributed scoring pass runs ONCE per (session,
+    corpus) at plan-build time, its ~L² rows collect into the same bounded
+    cache, and both evaluators build their aggregations over a local
+    relation. This makes their plans DETERMINISTIC regardless of cache
+    state (always local-relation → agg — a requirement of the plan-
+    snapshot pin) and drops the second full corpus scoring pass the r6
+    bench paid (kappa and class_f1 each ~4 s; the pair now costs one
+    scoring pass total). Per-doc predictions are deliberately NOT cached —
+    O(docs) state is corpus-sized at 100 TB; lang_id_ngram_nb recomputes
+    its scoring pass instead."""
+    m = _lang_nb_model(spark, sf_dir)
+    rows = m.get("cells_rows")
+    if rows is None:
+        rows = [
+            (r["labeled"], r["predicted"], r["n"])
+            for r in _lang_nb_pred(spark, sf_dir)
+            .groupBy("labeled", "predicted")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        m["cells_rows"] = rows
+    return spark.createDataFrame(
+        rows, schema="labeled string, predicted string, n bigint"
     )
 
 
