@@ -350,22 +350,9 @@ def _simhash_pairs(spark, sf_dir, bucket_cap: int | None = None):
     ).withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
     overflow = None
     if bucket_cap is not None:
-        from pyspark.sql import Window
+        from importer_spark.operators.dedup import cap_band_buckets
 
-        # Window count, not a groupBy+rejoin: the band relation is already
-        # consumed twice by the self-join below (each side recomputes the
-        # fingerprints — the certified base shape), so a third consumption
-        # for a sizes join would cost one more full fingerprint pass. The
-        # window adds one shuffle on the SAME key the self-join shuffles
-        # on and annotates in place.
-        w_bucket = Window.partitionBy("band", "band_val")
-        sized = bands.withColumn("bucket_size", F.count("*").over(w_bucket))
-        overflow = (
-            sized.filter(F.col("bucket_size") > bucket_cap)
-            .select("band", "band_val", "bucket_size")
-            .distinct()
-        )
-        bands = sized.filter(F.col("bucket_size") <= bucket_cap).drop("bucket_size")
+        bands, overflow = cap_band_buckets(bands, ["band", "band_val"], bucket_cap)
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "band_val"
     )

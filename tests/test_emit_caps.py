@@ -137,3 +137,65 @@ def test_simhash_bucket_cap_identity_and_overflow(spark):
         .count()
     )
     assert len(ov_rows) == sizes
+
+
+def _clone_docs(spark, n_clones=30, text="alpha beta gamma delta epsilon zeta"):
+    rows = [Row(doc_id=i, text=text) for i in range(n_clones)]
+    # A genuine near-dup control pair: 12 tokens differing only in the
+    # last -> shingle Jaccard 9/11 ~ 0.82 >= the 0.8 threshold.
+    common = "one two three four five six seven eight nine ten eleven"
+    rows += [
+        Row(doc_id=100, text=common + " twelve"),
+        Row(doc_id=101, text=common + " thirteen"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+def test_minhash_bucket_cap_identity_bound_and_overflow(spark):
+    from importer_spark.operators.dedup import near_dup_pairs
+
+    df = _clone_docs(spark)
+    base = sorted(
+        (r.id_a, r.id_b) for r in near_dup_pairs(df, "doc_id", "text").collect()
+    )
+    # Non-binding cap: identical answer, empty overflow.
+    same, ov0 = near_dup_pairs(
+        df, "doc_id", "text", bucket_cap=10**6, return_overflow=True
+    )
+    assert sorted((r.id_a, r.id_b) for r in same.collect()) == base
+    assert ov0.count() == 0
+    # Binding cap: the 30-clone buckets are skipped (every band bucket of
+    # the clone group has 30 members), so clone pairs vanish while the
+    # independent near-dup pair (100, 101) — whose buckets hold 2 docs —
+    # survives. Overflow reports each oversized bucket with its size.
+    capped, ov = near_dup_pairs(
+        df, "doc_id", "text", bucket_cap=10, return_overflow=True
+    )
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert got == [(100, 101)]
+    sizes = {r.bucket_size for r in ov.collect()}
+    assert sizes == {30}
+    assert ov.count() >= 8  # every band of the clone signature overflowed
+
+
+def test_minhash_incremental_bucket_cap_bounds_probe(spark):
+    from importer_spark.operators.dedup import (
+        band_index,
+        near_dup_pairs_incremental,
+    )
+
+    corpus = _clone_docs(spark)
+    store = band_index(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="alpha beta gamma delta epsilon zeta")],
+        schema="doc_id bigint, text string",
+    )
+    full = corpus.unionByName(batch)
+    pairs, _ = near_dup_pairs_incremental(full, batch, store, "doc_id", "text")
+    assert pairs.count() == 30  # the new clone pairs with every stored clone
+    capped, _ = near_dup_pairs_incremental(
+        full, batch, store, "doc_id", "text", bucket_cap=10
+    )
+    # The clone bucket (31 members incl. the batch doc) is skipped: the
+    # probe emits nothing instead of 30 quadratic-bucket pairs.
+    assert capped.count() == 0
