@@ -198,6 +198,30 @@ def main() -> None:
     times_isolated: dict[str, float] = {}
     isolated_wall = None
     isolated_retries: dict[str, int] = {}
+    # The pinned baseline is read ONCE — the retry gate and the normalized
+    # map below must share the same anchor and clamp, or they drift apart.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "bench_isolated_baseline.json",
+    )
+    baseline_map: dict[str, float] = {}
+    base_cal = None
+    cal_factor = 1.0
+    try:
+        with open(base_path) as fh:
+            _b = json.load(fh)
+        if _b.get("sf") == sf:
+            baseline_map = _b.get("queries_isolated", {})
+            base_cal = _b.get("calibration_seconds")
+            if base_cal and calibration:
+                # Session-speed normalization (clamped ±2× — a clamp hit
+                # means the sessions aren't comparable at all): a
+                # uniformly slow machine day should neither trigger a
+                # retry storm nor read as a regression.
+                cal_factor = max(0.5, min(2.0, base_cal / calibration))
+    except (OSError, ValueError):
+        pass
     if run_isolated:
         isolated_wall = run_catalog(names, 1, times_isolated)
         # Noise robustness (r4 verdict: two same-day records flagged
@@ -205,26 +229,6 @@ def main() -> None:
         # whose single-shot time would trip the regression gate is
         # re-measured up to ISO_MAX_RETRIES more times and keeps the MIN.
         # Only would-be violators pay, so a clean run stays one pass.
-        base_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "tests",
-            "bench_isolated_baseline.json",
-        )
-        baseline_map: dict[str, float] = {}
-        cal_factor = 1.0
-        try:
-            with open(base_path) as fh:
-                _b = json.load(fh)
-            if _b.get("sf") == sf:
-                baseline_map = _b.get("queries_isolated", {})
-                _bc = _b.get("calibration_seconds")
-                if _bc and calibration:
-                    # Normalize the violation check by the session's
-                    # calibration anchor (clamped ±2×): a uniformly slow
-                    # machine day should not trigger a retry storm.
-                    cal_factor = max(0.5, min(2.0, _bc / calibration))
-        except (OSError, ValueError):
-            pass
         for name, t_base in baseline_map.items():
             t_now = times_isolated.get(name)
             if t_now is None:
@@ -257,25 +261,16 @@ def main() -> None:
         "sf": sf,
     }
     # Noise-normalized isolated times: when the pinned baseline carries its
-    # own calibration, scale this run's times by base_cal/this_cal (clamped
-    # ±2× — a clamp hit means the sessions aren't comparable at all). A
-    # normalized map lets a reader separate real per-query regressions from
-    # ambient session speed without a judgement call.
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "bench_isolated_baseline.json",
-    )
-    try:
-        with open(base_path) as fh:
-            base_cal = json.load(fh).get("calibration_seconds")
-    except (OSError, ValueError):
-        base_cal = None
+    # own calibration, scale this run's times by base_cal/this_cal (the
+    # shared cal_factor above). The record carries the ANCHOR it was
+    # normalized against, so a later baseline re-pin can't silently
+    # invalidate the stored normalized map (the regression gate checks
+    # the anchor before trusting it).
     if base_cal and calibration and times_isolated:
-        factor = max(0.5, min(2.0, base_cal / calibration))
         detail["noise_factor_vs_baseline"] = round(calibration / base_cal, 3)
+        detail["normalized_vs_calibration"] = base_cal
         detail["queries_isolated_normalized"] = {
-            q: round(t * factor, 3) for q, t in times_isolated.items()
+            q: round(t * cal_factor, 3) for q, t in times_isolated.items()
         }
     here = os.path.dirname(os.path.abspath(__file__))
     pin = "--pin" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_PIN") in (
@@ -283,20 +278,27 @@ def main() -> None:
         "true",
     )
     latest_path = os.path.join(here, "BENCH_DETAIL.latest.json")
-    targets = [latest_path]
+    pinned_ok = False
     if pin:
-        targets.append(os.path.join(here, "BENCH_DETAIL.json"))
-    for detail_path in targets:
+        # A pin writes ONLY the committed record (writing latest just to
+        # delete it below was wasted churn).
         try:
-            with open(detail_path, "w") as fh:
+            with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+            pinned_ok = True
+        except OSError:
+            print("BENCH_PIN_FAILED: could not write BENCH_DETAIL.json", file=sys.stderr)
+    else:
+        try:
+            with open(latest_path, "w") as fh:
                 json.dump(detail, fh, indent=1, sort_keys=True)
         except OSError:
             # Read-only checkout: the map still lands on stdout below.
             pass
-    if pin:
-        # A pin IS the judged record — drop the ad-hoc latest file so it
-        # can never shadow the freshly pinned one (r6 advice; the
-        # regression gate also sf/mtime-checks before preferring latest).
+    if pinned_ok:
+        # A successful pin IS the judged record — drop the ad-hoc latest
+        # file so it can never shadow the freshly pinned one (r6 advice).
+        # A FAILED pin keeps latest: it may be the only on-disk record.
         try:
             os.remove(latest_path)
         except OSError:

@@ -256,6 +256,7 @@ def near_dup_pairs_incremental(
     shingle_k: int = 3,
     threshold: float = 0.8,
     bucket_cap: int | None = None,
+    return_overflow: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an already
     indexed corpus without recomputing corpus signatures.
@@ -263,7 +264,10 @@ def near_dup_pairs_incremental(
     ``bucket_cap`` (see :func:`cap_band_buckets`) bounds the probe against
     a store bucket that a duplicate-heavy corpus has blown up — the cap
     applies to the UNION of store and batch bands, so a bucket's total
-    population decides, exactly as in the batch path.
+    population decides, exactly as in the batch path. With
+    ``return_overflow=True`` the return gains a third element — the
+    skipped-bucket relation — because capped degradation must stay
+    observable in the incremental path too, not just the batch one.
 
     ``band_store`` holds (id, band_idx, band_key) for previously indexed
     docs (built by :func:`band_index`, persisted with io.merge_by_key).
@@ -282,11 +286,16 @@ def near_dup_pairs_incremental(
     (property-tested)."""
     bands_new = band_index(new_docs, id_col, text_col, n_hashes, band_size, shingle_k)
     all_bands = band_store.select(id_col, "band_idx", "band_key").unionByName(bands_new)
+    overflow = None
     if bucket_cap is not None:
         # Capping the store∪batch side is sufficient: an oversized bucket
         # loses its right-side rows, so the probe join emits nothing for
         # it — no second filter needed on the batch side.
-        all_bands, _ = cap_band_buckets(all_bands, ["band_idx", "band_key"], bucket_cap)
+        all_bands, overflow = cap_band_buckets(
+            all_bands, ["band_idx", "band_key"], bucket_cap
+        )
+    elif return_overflow:
+        raise ValueError("return_overflow requires bucket_cap")
     left = bands_new.select(F.col(id_col).alias("_id_n"), "band_idx", "band_key")
     right = all_bands.select(F.col(id_col).alias("_id_o"), "band_idx", "band_key")
     candidates = (
@@ -299,6 +308,8 @@ def near_dup_pairs_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = verify_candidates(corpus, candidates, id_col, text_col, shingle_k, threshold)
+    if return_overflow:
+        return pairs, bands_new, overflow
     return pairs, bands_new
 
 

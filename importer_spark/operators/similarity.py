@@ -452,9 +452,12 @@ def cosine_pairs_probe(
                         }
                     )
                 # Local top-cap per probe, sorted by the SAME key the
-                # global window uses (cosine desc, other id asc) so the
-                # cap is deterministic under any partitioning.
-                order = np.lexsort((others, -s, jj))
+                # global window uses — the ROUNDED cosine desc, other id
+                # asc — so the cap is deterministic under any
+                # partitioning (ranking by unrounded sims here would keep
+                # a different member of a round-equal tie than the window
+                # does).
+                order = np.lexsort((others, -np.round(s, round_scale), jj))
                 jj_o = jj[order]
                 starts = np.r_[0, np.flatnonzero(np.diff(jj_o)) + 1]
                 counts = np.diff(np.r_[starts, len(jj_o)])
@@ -473,6 +476,13 @@ def cosine_pairs_probe(
         blocks_capped,
         schema="probe_id bigint, other_id bigint, cosine double, n_matched bigint",
     )
+    if return_overflow:
+        # Both returned DataFrames consume `raw`; without materialization
+        # each would re-run the corpus scan + matmul (the dominant cost).
+        # The checkpointed relation is BOUNDED — ≤ cap·|batch| pair rows
+        # per partition plus ≤ |batch| count rows per block — never
+        # corpus-sized, so pinning it is safe at any duplication level.
+        raw = raw.localCheckpoint(eager=True)
     # Discriminate on n_matched (count rows carry the pre-cap degree >= 1,
     # pair rows carry 0) — no assumption about the id domain.
     pair_rows = raw.filter(F.col("n_matched") == 0)

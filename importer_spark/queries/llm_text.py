@@ -834,6 +834,29 @@ _NB_MODEL_BUILDS = 0  # monotone build counter — pinned by tests
 _NB_BROADCAST_MAX_VOCAB = 2_000_000
 
 
+def _corpus_fingerprint(sf_dir) -> tuple:
+    """Cheap stat token of the documents table under ``sf_dir``: (relpath,
+    mtime_ns, size) per file. Part of the NB cache key so an IN-SESSION
+    rewrite of the corpus directory changes the key and forces a rebuild —
+    a cache keyed on the path alone would silently serve the old corpus's
+    model/cells while the oracle reads the new files (r7 review)."""
+    import os as _os
+
+    root = _os.path.join(str(sf_dir), "documents.parquet")
+    out = []
+    if _os.path.isdir(root):
+        for dp, _dirs, fs in sorted(_os.walk(root)):
+            for f in sorted(fs):
+                st = _os.stat(_os.path.join(dp, f))
+                out.append(
+                    (_os.path.relpath(_os.path.join(dp, f), root), st.st_mtime_ns, st.st_size)
+                )
+    elif _os.path.exists(root):
+        st = _os.stat(root)
+        out.append((".", st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def _lang_nb_model(spark, sf_dir):
     """Build — or fetch the cached — model-sized NB state for this
     (session, corpus) pair: dict with `lp_wide` (V×C pivoted log-prob
@@ -842,7 +865,11 @@ def _lang_nb_model(spark, sf_dir):
     global _NB_MODEL_BUILDS
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(str(sf_dir)))
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(str(sf_dir)),
+        _corpus_fingerprint(sf_dir),
+    )
     hit = _NB_MODEL_CACHE.get(key)
     if hit is not None:
         return hit

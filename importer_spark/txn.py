@@ -266,18 +266,29 @@ class ConditionalPutLogStore:
     _LOCK = threading.Lock()
 
     def put_if_absent(self, directory: str, name: str, payload: bytes) -> bool:
+        """Model caveat vs a real object store: between the exclusive
+        create and the write completing, a concurrent lister could read a
+        partial object — real conditional-PUT stores are read-atomic. The
+        production adapter inherits read atomicity from the store; the
+        filesystem default (:class:`FilesystemLogStore`) gets it from the
+        staged hard link. The ONE-WINNER property, however, holds fully
+        here — across threads AND processes."""
         final = os.path.join(directory, name)
-        tmp = os.path.join(directory, f"_tmp-{uuid.uuid4().hex}.json")
         with self._LOCK:
-            if os.path.exists(final):
+            try:
+                # O_EXCL is the one-winner decision and holds ACROSS
+                # processes (an exists()-check + replace would let two
+                # processes both "win" and the second clobber the first —
+                # the exact lost update the contract forbids). The lock
+                # only serializes threads within this process.
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
                 return False
-            with open(tmp, "wb") as fh:
-                fh.write(payload)
-                fh.flush()
-                os.fsync(fh.fileno())
-            # Readers outside the lock still need torn-read atomicity —
-            # the object store gives it natively; the model uses replace.
-            os.replace(tmp, final)
+            try:
+                os.write(fd, payload)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
             return True
 
 

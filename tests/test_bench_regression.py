@@ -97,12 +97,14 @@ def test_no_isolated_latency_regressions():
     # (bench.py computes it whenever both the run and the pinned baseline
     # have a calibration anchor): it mechanically removes ambient session
     # speed from the comparison, so the gate flags real regressions, not
-    # a slow machine day.
-    current = (
-        detail.get("queries_isolated_normalized")
-        or detail.get("queries_isolated")
-        or {}
-    )
+    # a slow machine day. Trust it ONLY when the record was normalized
+    # against THIS baseline's anchor — after a baseline re-pin with a new
+    # calibration, a stored map scaled by the old anchor would silently
+    # mask (or fake) regressions, so fall back to raw times instead.
+    current = {}
+    if detail.get("normalized_vs_calibration") == base.get("calibration_seconds"):
+        current = detail.get("queries_isolated_normalized") or {}
+    current = current or detail.get("queries_isolated") or {}
     if not current:
         pytest.skip("latest bench ran without the isolated pass")
     regressions = []

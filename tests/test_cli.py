@@ -84,11 +84,14 @@ def test_doc_gate_counts_match_shipped_artifacts():
     for doc_name in ("README.md", "COVERAGE.md"):
         doc = open(os.path.join(root, doc_name)).read()
         m = re.search(r"all (\d+)\s*\n?\s*queries\+diagnostics", doc)
-        if m:
-            assert int(m.group(1)) == smoke, (
-                f"{doc_name} claims float-special smoke over {m.group(1)} "
-                f"queries, artifact has {smoke} passes"
-            )
+        # assert, not skip-on-no-match: a reword that breaks the regex
+        # would otherwise silently disarm this gate — the exact drift
+        # mode it exists to prevent.
+        assert m, f"{doc_name} no longer states the float-special smoke count"
+        assert int(m.group(1)) == smoke, (
+            f"{doc_name} claims float-special smoke over {m.group(1)} "
+            f"queries, artifact has {smoke} passes"
+        )
 
 
 def test_cli_pipeline_end_to_end(spark, tmp_path):

@@ -402,3 +402,34 @@ def test_lang_nb_shuffle_join_fallback_same_answer(spark, monkeypatch):
     assert "BroadcastHashJoin" not in plan.split("== Photon")[0]
     assert sorted(map(tuple, df.collect())) == base
     lt._NB_MODEL_CACHE.clear()  # don't leak the fallback-built model
+
+
+def test_lang_nb_cache_invalidated_when_corpus_rewritten(spark, tmp_path):
+    """r7 review: the model cache keys on a stat fingerprint of the corpus
+    dir, so rewriting the data under the SAME path within one session
+    forces a rebuild instead of serving the stale model."""
+    from pyspark.sql import Row
+
+    from importer_spark.queries import llm_text as lt
+
+    sf = str(tmp_path)
+
+    def write(docs):
+        spark.createDataFrame(
+            [Row(doc_id=i, lang=lang, text=t) for i, (lang, t) in enumerate(docs)],
+            schema="doc_id bigint, lang string, text string",
+        ).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    write([("en", "the cat sat on the mat"), ("fr", "le chat est sur le tapis")])
+    before = lt._NB_MODEL_BUILDS
+    p1 = {r.doc_id: r.predicted for r in lt._lang_nb_pred(spark, sf).collect()}
+    assert lt._NB_MODEL_BUILDS == before + 1
+    assert len(p1) == 2
+    # Same path, same session: cached.
+    lt._lang_nb_pred(spark, sf).count()
+    assert lt._NB_MODEL_BUILDS == before + 1
+    # Rewrite the corpus under the same path: fingerprint changes, rebuild.
+    write([("de", "die katze sitzt auf der matte")] * 3)
+    p2 = {r.labeled for r in lt._lang_nb_pred(spark, sf).collect()}
+    assert lt._NB_MODEL_BUILDS == before + 2
+    assert p2 == {"de"}
