@@ -822,6 +822,14 @@ def _nb_base_toks(spark, sf_dir):
 _NB_MODEL_CACHE: dict = {}
 _NB_MODEL_CACHE_MAX = 4
 _NB_MODEL_BUILDS = 0  # monotone build counter — pinned by tests
+# Serialize builds: a concurrent bench pass (4 threads) can race two
+# model builds for the same key — the second put overwrites the first,
+# and derived state (cells_rows) attached to the losing dict is lost, so
+# a later query silently re-pays the scoring pass. Double-checked
+# locking keeps the hot path lock-free.
+import threading as _threading
+
+_NB_MODEL_LOCK = _threading.Lock()
 
 # Broadcast ceiling for the pivoted V×C model (rows = distinct trigrams).
 # ASCII-ish corpora sit around 10³-10⁴ trigram types; CJK worst-case is
@@ -873,7 +881,18 @@ def _lang_nb_model(spark, sf_dir):
     hit = _NB_MODEL_CACHE.get(key)
     if hit is not None:
         return hit
+    with _NB_MODEL_LOCK:
+        hit = _NB_MODEL_CACHE.get(key)
+        if hit is not None:
+            return hit
+        model = _build_lang_nb_model(spark, sf_dir)
+        _nb_cache_put(key, model)
+        _NB_MODEL_BUILDS += 1
+        return model
 
+
+def _build_lang_nb_model(spark, sf_dir):
+    """The uncached model build — see :func:`_lang_nb_model`."""
     dec = "decimal(18,9)"
     base, toks = _nb_base_toks(spark, sf_dir)
     # Two linear passes over the trigram stream: the model build (below;
@@ -920,8 +939,6 @@ def _lang_nb_model(spark, sf_dir):
         "v_size": v_size,
         "_cnt": cnt,  # keep the checkpointed parent reachable
     }
-    _nb_cache_put(key, model)
-    _NB_MODEL_BUILDS += 1
     return model
 
 
@@ -1050,14 +1067,20 @@ def _lang_cells(spark, sf_dir):
     m = _lang_nb_model(spark, sf_dir)
     rows = m.get("cells_rows")
     if rows is None:
-        rows = [
-            (r["labeled"], r["predicted"], r["n"])
-            for r in _lang_nb_pred(spark, sf_dir)
-            .groupBy("labeled", "predicted")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
-        m["cells_rows"] = rows
+        with _NB_MODEL_LOCK:
+            rows = m.get("cells_rows")
+            if rows is None:
+                # Double-checked under the model lock: in the concurrent
+                # bench pass kappa and class_f1 race here, and without the
+                # lock each pays its own full scoring pass.
+                rows = [
+                    (r["labeled"], r["predicted"], r["n"])
+                    for r in _lang_nb_pred(spark, sf_dir)
+                    .groupBy("labeled", "predicted")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ]
+                m["cells_rows"] = rows
     return spark.createDataFrame(
         rows, schema="labeled string, predicted string, n bigint"
     )
