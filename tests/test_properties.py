@@ -424,3 +424,86 @@ def test_segment_dedup_adversarial_whitespace_matches_reference(texts):
         for r in dedup_segments(df, "doc_id", "text", width=4).collect()
     }
     assert got == _ref_segment_dedup(docs, width=4)
+
+
+# --- capped probe vs brute force (r7) ---------------------------------------
+
+
+def _ref_capped_probe(vecs, batch_ids, threshold, cap):
+    """Plain-python reference of cosine_pairs_probe with max_pairs_per_probe:
+    per probe, matches sorted by (rounded cosine desc, other id asc), top
+    `cap` kept, then normalized-pair dedup; overflow = probes with more
+    matches than cap."""
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        num = sum(x * y for x, y in zip(a, b))
+        if not any(a) or not any(b):
+            return 0.0
+        return num / (na * nb)
+
+    pairs = set()
+    overflow = {}
+    for p in batch_ids:
+        matches = []
+        for o, v in vecs.items():
+            if o == p:
+                continue
+            c = cos(vecs[p], v)
+            if c >= threshold:
+                matches.append((round(c, 6), o))
+        matches.sort(key=lambda t: (-t[0], t[1]))
+        if len(matches) > cap:
+            overflow[p] = len(matches)
+        for c, o in matches[:cap]:
+            pairs.add((min(p, o), max(p, o)))
+    return pairs, overflow
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(-2, 2), st.integers(-2, 2), st.integers(-2, 2)
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(1, 3),
+)
+def test_capped_probe_matches_bruteforce_reference(data, cap):
+    """cosine_pairs_probe(max_pairs_per_probe=K) == the per-probe top-K of
+    the brute-force threshold graph, with exact overflow degrees — on
+    random small-integer vectors (which produce dense rounded-cosine
+    ties, the hard case for deterministic capping)."""
+    from pyspark.sql import Row, SparkSession
+    from pyspark.sql import functions as F
+
+    from importer_spark.operators.similarity import cosine_pairs_probe
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(data)}
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, emb=v) for i, v in vecs.items()],
+        schema="vec_id bigint, emb array<double>",
+    ).repartition(3)
+    batch_ids = [i for i in vecs if i % 2 == 0]
+    batch = corpus.filter(F.col("vec_id") % 2 == 0)
+    got_pairs, got_ov = cosine_pairs_probe(
+        batch,
+        corpus,
+        "vec_id",
+        "emb",
+        threshold=0.5,
+        max_pairs_per_probe=cap,
+        return_overflow=True,
+    )
+    ref_pairs, ref_ov = _ref_capped_probe(vecs, batch_ids, 0.5, cap)
+    assert {(r.id_a, r.id_b) for r in got_pairs.collect()} == ref_pairs
+    assert {(r.probe_id, r.n_matches) for r in got_ov.collect()} == set(
+        ref_ov.items()
+    )
