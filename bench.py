@@ -39,7 +39,7 @@ import sys
 import time
 
 from importer_spark.queries import DIAGNOSTICS, QUERIES
-from importer_spark.session import get_spark
+from importer_spark.session import get_spark, shuffle_partitions_for_dir
 
 # Bench covers the full runnable surface: the oracle-checked catalog plus the
 # diagnostics registry (no-oracle operators — still part of the perf story).
@@ -109,22 +109,15 @@ def calibration_seconds(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # Shuffle partitions derive from input bytes (~12 MB of compressed
-    # input per partition, floor 8, cap 256) — the same rule
-    # run_scale_sweep.py encodes (with the measured spill-cliff history in
-    # its comment) and DEPLOY.md §Session configuration prescribes as
-    # ~150 MB of decompressed shuffle per partition. At sf0.1 (~60 MB) the
-    # rule lands on the measured-best floor of 8 (per-task overhead
-    # dominates a single JVM); at the 100× dir it lands ~153, past the
-    # spill cliff the marts hit at ≤114 partitions. AQE coalescing handles
-    # the rest; override via SPARK_GRAFT_SHUFFLE.
-    size_mb = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(sf_dir)
-        for f in fs
-    ) / 1e6
+    # Shuffle partitions derive from input bytes — the ONE measured rule in
+    # session.shuffle_partitions_for_dir (spill-cliff history in its
+    # docstring; DEPLOY.md §Session prescribes it as ~150 MB of decompressed
+    # shuffle per partition). At sf0.1 (~60 MB) it lands on the
+    # measured-best floor of 8 (per-task overhead dominates a single JVM);
+    # at the 100× dir it lands ~153, past the spill cliff the marts hit at
+    # ≤114 partitions. AQE coalescing handles the rest.
     shuffle = int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 12))))
+        os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle_partitions_for_dir(sf_dir))
     )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -288,6 +281,14 @@ def main() -> None:
             pinned_ok = True
         except OSError:
             print("BENCH_PIN_FAILED: could not write BENCH_DETAIL.json", file=sys.stderr)
+            # Salvage the ~70 s run: land this run's record at latest so the
+            # measurements exist on disk and a STALE latest from an earlier
+            # run can't masquerade as current (r7 review).
+            try:
+                with open(latest_path, "w") as fh:
+                    json.dump(detail, fh, indent=1, sort_keys=True)
+            except OSError:
+                pass
     else:
         try:
             with open(latest_path, "w") as fh:

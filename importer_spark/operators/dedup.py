@@ -155,7 +155,7 @@ def near_dup_pairs(
     threshold: float = 0.8,
     bucket_cap: int | None = None,
     return_overflow: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
 
     shingle → minhash → band → bucket self-join → exact-verify:
@@ -257,7 +257,7 @@ def near_dup_pairs_incremental(
     threshold: float = 0.8,
     bucket_cap: int | None = None,
     return_overflow: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an already
     indexed corpus without recomputing corpus signatures.
 

@@ -339,7 +339,7 @@ def cosine_pairs_probe(
     max_broadcast_rows: int = 100_000,
     max_pairs_per_probe: int | None = None,
     return_overflow: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental threshold pairs: the BATCH side (bounded by definition
     for daily-ingest dedup) broadcasts as a normalized float64 matrix; each
     CORPUS partition matmuls its block against it. Returns every pair with

@@ -938,6 +938,12 @@ def _build_lang_nb_model(spark, sf_dir):
         "ndt": ndt,
         "v_size": v_size,
         "_cnt": cnt,  # keep the checkpointed parent reachable
+        # Per-MODEL lock for derived state (cells_rows): the global
+        # _NB_MODEL_LOCK must never be held across a distributed collect —
+        # and never while calling back into _lang_nb_model, whose cache
+        # miss would re-acquire the same non-reentrant lock (deadlock,
+        # r7 review).
+        "cells_lock": _threading.Lock(),
     }
     return model
 
@@ -951,7 +957,7 @@ def _nb_cache_put(key, model) -> None:
     _NB_MODEL_CACHE[key] = model
 
 
-def _lang_nb_pred(spark, sf_dir):
+def _lang_nb_pred(spark, sf_dir, model=None):
     """Per-doc char-trigram NB prediction DataFrame (doc_id, labeled,
     predicted, nb_logprob) — the Spark twin of ``_LANG_NB_CTES``'s `pred`
     relation, shared by lang_id_ngram_nb / lang_id_kappa /
@@ -971,7 +977,7 @@ def _lang_nb_pred(spark, sf_dir):
     memory turns the model join into a shuffle join on g — trigram vocab
     is bounded (~alphabet³) so in practice it always broadcasts."""
     dec = "decimal(18,9)"
-    m = _lang_nb_model(spark, sf_dir)
+    m = model if model is not None else _lang_nb_model(spark, sf_dir)
     classes, tot, nd, ndt, v_size = (
         m["classes"], m["tot"], m["nd"], m["ndt"], m["v_size"],
     )
@@ -1067,15 +1073,19 @@ def _lang_cells(spark, sf_dir):
     m = _lang_nb_model(spark, sf_dir)
     rows = m.get("cells_rows")
     if rows is None:
-        with _NB_MODEL_LOCK:
+        # Double-checked under the PER-MODEL lock (not _NB_MODEL_LOCK):
+        # in the concurrent bench pass kappa and class_f1 race here, and
+        # without a lock each pays its own full scoring pass. The global
+        # model lock must not be held across this multi-second collect —
+        # and _lang_nb_pred is handed the already-fetched model so the
+        # call can never re-enter _lang_nb_model's lock (a cache eviction
+        # between fetch and lock would otherwise deadlock; r7 review).
+        with m["cells_lock"]:
             rows = m.get("cells_rows")
             if rows is None:
-                # Double-checked under the model lock: in the concurrent
-                # bench pass kappa and class_f1 race here, and without the
-                # lock each pays its own full scoring pass.
                 rows = [
                     (r["labeled"], r["predicted"], r["n"])
-                    for r in _lang_nb_pred(spark, sf_dir)
+                    for r in _lang_nb_pred(spark, sf_dir, model=m)
                     .groupBy("labeled", "predicted")
                     .agg(F.count("*").alias("n"))
                     .collect()

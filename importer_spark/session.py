@@ -10,6 +10,8 @@ parity) every time-relative computation in this engine takes an explicit
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +37,34 @@ DEFAULT_CONF = {
     # data skipping (txn.read_where) and row-group pushdown everywhere.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
+
+
+def shuffle_partitions_for_dir(
+    input_dir: str, per_partition_mb: float = 12.0, floor: int = 8, cap: int = 256
+) -> int:
+    """Shuffle-partition count derived from on-disk input bytes: ~1
+    partition per ``per_partition_mb`` of compressed input (≈150 MB of
+    decompressed shuffle per partition at parquet's ~2.5× expansion — the
+    DEPLOY.md §Session sizing rule), floored and capped for local mode.
+
+    Divisor history, all MEASURED on the join-heavy marts at the 100×
+    sweep dir (1.8 GB): /32 → 57 partitions, spill, fake growth exponent
+    1.3; /16 → 114, STILL on the spill cliff (mart_product_period_spending
+    38.8 s min-of-4); /12 → ~153, past the cliff (24.3 s at 128 in the same
+    session — SCALE_SWEEP sf10_100x_sh128chk). bench.py and
+    tools/run_scale_sweep.py both call this ONE rule (r7 review: the two
+    hand-copied versions had already diverged once), overridable via
+    SPARK_GRAFT_SHUFFLE at the call sites. On a real cluster leave AQE
+    coalescing to right-size post-shuffle partitions instead."""
+    size_mb = (
+        sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(input_dir)
+            for f in fs
+        )
+        / 1e6
+    )
+    return max(floor, min(cap, int(size_mb / per_partition_mb)))
 
 
 def get_spark(

@@ -41,6 +41,7 @@ so resolution is O(commits since the last checkpoint).
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import decimal
 import json
@@ -266,13 +267,18 @@ class ConditionalPutLogStore:
     _LOCK = threading.Lock()
 
     def put_if_absent(self, directory: str, name: str, payload: bytes) -> bool:
-        """Model caveat vs a real object store: between the exclusive
+        """Model caveats vs a real object store: between the exclusive
         create and the write completing, a concurrent lister could read a
-        partial object — real conditional-PUT stores are read-atomic. The
-        production adapter inherits read atomicity from the store; the
-        filesystem default (:class:`FilesystemLogStore`) gets it from the
-        staged hard link. The ONE-WINNER property, however, holds fully
-        here — across threads AND processes."""
+        partial object, and a hard process kill inside that window leaves
+        one — real conditional-PUT stores are read-atomic and all-or-
+        nothing. The production adapter inherits both from the store; the
+        filesystem default (:class:`FilesystemLogStore`) gets them from
+        the staged hard link. A FAILED write, however, leaves nothing
+        here either: the claim is undone before the error propagates, so
+        an ENOSPC/interrupt mid-PUT never poisons the version with a torn
+        manifest (r7 review — a real store's failed PUT also leaves no
+        object). The ONE-WINNER property holds fully — across threads AND
+        processes."""
         final = os.path.join(directory, name)
         with self._LOCK:
             try:
@@ -285,10 +291,18 @@ class ConditionalPutLogStore:
             except FileExistsError:
                 return False
             try:
-                os.write(fd, payload)
+                mv = memoryview(payload)
+                while mv:  # os.write may write fewer bytes than asked
+                    mv = mv[os.write(fd, mv) :]
                 os.fsync(fd)
-            finally:
+            except BaseException:
                 os.close(fd)
+                # Undo the claim: the version number stays available and
+                # no reader can ever parse a torn manifest at it.
+                with contextlib.suppress(OSError):
+                    os.unlink(final)
+                raise
+            os.close(fd)
             return True
 
 

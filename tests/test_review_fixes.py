@@ -433,3 +433,37 @@ def test_lang_nb_cache_invalidated_when_corpus_rewritten(spark, tmp_path):
     p2 = {r.labeled for r in lt._lang_nb_pred(spark, sf).collect()}
     assert lt._NB_MODEL_BUILDS == before + 2
     assert p2 == {"de"}
+
+
+def test_lang_cells_never_needs_global_model_lock(spark):
+    """r7 review: _lang_cells must not take the global _NB_MODEL_LOCK.
+    The old code held it across the multi-second scoring collect and
+    could self-deadlock: a cache eviction between the model fetch and the
+    lock made _lang_nb_pred re-enter _lang_nb_model, which blocks forever
+    on the same non-reentrant lock. Pin: with the global lock HELD, a
+    cells build (cells_rows cache miss) still completes — the build
+    serializes on the PER-MODEL lock and hands the fetched model through
+    to _lang_nb_pred."""
+    import threading
+
+    from importer_spark.queries import llm_text as lt
+
+    sf = "/root/testdata/sf0.001"
+    lt._NB_MODEL_CACHE.clear()
+    m = lt._lang_nb_model(spark, sf)  # prime the model cache
+    m.pop("cells_rows", None)  # force the distributed cells scoring pass
+    done = threading.Event()
+    out = {}
+
+    def build():
+        out["cells"] = lt._lang_cells(spark, sf).collect()
+        done.set()
+
+    t = threading.Thread(target=build, daemon=True)
+    with lt._NB_MODEL_LOCK:
+        t.start()
+        assert done.wait(timeout=300), (
+            "_lang_cells blocked on the global model lock (r7 deadlock fix)"
+        )
+    t.join(timeout=30)
+    assert sum(r.n for r in out["cells"]) > 0

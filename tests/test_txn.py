@@ -542,3 +542,58 @@ def test_conditional_put_store_contention(spark, tmp_path):
             {"action": "replace", "adds": adds, "removes": []},
             expected_base=base,
         )
+
+
+def test_conditional_put_failed_write_leaves_nothing(tmp_path, monkeypatch):
+    """r7 review: a write failure mid-PUT (ENOSPC, interrupt) must not
+    leave the version claimed with a torn manifest — real conditional-PUT
+    stores land all-or-nothing, so the model undoes the O_EXCL claim
+    before the error propagates and a retry can still win the name."""
+    import os
+
+    import pytest as _pytest
+
+    from importer_spark.txn import ConditionalPutLogStore
+
+    store = ConditionalPutLogStore()
+    d = str(tmp_path)
+    name = "00000000000000000001.json"
+
+    real_fsync = os.fsync
+    calls = {"n": 0}
+
+    def failing_fsync(fd):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError(28, "No space left on device")
+        return real_fsync(fd)
+
+    monkeypatch.setattr(os, "fsync", failing_fsync)
+    with _pytest.raises(OSError):
+        store.put_if_absent(d, name, b'{"v":1}')
+    # Nothing landed: no torn object, and the version number is still free.
+    assert not os.path.exists(os.path.join(d, name))
+    # The retry wins and the payload is intact end-to-end.
+    assert store.put_if_absent(d, name, b'{"v":1}')
+    with open(os.path.join(d, name), "rb") as fh:
+        assert fh.read() == b'{"v":1}'
+
+
+def test_conditional_put_completes_short_writes(tmp_path, monkeypatch):
+    """POSIX os.write may write fewer bytes than asked; the PUT loop must
+    finish the payload rather than silently truncating the manifest."""
+    import os
+
+    from importer_spark.txn import ConditionalPutLogStore
+
+    real_write = os.write
+
+    def one_byte_write(fd, data):
+        return real_write(fd, bytes(data)[:1])
+
+    monkeypatch.setattr(os, "write", one_byte_write)
+    payload = b'{"v": 12345, "pad": "abcdefgh"}'
+    assert ConditionalPutLogStore().put_if_absent(str(tmp_path), "x.json", payload)
+    monkeypatch.undo()
+    with open(tmp_path / "x.json", "rb") as fh:
+        assert fh.read() == payload

@@ -106,7 +106,7 @@ def main() -> None:
 
     from importer_spark.io import TABLES, Tables
     from importer_spark.queries import DIAGNOSTICS, QUERIES
-    from importer_spark.session import get_spark
+    from importer_spark.session import get_spark, shuffle_partitions_for_dir
 
     catalog = {**QUERIES, **DIAGNOSTICS}
     names = only if only is not None else SWEEP_QUERIES
@@ -115,22 +115,12 @@ def main() -> None:
         raise SystemExit(f"not in catalog: {unknown}")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # Scale shuffle partitions with the data (the bench's sf0.1 default of 8
-    # under-partitions a 50x input): ~1 partition per 32 MB of input.
-    size_mb = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(sf_dir)
-        for f in fs
-    ) / 1e6
-    # ~1 partition per 12 MB of compressed input, capped at 256. History of
-    # the divisor, all MEASURED on the join-heavy marts at the 100x dir
-    # (1.8 GB): /32 -> 57 partitions, spill, fake exp 1.3; /16 -> 114
-    # partitions, STILL on the spill cliff (mart_product_period_spending
-    # 38.8 s min-of-4); /12 -> ~153, past the cliff (24.3 s at 128 in the
-    # same session — sf10_100x_sh128chk). The cliff between 114 and 128
-    # partitions corresponds to ~150 MB of decompressed shuffle per
-    # partition (parquet expands ~2.5x) — the DEPLOY.md sizing rule.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, min(256, int(size_mb / 12)))))
+    # Shuffle partitions scale with the data via the ONE measured rule in
+    # session.shuffle_partitions_for_dir (spill-cliff divisor history lives
+    # in its docstring) — a fixed dial under-partitions a 50x input.
+    shuffle = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle_partitions_for_dir(sf_dir))
+    )
     spark = get_spark(
         app_name=f"scale-sweep-{label}",
         master=f"local[{cpus}]",
