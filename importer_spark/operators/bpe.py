@@ -83,10 +83,31 @@ def train_bpe(
     n_merges: int,
     top_v: int | None = 8192,
     min_pair_count: int = 2,
+    local_threshold: int = 65536,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus word-frequency
     table. Stops early when no pair reaches ``min_pair_count``. Returns the
-    ordered merge list (rank = position)."""
+    ordered merge list (rank = position).
+
+    Two execution paths, identical results (pinned by
+    tests/test_bpe.py::test_local_and_distributed_paths_agree):
+
+    - ``top_v`` bounded and ≤ ``local_threshold``: ONE distributed
+      groupBy + two-phase top-K collapses the corpus to its top-V word
+      counts — bounded, driver-sized MODEL state by definition — and the
+      merge rounds run locally over that dict. This removes the ~3
+      small-job rounds × n_merges scheduling cost the distributed loop
+      pays (measured: bpe_token_stats 7.5 s → corpus-pass-bound), which
+      dominates at EVERY corpus size because the loop's input is always
+      vocabulary-sized, never corpus-sized.
+    - ``top_v=None`` (or past the threshold): the original distributed
+      loop over the checkpointed vocab relation — the path for a truly
+      unbounded vocabulary that may not fit one machine."""
+    if top_v is not None and top_v <= local_threshold:
+        wc = {
+            r["word"]: r["cnt"] for r in _word_counts(df, text_col, top_v).collect()
+        }
+        return _train_bpe_local(wc, n_merges, min_pair_count)
     seg = _word_counts(df, text_col, top_v).select(
         "cnt",
         F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("syms"),
@@ -136,6 +157,44 @@ def train_bpe(
         # blowup — found as an apparent hang at 15 merges). The relation is
         # vocabulary-sized; 8 partitions is plenty at any corpus scale.
         seg = untouched.unionAll(touched).coalesce(8).localCheckpoint(eager=True)
+    return merges
+
+
+def _train_bpe_local(
+    word_counts: dict[str, int], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Merge rounds over a collected (word, cnt) dict — the exact
+    semantics of the distributed loop (every adjacent pair occurrence
+    counted, weighted by cnt; winner = max count then lexicographically
+    smallest pair; greedy left-to-right resegmentation) on model-sized
+    input. Python-side cost is O(n_merges × Σ|word|) over ≤top_v words."""
+    seg = {w: list(w) + [EOW] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            s = seg[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        merged = a + b
+        for w, s in seg.items():
+            if a not in s:  # cheap reject; resegment touches few words
+                continue
+            res, i, ln = [], 0, len(s)
+            while i < ln:
+                if i + 1 < ln and s[i] == a and s[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            seg[w] = res
     return merges
 
 

@@ -114,3 +114,14 @@ def test_bpe_on_documents_table(spark):
         F.sum(F.size("bpe_tokens")).alias("total_toks"),
     ).collect()[0]
     assert row["n"] == 200 and row["total_toks"] > 0
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """r7: a bounded top_v runs the merge rounds locally over the collected
+    word-count dict; forcing the distributed loop (local_threshold=0) on
+    the SAME capped vocabulary must yield the identical merge list."""
+    local = train_bpe(_corpus_df(spark), "text", n_merges=12, top_v=1000)
+    dist = train_bpe(
+        _corpus_df(spark), "text", n_merges=12, top_v=1000, local_threshold=0
+    )
+    assert local == dist
