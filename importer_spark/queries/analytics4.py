@@ -57,9 +57,9 @@ sums AS (
   GROUP BY 1
 )
 SELECT o_orderpriority, n,
-  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
     AS slope_per_day,
-  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
     AS intercept
 FROM sums
 """
@@ -89,7 +89,10 @@ def order_volume_trend_ols(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
-    den = (n * sxx - sx * sx).cast("double")
+    # NULLIF: a priority whose orders all land on ONE day has zero x-variance
+    # — the slope is undefined (NULL), not a divide-by-zero crash (found by
+    # the Unicode fuzz gate: mutated priority values form singleton groups).
+    den = F.nullif(n * sxx - sx * sx, F.lit(0)).cast("double")
     return sums.select(
         "o_orderpriority",
         "n",

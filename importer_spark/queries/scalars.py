@@ -24,7 +24,15 @@ SELECT
   replace(c_name, 'Customer', 'Cust') AS short_name,
   concat_ws(', ', c_mktsegment, nullif(c_name, ''), NULL) AS joined,
   'C-' || CAST(c_custkey AS VARCHAR) AS formatted_key,
-  upper(left(c_mktsegment, 1)) || lower(substr(c_mktsegment, 2)) AS seg_initcap
+  -- word-wise, matching Spark initcap (space-delimited words, first letter
+  -- up, rest down); first-char-only capitalization masqueraded as equal on
+  -- the single-word clean segments until the Unicode fuzz gate added spaces
+  CASE WHEN c_mktsegment IS NULL THEN NULL ELSE
+    array_to_string(
+      list_transform(string_split(c_mktsegment, ' '),
+                     w -> upper(left(w, 1)) || lower(substr(w, 2))),
+      ' ')
+  END AS seg_initcap
 FROM customer
 """
 

@@ -188,12 +188,15 @@ def event_value_quantile_rollup(spark, sf_dir):
 # --- exact distributed AUC (Mann-Whitney rank-sum, tie-corrected) -----------
 _AUC_SQL = """
 WITH d AS (
+  -- length(), not strlen(): DuckDB strlen counts BYTES, Spark length counts
+  -- codepoints — identical on ASCII, divergent on multibyte text (caught by
+  -- the Unicode fuzz gate; the llm_text oracles already use length()).
   SELECT source, lang,
     ROUND(
       LEAST(100.0, len(string_split(text, ' ')) / 5.0) * 0.4
       + (len(list_distinct(string_split(text, ' ')))::DOUBLE
          / len(string_split(text, ' '))) * 100.0 * 0.4
-      + LEAST(100.0, (strlen(text)::DOUBLE / len(string_split(text, ' '))) * 10.0) * 0.2,
+      + LEAST(100.0, (length(text)::DOUBLE / len(string_split(text, ' '))) * 10.0) * 0.2,
     6) AS score
   FROM documents
   WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL

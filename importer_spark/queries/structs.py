@@ -290,11 +290,17 @@ def priority_counts_json(spark, sf_dir):
 
 _VARIANT_SQL = """
 WITH j AS (
+  -- json_object, never '||'-concatenation: raw strings may contain JSON
+  -- control characters (a literal TAB crashed parse_json under the Unicode
+  -- fuzz gate) — the constructor escapes them, so the document is always
+  -- well-formed and extraction round-trips the original value.
   SELECT o_orderkey,
-    '{"order":{"status":"' || o_orderstatus || '","priority":"' ||
-    o_orderpriority || '"},"price_cents":' ||
-    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
-    || '}' AS payload
+    json_object(
+      'order', json_object('status', o_orderstatus,
+                           'priority', o_orderpriority),
+      'price_cents',
+      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS BIGINT)
+    )::VARCHAR AS payload
   FROM orders
 )
 SELECT o_orderkey,
@@ -315,14 +321,19 @@ def variant_payload_extract(spark, sf_dir):
     schema-on-read event payloads. Oracle: DuckDB JSON path extraction on
     the identical document."""
     t = Tables(spark, sf_dir)
-    payload = F.concat(
-        F.lit('{"order":{"status":"'),
-        F.col("o_orderstatus"),
-        F.lit('","priority":"'),
-        F.col("o_orderpriority"),
-        F.lit('"},"price_cents":'),
-        (dec(F.col("o_totalprice")) * 100).cast("bigint").cast("string"),
-        F.lit("}"),
+    # to_json(struct(...)), never string concatenation: raw column values can
+    # contain JSON control characters (a literal TAB crashed parse_json under
+    # the Unicode fuzz gate). The serializer escapes them; a NULL field is
+    # dropped (Spark) vs rendered null (DuckDB json_object) — both extract to
+    # NULL, so the OUTPUT columns stay engine-identical either way.
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("order"),
+            (dec(F.col("o_totalprice")) * 100).cast("bigint").alias("price_cents"),
+        )
     )
     v = F.parse_json(payload)
     return t.orders.select(
