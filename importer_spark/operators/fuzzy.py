@@ -4,31 +4,43 @@ join, the missing piece between exact key consolidation
 (operators/dedup.py MinHash): normalization converges *systematic* noise
 (suffixes, case, whitespace); this operator converges *typos*.
 
-Candidate generation is the symmetric-deletion scheme (the SymSpell
-family): every string explodes into all variants reachable by deleting up
-to ``max_dist`` characters, and two strings are candidates iff they share
-a variant. This is provably COMPLETE for Levenshtein distance ≤ d: an
-alignment with ≤ d edits pins a common subsequence reachable from either
-side by ≤ d deletions (deletions+substitutions from one side,
-insertions+substitutions from the other), so no true match is missed —
-unlike q-gram-count or prefix heuristics, there is no recall loss to
-tune. Candidates are then verified with the JVM ``levenshtein(l, r,
-threshold)`` kernel (early-exits above the threshold), so emitted
-distances are exact.
+Candidate generation is pigeonhole partitioning (the PassJoin scheme —
+Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
+joins", VLDB 2011): every string s is split into ``max_dist + 1``
+contiguous parts; if lev(s, t) <= max_dist, at most ``max_dist`` parts
+can be touched by edits, so at least ONE part of s appears in t as an
+EXACT substring whose start position is shifted by at most ``max_dist``.
+Candidates are therefore the equi-join of each string's parts against
+each string's windowed substrings on the key (partner_length, part_index,
+content) — provably COMPLETE for Levenshtein <= max_dist, with no recall
+knob to tune. Candidates are then verified with the JVM
+``levenshtein(l, r, threshold)`` kernel (banded DP, early-exits above the
+threshold), so emitted distances are exact.
+
+Why not symmetric deletion (SymSpell), the r5-r7 scheme: its d=2
+neighborhood is O(len²) variants of O(len) bytes each — O(len³) bytes per
+name. Fine for name-length strings; catastrophic on long ones (the
+Unicode fuzz gate's 2000-codepoint mega-token mutation turned one
+candidate-generation task into ~8 GB of string copies and a multi-hour
+grind — observed, not hypothetical). Partitioning emits
+O(max_dist² · len) bytes per name — LINEAR in string length — and is
+strictly cheaper at name lengths too (~75 short keys vs ~450 full-length
+variants per 30-char name at d=2).
 
 100 TB shape — identical to the LSH band join (operators/dedup.py):
 - runs on the DISTINCT-names relation (the entity vocabulary), never the
   raw corpus; the corpus re-joins the match table by equi-key afterwards;
-- the only shuffle moves (variant_hash, name) pairs; variants fan out
-  ~(n·d) rows per name but each is a hash + short string;
-- verification touches candidate pairs only (the whole point: the
-  all-pairs theta join the oracle runs is what this avoids);
-- hot variants (e.g. the empty-string variant of 1-char names under d=1)
-  are AQE skew splits, not plan changes.
-
-Variant generation is array-HOF per-name work on the vocabulary side —
-interpreted, but O(n·d) per DISTINCT name, not per corpus row (the same
-budget call as the MinHash shingle pipeline documents).
+- the only shuffle moves (length, part_index, piece) keys — each at most
+  ~len/(max_dist+1) bytes — plus the name;
+- verification touches candidate pairs only, with the banded
+  threshold kernel at O(max_dist·len) per pair;
+- degenerate keys are candidate BUCKETS, the LSH-bucket story: strings
+  shorter than ``max_dist + 1`` carry empty parts, so the (l, i, '')
+  bucket brute-forces tiny strings against compatible lengths (alphabet-
+  bounded in practice); boilerplate shared substrings bucket the names
+  that share them (AQE skew splits absorb hot buckets, and a bucket cap
+  could be layered exactly as in dedup.cap_band_buckets if a corpus
+  demanded it).
 """
 
 from __future__ import annotations
@@ -37,51 +49,68 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _drop1(s: Column, i: Column) -> Column:
-    """``s`` with the 1-based character ``i`` removed."""
-    return F.concat(
-        F.substring(s, F.lit(1), i - 1),
-        F.substring(s, i + 1, F.length(s)),
+def _empty_keys() -> Column:
+    return F.array().cast("array<struct<l:int,i:int,piece:string>>")
+
+
+def _key(l: Column, i: Column, piece: Column) -> Column:
+    return F.struct(
+        l.cast("int").alias("l"), i.cast("int").alias("i"), piece.alias("piece")
     )
 
 
-def _drop2(s: Column, i: Column, j: Column) -> Column:
-    """``s`` with 1-based characters ``i < j`` removed."""
-    return F.concat(
-        F.substring(s, F.lit(1), i - 1),
-        F.substring(s, i + 1, j - i - 1),
-        F.substring(s, j + 1, F.length(s)),
+def partition_keys(s: Column, max_dist: int) -> Column:
+    """The ``max_dist + 1`` contiguous parts of ``s`` as (l, i, piece) keys,
+    where ``l`` is len(s) and part i covers [i*base + min(i, rem),
+    +base + (i < rem)) — the canonical near-equal split (first ``rem``
+    parts one longer). Empty parts (len(s) <= max_dist) are emitted:
+    they land in the (l, i, '') bucket that pairs tiny strings."""
+    tau = max_dist
+    l = F.length(s)
+    base = F.floor(l / (tau + 1)).cast("int")
+    rem = (l % (tau + 1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tau)),
+        lambda i: _key(
+            l,
+            i,
+            F.substring(s, i * base + F.least(i, rem) + 1, base + (i < rem).cast("int")),
+        ),
     )
 
 
-def deletion_variants(s: Column, max_dist: int) -> Column:
-    """All distinct strings reachable from ``s`` by deleting up to
-    ``max_dist`` characters (including ``s`` itself). ``max_dist`` in
-    {1, 2} — 2 is the practical typo ceiling; the d=2 neighborhood is
-    O(n²) variants per name, which is why this runs on the vocabulary."""
-    if max_dist not in (1, 2):
-        raise ValueError(f"deletion_variants: max_dist must be 1 or 2, got {max_dist}")
-    n = F.length(s)
-    empty = F.array().cast("array<string>")
-    d0 = F.array(s)
-    d1 = F.when(
-        n >= 1, F.transform(F.sequence(F.lit(1), n), lambda i: _drop1(s, i))
-    ).otherwise(empty)
-    parts = [d0, d1]
-    if max_dist == 2:
-        d2 = F.when(
-            n >= 2,
-            F.flatten(
+def probe_keys(s: Column, max_dist: int) -> Column:
+    """Windowed substrings of ``s`` that could equal a partner's part: for
+    each partner length l in [len(s)-max_dist, len(s)+max_dist] and part
+    index i, the substrings of part-i's length starting within
+    ``max_dist`` of part-i's nominal position. O(max_dist³) keys, each
+    O(len/(max_dist+1)) bytes — linear total in len(s)."""
+    tau = max_dist
+    m = F.length(s)
+
+    def per_length(l: Column) -> Column:
+        base = F.floor(l / (tau + 1)).cast("int")
+        rem = (l % (tau + 1)).cast("int")
+
+        def per_part(i: Column) -> Column:
+            li = base + (i < rem).cast("int")
+            pi = i * base + F.least(i, rem)
+            q_lo = F.greatest(pi - tau, F.lit(0))
+            q_hi = F.least(pi + tau, m - li)
+            return F.when(
+                q_hi >= q_lo,
                 F.transform(
-                    F.sequence(F.lit(1), n - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, n), lambda j: _drop2(s, i, j)
-                    ),
-                )
-            ),
-        ).otherwise(empty)
-        parts.append(d2)
-    return F.array_distinct(F.concat(*parts))
+                    F.sequence(q_lo, q_hi),
+                    lambda q: _key(l, i, F.substring(s, q + 1, li)),
+                ),
+            ).otherwise(_empty_keys())
+
+        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(tau)), per_part))
+
+    lengths = F.filter(
+        F.sequence(m - tau, m + tau), lambda candidate_l: candidate_l >= 0
+    )
+    return F.array_distinct(F.flatten(F.transform(lengths, per_length)))
 
 
 def fuzzy_match_pairs(
@@ -90,20 +119,42 @@ def fuzzy_match_pairs(
     """(name_a, name_b, edit_dist): unordered pairs of DISTINCT values of
     ``name_col`` within Levenshtein distance ``max_dist`` (name_a < name_b;
     exact distances, candidate generation lossless — see module doc)."""
+    if max_dist < 1:
+        raise ValueError(f"fuzzy_match_pairs: max_dist must be >= 1, got {max_dist}")
     distinct = names.select(F.col(name_col).alias("_name")).distinct()
-    variants = distinct.select(
+    # ONE tagged key relation (role 0 = partition parts, role 1 = windowed
+    # probes), self-joined on the xxhash64 of the key: the vocabulary is
+    # scanned and shuffled ONCE (ReusedExchange collapses the two identical
+    # sides), and the shuffle moves (hash, role, name) — no key strings.
+    # Hash collisions only ADD candidates; the exact verify prunes them.
+    tag = lambda role, keys: F.transform(  # noqa: E731
+        keys, lambda k: F.struct(F.lit(role).alias("role"), k.alias("k"))
+    )
+    s = F.col("_name")
+    keys = distinct.select(
         "_name",
-        F.explode(deletion_variants(F.col("_name"), max_dist)).alias("_v"),
-    ).select("_name", F.xxhash64("_v").alias("_vh"))
-    a, b = variants.alias("a"), variants.alias("b")
+        F.explode(
+            F.concat(
+                tag(0, partition_keys(s, max_dist)), tag(1, probe_keys(s, max_dist))
+            )
+        ).alias("_rk"),
+    ).select(
+        "_name",
+        F.col("_rk.role").alias("_role"),
+        F.xxhash64("_rk.k.l", "_rk.k.i", "_rk.k.piece").alias("_kh"),
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a._vh") == F.col("b._vh"))
-            & (F.col("a._name") < F.col("b._name")),
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a._kh") == F.col("b._kh"))
+            & (F.col("a._role") == 0)
+            & (F.col("b._role") == 1)
+            & (F.col("a._name") != F.col("b._name")),
         )
         .select(
-            F.col("a._name").alias("name_a"), F.col("b._name").alias("name_b")
+            F.least("a._name", "b._name").alias("name_a"),
+            F.greatest("a._name", "b._name").alias("name_b"),
         )
         .distinct()
     )

@@ -209,7 +209,7 @@ terms AS (
     12) AS DECIMAL(28,12)) AS term
   FROM s JOIN st USING (source) JOIN g USING (tok), gt
 )
-SELECT t.source, CAST(SUM(t.term) AS DOUBLE) AS kl_nats,
+SELECT t.source, ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS kl_nats,
        CAST(MAX(st.ts) AS BIGINT) AS n_tokens
 FROM terms t JOIN st ON st.source = t.source
 GROUP BY 1
@@ -226,7 +226,11 @@ def source_kl_drift(spark, sf_dir):
     always finite). Determinism: each token's term p·ln(p/q) is computed
     from EXACT integer counts (one double division of bigint products, ln
     rounded to 9, the product rounded to 12) and summed as DECIMAL — the
-    accumulation order cannot change a source's score. Scale shape: one
+    accumulation order cannot change a source's score — and the final
+    double is rounded to 6 (house rule): the JVM's Math.log and libm's
+    log may differ in the last ulp, which at a rounding boundary shifts
+    one 12-digit term by 1e-12 (observed once under the sf0.01 Unicode
+    fuzz gate); the final round absorbs it. Scale shape: one
     explode, two map-side-combined count aggregations, a model-sized join
     on tok, one final groupBy(source); corpus totals ride as a 1-row
     broadcast. BIGINT products cs·tg bound the exactness at ~1e18 tokens —
@@ -273,7 +277,7 @@ def source_kl_drift(spark, sf_dir):
         )
     )
     return terms.groupBy("source").agg(
-        F.sum("term").cast("double").alias("kl_nats"),
+        F.round(F.sum("term").cast("double"), 6).alias("kl_nats"),
         F.max("ts").alias("n_tokens"),
     )
 

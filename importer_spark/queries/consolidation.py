@@ -99,9 +99,10 @@ def part_name_fuzzy_matches(spark, sf_dir):
     """Edit-distance fuzzy match over the part-name vocabulary — the typo
     arm of entity resolution (the reference consolidates only systematic
     suffix noise, domain_consolidation.py:102-132; real ingest also has
-    misspellings). Symmetric-deletion candidate generation (lossless for
-    lev ≤ 2) + JVM thresholded levenshtein verify; the oracle runs the
-    all-pairs theta join this operator exists to avoid."""
+    misspellings). PassJoin pigeonhole candidate generation (lossless for
+    lev ≤ 2, linear in name length) + JVM thresholded levenshtein verify;
+    the oracle runs the all-pairs theta join this operator exists to
+    avoid."""
     from importer_spark.operators.fuzzy import fuzzy_match_pairs
 
     t = Tables(spark, sf_dir)
