@@ -143,6 +143,10 @@ def fuzzy_match_pairs(
         F.col("_rk.role").alias("_role"),
         F.xxhash64("_rk.k.l", "_rk.k.i", "_rk.k.piece").alias("_kh"),
     )
+    # a._name < b._name (not !=): the pigeonhole guarantee holds with
+    # EITHER string as the partitioned side, so keeping only the direction
+    # where the partition-role name is the smaller one stays complete and
+    # halves candidate rows into the distinct.
     cand = (
         keys.alias("a")
         .join(
@@ -150,11 +154,11 @@ def fuzzy_match_pairs(
             (F.col("a._kh") == F.col("b._kh"))
             & (F.col("a._role") == 0)
             & (F.col("b._role") == 1)
-            & (F.col("a._name") != F.col("b._name")),
+            & (F.col("a._name") < F.col("b._name")),
         )
         .select(
-            F.least("a._name", "b._name").alias("name_a"),
-            F.greatest("a._name", "b._name").alias("name_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
         )
         .distinct()
     )

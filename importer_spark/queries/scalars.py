@@ -26,7 +26,11 @@ SELECT
   'C-' || CAST(c_custkey AS VARCHAR) AS formatted_key,
   -- word-wise, matching Spark initcap (space-delimited words, first letter
   -- up, rest down); first-char-only capitalization masqueraded as equal on
-  -- the single-word clean segments until the Unicode fuzz gate added spaces
+  -- the single-word clean segments until the Unicode fuzz gate added spaces.
+  -- Known latent boundary: Spark initcap TITLE-cases the first letter
+  -- (Character.toTitleCase) while upper() UPPER-cases it — divergent only
+  -- for digraph codepoints like U+01C6 'dž' (titlecase Dž vs uppercase DŽ),
+  -- which no fuzz class generates; would need --boundary if one ever does
   CASE WHEN c_mktsegment IS NULL THEN NULL ELSE
     array_to_string(
       list_transform(string_split(c_mktsegment, ' '),

@@ -299,7 +299,7 @@ WITH j AS (
       'order', json_object('status', o_orderstatus,
                            'priority', o_orderpriority),
       'price_cents',
-      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS BIGINT)
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
     )::VARCHAR AS payload
   FROM orders
 )

@@ -34,11 +34,12 @@ def _lev(a: str, b: str) -> int:
 
 def _brute(names, max_dist):
     uniq = sorted(set(n for n in names if n is not None))
-    return {
-        (a, b, _lev(a, b))
-        for a, b in itertools.combinations(uniq, 2)
-        if _lev(a, b) <= max_dist
-    }
+    out = set()
+    for a, b in itertools.combinations(uniq, 2):
+        d = _lev(a, b)  # once per pair — the mega-token DP is ~4M cells
+        if d <= max_dist:
+            out.add((a, b, d))
+    return out
 
 
 def _pairs(spark, names, max_dist):

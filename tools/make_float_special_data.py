@@ -24,19 +24,21 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_common
+
+# Row identities and the hash gate come from the shared fuzzer scaffolding
+# (tools/fuzz_common.py — one map for all three poison axes).
+from fuzz_common import fuzz_session, hash_gate  # noqa: E402
 
 RATE_DENOM = 100  # 3 specials × 1% each
 
-# table -> (row-identity columns, float columns to poison)
-SPECIAL_COLS: dict[str, tuple[list[str], list[str]]] = {
-    "part": (["p_partkey"], ["p_retailprice"]),
-    "orders": (["o_orderkey"], ["o_totalprice"]),
-    "lineitem": (
-        ["l_orderkey", "l_linenumber", "l_partkey"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    ),
-    "events": (["event_id"], ["value"]),
-    "embeddings": (["vec_id"], ["embedding"]),  # array: poisons components
+# table -> float columns to poison
+SPECIAL_COLS: dict[str, list[str]] = {
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "events": ["value"],
+    "embeddings": ["embedding"],  # array: poisons components
 }
 
 PASSTHROUGH = ["region", "nation", "supplier", "customer", "documents"]
@@ -46,24 +48,17 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fspec"
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .appName("make_float_special_data")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = fuzz_session("make_float_special_data")
 
     for table in PASSTHROUGH:
         df = spark.read.parquet(f"{src}/{table}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
         print(f"{table}: copied")
 
-    for table, (id_cols, cols) in SPECIAL_COLS.items():
+    for table, cols in SPECIAL_COLS.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
         out_cols = []
         for c in df.columns:
@@ -71,9 +66,7 @@ def main() -> None:
                 out_cols.append(F.col(c))
                 continue
             dt = df.schema[c].dataType
-            gate = F.pmod(
-                F.xxhash64(*[F.col(k) for k in id_cols], F.lit(c)), RATE_DENOM
-            )
+            gate = hash_gate(table, c, RATE_DENOM)
             if isinstance(dt, ArrayType):
                 # poison ONE component (the first) of ~3% of vectors
                 elem = dt.elementType.simpleString()

@@ -35,56 +35,47 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_common
+
+# Row identities and the hash gate come from the shared fuzzer scaffolding
+# (tools/fuzz_common.py — one map for all three poison axes).
+from fuzz_common import ID_COLS, KEY_SUFFIXES, fuzz_session, hash_gate  # noqa: E402
 
 NULL_RATE_DENOM = 20  # 1-in-20 → 5% per fuzzed column
 
-# table -> (row-identity columns for the hash, fuzzable columns)
-FUZZ_COLS: dict[str, tuple[list[str], list[str]]] = {
-    "region": (["r_regionkey"], ["r_name"]),
-    "nation": (["n_nationkey"], ["n_name"]),
-    "supplier": (["s_suppkey"], ["s_name"]),
-    "customer": (["c_custkey"], None),  # None → all non-key cols, resolved at run
-    "part": (["p_partkey"], ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
-    "orders": (
-        ["o_orderkey"],
-        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
-    ),
-    "lineitem": (
-        ["l_orderkey", "l_linenumber", "l_partkey"],
-        [
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            "l_shipdate",
-        ],
-    ),
-    "events": (["event_id"], ["event_type", "value", "props"]),
-    "documents": (["doc_id"], ["text", "lang", "source", "n_chars"]),
-    "embeddings": (["vec_id"], ["label"]),
+# table -> fuzzable columns (None → all non-key cols, resolved at run)
+FUZZ_COLS: dict[str, list[str] | None] = {
+    "region": ["r_name"],
+    "nation": ["n_name"],
+    "supplier": ["s_name"],
+    "customer": None,
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "events": ["event_type", "value", "props"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["label"],
 }
-
-KEY_SUFFIXES = ("key", "_id")
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz"
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .appName("make_fuzzed_data")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = fuzz_session("make_fuzzed_data")
 
-    for table, (id_cols, cols) in FUZZ_COLS.items():
+    for table, cols in FUZZ_COLS.items():
+        id_cols = ID_COLS[table]
         df = spark.read.parquet(f"{src}/{table}.parquet")
         if cols is None:
             cols = [
@@ -95,10 +86,7 @@ def main() -> None:
         out_cols = []
         for c in df.columns:
             if c in cols:
-                gate = (
-                    F.pmod(F.xxhash64(*[F.col(k) for k in id_cols], F.lit(c)), NULL_RATE_DENOM)
-                    == 0
-                )
+                gate = hash_gate(table, c, NULL_RATE_DENOM) == 0
                 out_cols.append(
                     F.when(gate, F.lit(None).cast(df.schema[c].dataType))
                     .otherwise(F.col(c))

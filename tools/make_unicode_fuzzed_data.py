@@ -43,6 +43,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_common
 
 MUTATE_RATE_DENOM = 8  # 1-in-8 string values mutated
 
@@ -80,22 +81,11 @@ def _mutations(F):
     ]
 
 
-# table -> row-identity columns for the deterministic hash. All STRING
+# Row identities and the hash gate come from the shared fuzzer scaffolding
+# (tools/fuzz_common.py — one map for all three poison axes). All STRING
 # columns outside ids/props are mutated (resolved from the schema at run).
-ID_COLS: dict[str, list[str]] = {
-    "region": ["r_regionkey"],
-    "nation": ["n_nationkey"],
-    "supplier": ["s_suppkey"],
-    "customer": ["c_custkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-}
+from fuzz_common import ID_COLS, KEY_SUFFIXES, fuzz_session, hash_gate  # noqa: E402
 
-KEY_SUFFIXES = ("key", "_id")
 EXCLUDE = {"events": {"props"}}
 
 
@@ -103,17 +93,10 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/unifuzz"
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .appName("make_unicode_fuzzed_data")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = fuzz_session("make_unicode_fuzzed_data")
     muts = _mutations(F)
 
     for table, id_cols in ID_COLS.items():
@@ -129,9 +112,8 @@ def main() -> None:
         out_cols = []
         for c in df.columns:
             if c in cols:
-                ids = [F.col(k) for k in id_cols]
-                gate = F.pmod(F.xxhash64(*ids, F.lit(c)), MUTATE_RATE_DENOM) == 0
-                kind = F.pmod(F.xxhash64(*ids, F.lit(c), F.lit("kind")), len(muts))
+                gate = hash_gate(table, c, MUTATE_RATE_DENOM) == 0
+                kind = hash_gate(table, c, len(muts), salt="kind")
                 mutated_val = None
                 for i, (_, fn) in enumerate(muts):
                     expr = fn(F.col(c))
@@ -157,15 +139,7 @@ def main() -> None:
                     F.sum(
                         sum(
                             (
-                                (
-                                    F.pmod(
-                                        F.xxhash64(
-                                            *[F.col(k) for k in id_cols], F.lit(c)
-                                        ),
-                                        MUTATE_RATE_DENOM,
-                                    )
-                                    == 0
-                                )
+                                (hash_gate(table, c, MUTATE_RATE_DENOM) == 0)
                                 & F.col(c).isNotNull()
                             ).cast("long")
                             for c in cols

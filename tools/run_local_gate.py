@@ -89,12 +89,15 @@ def main() -> None:
         del argv[i : i + 2]
     # --boundary name=reason (repeatable): a DOCUMENTED engine-semantics
     # boundary — the named query still runs on BOTH engines and a match
-    # still counts as a pass, but a mismatch is recorded transparently
-    # under "boundaries" (with the reason AND the observed diff) instead
-    # of failing the gate. For divergences that are a property of the
-    # oracle engine, not a bug (e.g. DuckDB levenshtein counts BYTES,
-    # Spark/Postgres count codepoints — measurable only under the Unicode
-    # fuzz axis). Never use it to hide a fixable oracle.
+    # still counts as a pass, but a COMPARISON mismatch (values, rows,
+    # columns) is recorded transparently under "boundaries" (with the
+    # reason AND the observed diff) instead of failing the gate. For
+    # divergences that are a property of the oracle engine, not a bug
+    # (e.g. DuckDB levenshtein counts BYTES, Spark/Postgres count
+    # codepoints — measurable only under the Unicode fuzz axis). Never
+    # use it to hide a fixable oracle. An EXCEPTION on either engine is
+    # always a FAIL — a boundary explains a disagreement between two
+    # completed answers, never a crash (r7 review).
     boundaries: dict[str, str] = {}
     while "--boundary" in argv:
         i = argv.index("--boundary")
@@ -124,10 +127,14 @@ def main() -> None:
     oracle_timeout_s = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
     fails: dict[str, str] = {}
     boundaries_hit: dict[str, dict] = {}
+    crashed: set[str] = set()
     oracle_timeouts: dict[str, dict] = {}
     seconds: dict[str, list[float]] = {}
     heap_samples: list[dict] = []
     names = sorted(QUERIES)
+    unknown_b = set(boundaries) - set(names)
+    if unknown_b:  # a typo here would silently fail the intended query
+        raise SystemExit(f"--boundary names not in catalog: {sorted(unknown_b)}")
     if only is not None:
         unknown = only - set(names)
         if unknown:
@@ -176,7 +183,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record, keep gating
             fails[name] = f"{type(e).__name__}: {e}"[:300]
             seconds[name] = [round(time.perf_counter() - t0, 3), -1.0]
-        if name in fails and name in boundaries:
+            crashed.add(name)
+        if name in fails and name in boundaries and name not in crashed:
             boundaries_hit[name] = {
                 "reason": boundaries[name],
                 "detail": fails.pop(name),
