@@ -118,10 +118,21 @@ def fuzzy_match_pairs(
 ) -> DataFrame:
     """(name_a, name_b, edit_dist): unordered pairs of DISTINCT values of
     ``name_col`` within Levenshtein distance ``max_dist`` (name_a < name_b;
-    exact distances, candidate generation lossless — see module doc)."""
+    exact distances, candidate generation lossless — see module doc).
+
+    NULL values of ``name_col`` are EXCLUDED by contract: NULL has no edit
+    distance to anything (SQL three-valued logic — ``levenshtein(NULL, x)``
+    is NULL, never ``<= max_dist``), so the distinct step filters them
+    explicitly rather than leaving the exclusion to the NULL-rejecting
+    ``name_a < name_b`` join predicate downstream (r7 advice: the behavior
+    was correct but incidental)."""
     if max_dist < 1:
         raise ValueError(f"fuzzy_match_pairs: max_dist must be >= 1, got {max_dist}")
-    distinct = names.select(F.col(name_col).alias("_name")).distinct()
+    distinct = (
+        names.select(F.col(name_col).alias("_name"))
+        .filter(F.col(name_col).isNotNull())
+        .distinct()
+    )
     # ONE tagged key relation (role 0 = partition parts, role 1 = windowed
     # probes), self-joined on the xxhash64 of the key: the vocabulary is
     # scanned and shuffled ONCE (ReusedExchange collapses the two identical

@@ -27,10 +27,19 @@ SELECT
   -- word-wise, matching Spark initcap (space-delimited words, first letter
   -- up, rest down); first-char-only capitalization masqueraded as equal on
   -- the single-word clean segments until the Unicode fuzz gate added spaces.
-  -- Known latent boundary: Spark initcap TITLE-cases the first letter
-  -- (Character.toTitleCase) while upper() UPPER-cases it — divergent only
-  -- for digraph codepoints like U+01C6 'dž' (titlecase Dž vs uppercase DŽ),
-  -- which no fuzz class generates; would need --boundary if one ever does
+  -- Known engine-semantics boundary (exercised by the Unicode gate's
+  -- titlecase_digraph / one_to_many_case mutation classes; routed through
+  -- run_local_gate --boundary with a values~seg_initcap signature):
+  --   * digraph codepoints (U+01C4..U+01CC, U+01F1..U+01F3): Spark initcap
+  --     TITLE-cases the word's first letter (Character.toTitleCase: dž→Dž)
+  --     while this oracle's upper() UPPER-cases it (dž→DŽ);
+  --   * locale-special one-to-many case maps: Spark lowercases the WHOLE
+  --     word first (String.toLowerCase expands U+0130 'İ' to 'i'+U+0307)
+  --     then title-cases, while upper(left(w,1))||lower(substr(w,2)) never
+  --     lowercases the first char (İ stays İ); ß upper-cases to SS in
+  --     DuckDB upper() but Character.toTitleCase(ß) is ß itself.
+  -- Both are properties of the two engines' case-mapping tables, not of
+  -- the query plan — ASCII and ordinary non-digraph letters agree exactly.
   CASE WHEN c_mktsegment IS NULL THEN NULL ELSE
     array_to_string(
       list_transform(string_split(c_mktsegment, ' '),

@@ -50,11 +50,16 @@ def test_constants_are_the_documented_codepoints():
     assert len(m.MEGA_TOKEN) == 2000 and len(set(m.MEGA_TOKEN)) == 1
     # the emoji sequence really is a ZWJ sequence (3 emoji + 1 joiner)
     assert m.ZWJ in m.EMOJI_ZWJ and len(m.EMOJI_ZWJ) == 4
+    # the digraph class carries LOWERCASE digraph codepoints (dž lj nj dz —
+    # where Character.toTitleCase != upper) and the one-to-many class
+    # carries İ (U+0130), ß (U+00DF), and the ﬁ ligature (U+FB01)
+    assert [ord(c) for c in m.DIGRAPHS] == [0x01C6, 0x01C9, 0x01CC, 0x01F3]
+    assert {0x0130, 0x00DF, 0xFB01} <= {ord(c) for c in m.ONE_TO_MANY}
 
 
 def test_every_mutation_class_lands_in_documents_text(spark, fuzz_dir):
     """documents.text is the LLM-family surface — with 500 docs at 1-in-8
-    and 12 rotating classes, every class must appear (expected ~5 each)."""
+    and 14 rotating classes, every class must appear (expected ~4 each)."""
     m = _mod()
     df = spark.read.parquet(f"{fuzz_dir}/documents.parquet")
     text = [r["text"] for r in df.select("text").collect() if r["text"] is not None]
@@ -69,6 +74,8 @@ def test_every_mutation_class_lands_in_documents_text(spark, fuzz_dir):
         "mega_token": m.MEGA_TOKEN,
         "line_separators": m.LINE_SEP,
         "astral_plane": m.ASTRAL,
+        "titlecase_digraph": m.DIGRAPHS + "a ",
+        "one_to_many_case": m.ONE_TO_MANY + " ",
     }
     for cls, probe in probes.items():
         assert any(probe in t for t in text), f"class {cls} never landed"

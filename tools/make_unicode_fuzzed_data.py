@@ -60,6 +60,15 @@ CJK = "数据清洗流水线"
 EMOJI_ZWJ = "\U0001f469" + ZWJ + "\U0001f4bb" + "\U0001f525"  # woman-technologist + fire
 ASTRAL = "\U0001d518\U0001d52b\U0001d526"  # fraktur U n i (4-byte UTF-8 letters)
 MEGA_TOKEN = "龍" * 2000  # one 2000-codepoint token
+# Titlecase-vs-uppercase digraphs (r7 verdict #3): U+01C4..U+01CC DŽ/Dž/dž,
+# LJ/Lj/lj, NJ/Nj/nj + U+01F1..U+01F3 DZ/Dz/dz — the codepoints where
+# Character.toTitleCase (Spark initcap) and upper() (the oracle emulation)
+# disagree. Lowercase forms lead the words so initcap must actually act.
+DIGRAPHS = "ǆǉǌǳ"  # dž lj nj dz
+# Locale-special ONE-TO-MANY case maps (r7 advice): U+0130 İ lowercases to
+# i+U+0307 (two codepoints) before title-casing in Spark; ß upper-cases to
+# SS in DuckDB but title-cases to itself; ﬁ ligature upper-cases to FI.
+ONE_TO_MANY = "İstanbul straße ﬁle"
 
 
 def _mutations(F):
@@ -78,6 +87,15 @@ def _mutations(F):
         ("whitespace_only", lambda v: F.lit("  \t ")),
         ("line_separators", lambda v: F.concat(F.lit("a" + LINE_SEP + "b" + NEL + "c "), v)),
         ("astral_plane", lambda v: F.concat(F.lit(ASTRAL + " "), v)),
+        # 13th class (r7 verdict #3): words STARTING with a lowercase
+        # digraph codepoint — initcap title-cases (dž→Dž) where the oracle's
+        # upper(left(w,1)) upper-cases (dž→DŽ). Mutated values route any
+        # divergence to --boundary with a values~seg_initcap signature.
+        ("titlecase_digraph", lambda v: F.concat(F.lit(DIGRAPHS + "a "), v, F.lit(" " + DIGRAPHS))),
+        # 14th class (r7 advice): one-to-many case mappings (İ, ß, ﬁ) where
+        # lowercase/titlecase/uppercase change codepoint COUNT, not just
+        # identity — stresses initcap, upper/lower, AND length().
+        ("one_to_many_case", lambda v: F.concat(F.lit(ONE_TO_MANY + " "), v)),
     ]
 
 

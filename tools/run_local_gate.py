@@ -87,10 +87,10 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
-    # --boundary name=reason (repeatable): a DOCUMENTED engine-semantics
-    # boundary — the named query still runs on BOTH engines and a match
-    # still counts as a pass, but a COMPARISON mismatch (values, rows,
-    # columns) is recorded transparently under "boundaries" (with the
+    # --boundary name=[kind~[regex~]]reason (repeatable): a DOCUMENTED
+    # engine-semantics boundary — the named query still runs on BOTH
+    # engines and a match still counts as a pass, but a COMPARISON
+    # mismatch is recorded transparently under "boundaries" (with the
     # reason AND the observed diff) instead of failing the gate. For
     # divergences that are a property of the oracle engine, not a bug
     # (e.g. DuckDB levenshtein counts BYTES, Spark/Postgres count
@@ -98,11 +98,33 @@ def main() -> None:
     # use it to hide a fixable oracle. An EXCEPTION on either engine is
     # always a FAIL — a boundary explains a disagreement between two
     # completed answers, never a crash (r7 review).
-    boundaries: dict[str, str] = {}
+    #
+    # The optional SIGNATURE (r7 advice: a bare name=reason reclassified
+    # ANY mismatch in the named query, so an unrelated regression would
+    # exit 0): `kind` pins the mismatch class (`rows`, `columns`, or
+    # `values`) and `regex` must re.search the observed diff detail. A
+    # mismatch that does not match the declared signature stays a FAIL —
+    # e.g. `part_name_fuzzy_matches=rows~~DuckDB levenshtein counts
+    # bytes` lets only a ROW-COUNT divergence through; a value or column
+    # mismatch from any future bug still fails the gate.
+    boundaries: dict[str, dict] = {}
     while "--boundary" in argv:
         i = argv.index("--boundary")
-        k, _, reason = argv[i + 1].partition("=")
-        boundaries[k] = reason or "documented engine-semantics boundary"
+        k, _, spec = argv[i + 1].partition("=")
+        kind, regex = None, None
+        if "~" in spec:
+            kind, regex, reason = spec.split("~", 2)
+            if kind not in ("rows", "columns", "values"):
+                raise SystemExit(
+                    f"--boundary {k}: kind must be rows|columns|values, got {kind!r}"
+                )
+        else:
+            reason = spec
+        boundaries[k] = {
+            "kind": kind,
+            "regex": regex or None,
+            "reason": reason or "documented engine-semantics boundary",
+        }
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     out_path = (
@@ -185,11 +207,27 @@ def main() -> None:
             seconds[name] = [round(time.perf_counter() - t0, 3), -1.0]
             crashed.add(name)
         if name in fails and name in boundaries and name not in crashed:
-            boundaries_hit[name] = {
-                "reason": boundaries[name],
-                "detail": fails.pop(name),
-            }
-            print(f"BOUNDARY {name}: {boundaries[name]}", file=sys.stderr)
+            import re as _re
+
+            b = boundaries[name]
+            detail = fails[name]
+            kind_ok = b["kind"] is None or detail.startswith(
+                {"rows": "rows ", "columns": "columns ", "values": "values differ"}[
+                    b["kind"]
+                ]
+            )
+            regex_ok = b["regex"] is None or _re.search(b["regex"], detail)
+            if kind_ok and regex_ok:
+                boundaries_hit[name] = {
+                    "reason": b["reason"],
+                    "detail": fails.pop(name),
+                }
+                print(f"BOUNDARY {name}: {b['reason']}", file=sys.stderr)
+            else:
+                fails[name] = (
+                    f"[boundary signature kind={b['kind']} regex={b['regex']} "
+                    f"did NOT match — treating as real failure] {detail}"
+                )
         if name in fails:
             print(f"FAIL {name}: {fails[name][:200]}", file=sys.stderr)
         if (i + 1) % 10 == 0 or i + 1 == len(names):
@@ -234,7 +272,15 @@ def main() -> None:
         }
         seconds = {**prior.get("seconds", {}), **seconds}
         heap_samples = prior.get("heap", []) + heap_samples
+    from importer_spark.cert import cert_stamp
+
+    # The stamp records the product tree this run certified; a --only
+    # delta-merge re-stamps the WHOLE artifact at the current tree — valid
+    # only for additive changes (new query registered, untouched paths),
+    # which is the sole sanctioned use of --only. tests/test_cert_sync.py
+    # fails whenever any published gate's tree hash drifts from the code.
     artifact = {
+        "cert": cert_stamp(),
         "sf_dir": sf_dir,
         "n": len(seconds),
         "passes": len(seconds) - len(fails) - len(oracle_timeouts)

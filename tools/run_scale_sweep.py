@@ -154,8 +154,14 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             merged = json.load(fh)
+    from importer_spark.cert import cert_stamp
+
     entry = merged.setdefault(label, {})
     entry.update(times)
+    # Per-SECTION stamp (informational, not sync-enforced — perf sections
+    # from different trees legitimately coexist in one sweep file; the
+    # correctness gates are the sync-enforced artifacts).
+    entry["_cert"] = cert_stamp()
     entry["_sf_dir"] = sf_dir
     entry["_shuffle_partitions"] = shuffle
     entry["_runs"] = runs

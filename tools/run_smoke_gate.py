@@ -58,7 +58,10 @@ def main() -> None:
             results[name] = {"error": head}
             fails[name] = head
             print(f"FAIL {name}: {head}", flush=True)
+    from importer_spark.cert import cert_stamp
+
     summary = {
+        "cert": cert_stamp(),
         "n": len(results),
         "fails": fails,
         "data_dir": data_dir,

@@ -260,7 +260,15 @@ def main() -> None:
         and pe["within_copy_match_all"]
         and ce["sf1_closure_match"]
     )
-    artifact = {"sf01_dir": sf01, "sf1_dir": sf1, "ok": ok, "queries": report}
+    from importer_spark.cert import cert_stamp
+
+    artifact = {
+        "cert": cert_stamp(),
+        "sf01_dir": sf01,
+        "sf1_dir": sf1,
+        "ok": ok,
+        "queries": report,
+    }
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
     print(json.dumps({"ok": ok, "out": out_path}))
