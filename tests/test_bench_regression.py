@@ -100,10 +100,21 @@ def test_no_isolated_latency_regressions():
     # a slow machine day. Trust it ONLY when the record was normalized
     # against THIS baseline's anchor — after a baseline re-pin with a new
     # calibration, a stored map scaled by the old anchor would silently
-    # mask (or fake) regressions, so fall back to raw times instead.
+    # mask (or fake) regressions. In that case (and for records that
+    # predate the stored map) RE-normalize from raw times + both anchors
+    # (the same clamp bench.py applies), so a slow driver session can't
+    # read as drift (r7 verdict #8); only a record with no calibration at
+    # all is judged on raw seconds.
     current = {}
     if detail.get("normalized_vs_calibration") == base.get("calibration_seconds"):
         current = detail.get("queries_isolated_normalized") or {}
+    if not current:
+        raw = detail.get("queries_isolated") or {}
+        this_cal = detail.get("calibration_seconds")
+        base_cal = base.get("calibration_seconds")
+        if raw and this_cal and base_cal:
+            factor = max(0.5, min(2.0, base_cal / this_cal))
+            current = {k: v * factor for k, v in raw.items()}
     current = current or detail.get("queries_isolated") or {}
     if not current:
         pytest.skip("latest bench ran without the isolated pass")
