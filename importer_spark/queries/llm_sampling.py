@@ -158,7 +158,15 @@ def pii_redaction(spark, sf_dir):
     """PII scrubbing: count + mask emails and phone numbers with global
     regex replace (ASCII character classes only, so Java and RE2 regex
     engines agree). Pure per-row column expressions — the 100 TB plan is a
-    map-only scan with zero shuffle."""
+    map-only scan with zero shuffle.
+
+    Known engine-semantics boundary (Unicode gate, one_to_many_case
+    class): the blob's `lower()` uses the JVM's FULL case mapping (İ →
+    'i'+U+0307, two codepoints) while DuckDB's utf8proc uses the simple
+    map (İ → 'i') — the redacted text then differs on exactly those
+    codepoints. Routed via run_local_gate
+    `--boundary pii_redaction=values~in \\['redacted'\\]~…`; the regex/count
+    semantics themselves are engine-identical (ASCII classes)."""
     t = Tables(spark, sf_dir)
     pad3 = lambda c: F.lpad(c.cast("string"), 3, "0")  # noqa: E731
     contact = F.concat(

@@ -175,7 +175,15 @@ FROM documents
 @query("doc_fingerprints", oracle=_FINGERPRINT_SQL)
 def doc_fingerprints(spark, sf_dir):
     """Document fingerprinting: full, normalized, and prefix hashes (the
-    cheap first pass before MinHash; reference X3-style normalization)."""
+    cheap first pass before MinHash; reference X3-style normalization).
+
+    Known engine-semantics boundary (Unicode gate, one_to_many_case
+    class): `normalized_hash` lowercases the text first, and the JVM's
+    FULL case mapping (İ → 'i'+U+0307; ß, ﬁ preserved) differs from
+    DuckDB's utf8proc simple map on exactly those codepoints, so the md5s
+    diverge on documents containing them. Routed via run_local_gate
+    `--boundary doc_fingerprints=values~in \\['normalized_hash'\\]~…`;
+    content/prefix hashes (no case mapping) stay engine-identical."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",

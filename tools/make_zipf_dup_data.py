@@ -48,12 +48,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = (
+_STEMS = (
     "key agg row scan slow fast table value part hash merge batch window "
     "spark order data column join small line customer query filter the a "
     "shuffle sort broadcast bucket salt skew cache spill codegen arrow "
     "plan stage task executor driver memory disk network token gram"
 ).split()
+# A ~2.3k-word vocabulary (stem + numeric suffix). Each cluster samples its
+# OWN ~80-word sub-vocabulary from it: unrelated clusters then have nearly
+# disjoint token distributions, like real documents. (A first draft drew
+# every doc from one shared 46-word pool — that made ALL 20k docs SimHash
+# near-collide, since simhash fingerprints the token DISTRIBUTION and every
+# doc had the same one: 5.5M "truth" pairs on a 35%-dup corpus, pure
+# generator artifact.)
+VOCAB = [f"{w}{i}" for w in _STEMS for i in range(50)]
 
 
 def main() -> None:
@@ -84,9 +92,11 @@ def main() -> None:
     doc_ids, texts, langs, sources, labels = [], [], [], [], []
     vecs = np.empty((sum(sizes), 64), dtype=np.float32)
     doc_id = 0
+    vocab_arr = np.array(VOCAB)
     for cluster_id, size in enumerate(sizes):
         n_tok = int(rng.integers(40, 160))
-        template = rng.choice(VOCAB, size=n_tok)
+        sub_vocab = rng.choice(vocab_arr, size=80, replace=False)
+        template = rng.choice(sub_vocab, size=n_tok)
         centroid = rng.normal(size=64)
         centroid /= np.linalg.norm(centroid)
         for _ in range(size):
@@ -94,7 +104,7 @@ def main() -> None:
             n_mut = max(1, int(0.02 * n_tok)) if size > 1 else 0
             if n_mut:
                 idx = rng.choice(n_tok, size=n_mut, replace=False)
-                toks[idx] = rng.choice(VOCAB, size=n_mut)
+                toks[idx] = rng.choice(vocab_arr, size=n_mut)
             text = " ".join(toks)
             v = centroid + rng.normal(scale=0.06, size=64)
             v /= np.linalg.norm(v)

@@ -197,8 +197,12 @@ def main() -> None:
                 a, b = canonical(sdf), canonical(odf)
                 if not a.equals(b):
                     mask = (a != b).any(axis=1)
+                    # Name the differing COLUMNS up front: boundary regex
+                    # signatures match on this, so a boundary scoped to
+                    # one column can't absorb a future diff in another.
+                    diff_cols = sorted(c for c in a.columns if (a[c] != b[c]).any())
                     fails[name] = (
-                        "values differ; first spark row "
+                        f"values differ in {diff_cols}; first spark row "
                         f"{a[mask].head(1).to_dict('records')} vs oracle "
                         f"{b[mask].head(1).to_dict('records')}"
                     )
