@@ -136,38 +136,227 @@ def range_attribution(
     lead_ts: str,
     fact_ts: str,
     windows_days: list[int],
-    metrics: dict[str, "Callable[[Column], Column]"],
+    metrics: dict[str, tuple],
     lead_cols: list[str] | None = None,
 ) -> DataFrame:
     """Range-window attribution: for each lead row, aggregate fact rows with
     ``lead_ts <= fact_ts <= lead_ts + N days`` for every N in
-    ``windows_days``, in ONE pass (reference J9: the reference runs 8
-    correlated scans; this is one equi-join on ``on`` + conditional aggs).
+    ``windows_days`` plus the unbounded forward window (reference J9/J10:
+    the reference runs 8 correlated scans + a correlated COUNT DISTINCT;
+    emitted here as ``<name>_<N>d`` / ``<name>_all``).
 
-    ``metrics`` maps metric name → ``lambda cond: <aggregate Column>`` where
-    the lambda masks its input with ``F.when(cond, ...)``; inside the lambda
-    the fact timestamp is addressable as ``_fact_ts`` and fact value columns
-    keep their own names. Each metric is emitted per window as
-    ``<name>_<N>d`` plus ``<name>_all`` for the unbounded forward window. Facts outside every window contribute nothing
-    but still flow through the join — at scale, pre-filter facts to the max
-    window before calling if the fact table is much larger than the match.
+    ``metrics`` maps output name → spec tuple:
+      - ``("count",)``          — fact rows in the window (BIGINT);
+      - ``("sum_dec2_double", col)`` — exact DECIMAL(18,2) sum of ``col``
+        over the window, 0 when empty, emitted as DOUBLE (the house
+        money convention);
+      - ``("distinct_dates",)`` — distinct calendar dates (UTC) among the
+        window's facts (BIGINT).
+
+    Scale shape — PREFIX SUMS over a probe-injected timeline, NOT a
+    lead×fact join (r8 skew gate: the former equi-join + conditional-agg
+    formulation is O(leads_per_key × facts_per_key); one hot key holding
+    half the events — the default-account pathology SURVEY §2 J11 flags —
+    made it ~10¹⁰ joined rows and AQE skew splitting cannot help a
+    BROADCAST join. Measured: the sf1 skew gate ground >20 min on one
+    query before the rewrite; the oracle keeps the definitional join
+    formulation, so parity certifies the rewrite). Every trailing-window
+    aggregate is a difference of two running totals, so the per-key cost
+    is SORT + ONE LINEAR PASS regardless of how many leads and facts share
+    the key:
+
+      * the fact stream, per-(key, date) day rows (at the day's first fact
+        ts), one START probe per lead (at t) and one END probe per window
+        (at t + N days) union into one timeline; kind orders probes around
+        equal-timestamp facts so both closed bounds (fact_ts >= t,
+        fact_ts <= t+N) are exact;
+      * ONE running window (ROWS UNBOUNDED PRECEDING — the incremental
+        frame; sliding RANGE frames re-aggregate per row and would be
+        quadratic again) accumulates count / decimal sum / distinct-date
+        count, read off at the probes; windowed metric = end − start.
+      * COUNT DISTINCT dates decomposes with a one-day boundary
+        correction: dates strictly after day(t) count iff they appear in
+        the running day-count; day(t) itself counts iff it has a fact at
+        or after t but its first fact precedes t (+1 via a 1:1 join to
+        the daily relation — no fan-out). ``_all`` metrics are per-key
+        totals minus the start prefix.
+
+    Exactly the old contract: leads with no facts get 0s (LEFT join
+    semantics); duplicate lead rows collapse (the final groupBy keys on
+    (on, lead_ts, lead_cols) like the old aggregation did); DECIMAL sums
+    stay exact until the final double cast.
     """
+    if not metrics:
+        raise ValueError("range_attribution: metrics must be non-empty")
+    for name, spec in metrics.items():
+        if spec[0] not in ("count", "sum_dec2_double", "distinct_dates"):
+            raise ValueError(f"range_attribution: unknown metric spec {spec!r}")
     lead_cols = lead_cols or [c for c in leads.columns if c not in on and c != lead_ts]
-    l = leads.select(*on, F.col(lead_ts).alias("_lead_ts"), *lead_cols)
-    f = facts.select(*on, F.col(fact_ts).alias("_fact_ts"), *[
-        c for c in facts.columns if c not in on and c != fact_ts
-    ])
-    joined = l.join(f, on=on, how="left").withColumn(
-        "_in_scope", F.col("_fact_ts").isNotNull() & (F.col("_fact_ts") >= F.col("_lead_ts"))
-    )
-    aggs = []
-    for name, make in metrics.items():
-        for n in windows_days:
-            cond = F.col("_in_scope") & (
-                F.col("_fact_ts") <= F.col("_lead_ts") + F.expr(f"INTERVAL {n} DAYS")
+    dec2 = "decimal(18,2)"
+    sum_cols = [spec[1] for spec in metrics.values() if spec[0] == "sum_dec2_double"]
+    need_days = any(spec[0] == "distinct_dates" for spec in metrics.values())
+
+    l = leads.select(*on, F.col(lead_ts).alias("_lt"), *lead_cols)
+    # NULL-key facts can never match an equi-join condition (the semantics
+    # this operator re-expresses); without this filter the window
+    # PARTITION would group them with NULL-key leads.
+    f = facts.select(*on, F.col(fact_ts).alias("_fts"), *sum_cols)
+    for k in on:
+        f = f.filter(F.col(k).isNotNull())
+
+    def _zero_rev(c):
+        return F.lit(0).cast(dec2).alias(f"_w_{c}")
+
+    rev_w = [F.col(c).cast(dec2).alias(f"_w_{c}") for c in sum_cols]
+    rev_z = [_zero_rev(c) for c in sum_cols]
+    null_leads = [F.lit(None).cast(l.schema["_lt"].dataType).alias("_plt")] + [
+        F.lit(None).cast(l.schema[c].dataType).alias(f"_pl_{c}") for c in lead_cols
+    ]
+    probe_leads = [F.col("_lt").alias("_plt")] + [
+        F.col(c).alias(f"_pl_{c}") for c in lead_cols
+    ]
+
+    # kind 0 = start probe, 1 = facts + day rows, 2 = end probes: at equal
+    # timestamps a start probe sorts BEFORE the facts (ts == t is IN the
+    # window) and an end probe AFTER them (ts == t + N is IN the window).
+    parts = [
+        f.select(
+            *on,
+            F.col("_fts").alias("_ts"),
+            F.lit(1).alias("_kind"),
+            F.lit(1).alias("_w_cnt"),
+            *rev_w,
+            F.lit(0).alias("_w_day"),
+            *null_leads,
+            F.lit(None).cast("string").alias("_wtag"),
+        )
+    ]
+    daily = None
+    if need_days:
+        daily = f.groupBy(*on, F.to_date("_fts").alias("_d")).agg(
+            F.min("_fts").alias("_d_first"), F.max("_fts").alias("_d_last")
+        )
+        parts.append(
+            daily.select(
+                *on,
+                F.col("_d_first").alias("_ts"),
+                F.lit(1).alias("_kind"),
+                F.lit(0).alias("_w_cnt"),
+                *rev_z,
+                F.lit(1).alias("_w_day"),
+                *null_leads,
+                F.lit(None).cast("string").alias("_wtag"),
             )
-            aggs.append(make(cond).alias(f"{name}_{n}d"))
-        aggs.append(make(F.col("_in_scope")).alias(f"{name}_all"))
-    return joined.groupBy(*on, "_lead_ts", *lead_cols).agg(*aggs).withColumnRenamed(
-        "_lead_ts", lead_ts
+        )
+    probe_zero = [
+        F.lit(0).alias("_w_cnt"),
+        *rev_z,
+        F.lit(0).alias("_w_day"),
+    ]
+    parts.append(
+        l.select(
+            *on,
+            F.col("_lt").alias("_ts"),
+            F.lit(0).alias("_kind"),
+            *probe_zero,
+            *probe_leads,
+            F.lit("s").alias("_wtag"),
+        )
     )
+    for n in windows_days:
+        parts.append(
+            l.select(
+                *on,
+                (F.col("_lt") + F.expr(f"INTERVAL {int(n)} DAYS")).alias("_ts"),
+                F.lit(2).alias("_kind"),
+                *probe_zero,
+                *probe_leads,
+                F.lit(str(int(n))).alias("_wtag"),
+            )
+        )
+    stream = parts[0]
+    for p in parts[1:]:
+        stream = stream.unionByName(p)
+
+    run = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = stream.select(
+        *on,
+        "_plt",
+        *[f"_pl_{c}" for c in lead_cols],
+        "_wtag",
+        F.sum("_w_cnt").over(run).alias("_c_cnt"),
+        *[F.sum(f"_w_{c}").over(run).alias(f"_c_{c}") for c in sum_cols],
+        F.sum("_w_day").over(run).alias("_c_day"),
+    ).filter(F.col("_wtag").isNotNull())
+
+    def _at(tag, col):  # the probe row's cumulative value, one per tag
+        return F.max(F.when(F.col("_wtag") == tag, F.col(col)))
+
+    tags = ["s"] + [str(int(n)) for n in windows_days]
+    per_lead = cums.groupBy(*on, "_plt", *[f"_pl_{c}" for c in lead_cols]).agg(
+        *[
+            _at(t, c).alias(f"_{c}_{t}")
+            for t in tags
+            for c in ["_c_cnt", *[f"_c_{s}" for s in sum_cols], "_c_day"]
+        ]
+    )
+
+    totals = f.groupBy(*on).agg(
+        F.count("*").alias("_tot_cnt"),
+        *[F.sum(F.col(c).cast(dec2)).alias(f"_tot_{c}") for c in sum_cols],
+    )
+    out = per_lead.join(totals, on, "left")
+    if need_days:
+        day_tot = daily.groupBy(*on).agg(F.count("*").alias("_tot_day"))
+        out = out.join(day_tot, on, "left").join(
+            daily,
+            [out[k] == daily[k] for k in on]
+            + [F.to_date(out["_plt"]) == daily["_d"]],
+            "left",
+        )
+    corr = (
+        F.when(
+            (F.col("_d_first") < F.col("_plt")) & (F.col("_d_last") >= F.col("_plt")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        if need_days
+        else F.lit(0)
+    )
+
+    final_cols = [*[per_lead[k] for k in on], F.col("_plt").alias(lead_ts)] + [
+        F.col(f"_pl_{c}").alias(c) for c in lead_cols
+    ]
+    for name, spec in metrics.items():
+        kind = spec[0]
+        for t, suffix in [(str(int(n)), f"_{int(n)}d") for n in windows_days] + [
+            (None, "_all")
+        ]:
+            if kind == "count":
+                hi = (
+                    F.coalesce(F.col("_tot_cnt"), F.lit(0))
+                    if t is None
+                    else F.col(f"__c_cnt_{t}")
+                )
+                expr = (hi - F.col("__c_cnt_s")).cast("bigint")
+            elif kind == "sum_dec2_double":
+                c = spec[1]
+                hi = (
+                    F.coalesce(F.col(f"_tot_{c}"), F.lit(0).cast(dec2))
+                    if t is None
+                    else F.col(f"__c_{c}_{t}")
+                )
+                expr = (hi - F.col(f"__c_{c}_s")).cast("double")
+            else:  # distinct_dates
+                hi = (
+                    F.coalesce(F.col("_tot_day"), F.lit(0))
+                    if t is None
+                    else F.col(f"__c_day_{t}")
+                )
+                expr = (hi - F.col("__c_day_s") + corr).cast("bigint")
+            final_cols.append(expr.alias(f"{name}{suffix}"))
+    return out.select(*final_cols)

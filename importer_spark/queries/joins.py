@@ -311,10 +311,16 @@ GROUP BY s.user_id, s.event_id, s.ts
 
 @query("signup_attribution", oracle=_RANGE_ATTR_SQL)
 def signup_attribution(spark, sf_dir):
-    """J9/J10 range-window attribution in one pass (reference:
+    """J9/J10 range-window attribution in one LINEAR pass (reference:
     fct_trade_show_leads.sql:106-169 runs 8 correlated scalar subqueries for
-    30/90/180/365-day revenue; :218-224 correlated COUNT DISTINCT). One
-    equi-join + conditional aggregation replaces all of them."""
+    30/90/180/365-day revenue; :218-224 correlated COUNT DISTINCT). The
+    oracle keeps the definitional join + conditional-agg formulation;
+    `operators/joins.range_attribution` computes it as prefix-sum
+    differences over a probe-injected timeline — O(sort + one pass) per
+    user even when one hot user holds half the events (r8 skew gate: the
+    former join formulation was O(signups × purchases) per key and ground
+    ~10¹⁰ rows on the skew axis's default-account key). Parity certifies
+    the rewrite."""
     t = Tables(spark, sf_dir)
     signups = t.events.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("event_id").alias("signup_event_id"), "ts"
@@ -322,18 +328,6 @@ def signup_attribution(spark, sf_dir):
     purchases = t.events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
     )
-
-    def n_purch(cond):
-        return F.count(F.when(cond, F.lit(1)))
-
-    def revenue(cond):
-        return out_double(
-            F.coalesce(F.sum(F.when(cond, dec(F.col("p_value")))), F.lit(0).cast("decimal(18,2)"))
-        )
-
-    def active_days(cond):
-        return F.countDistinct(F.when(cond, F.date_format("_fact_ts", "yyyy-MM-dd")))
-
     return range_attribution(
         signups,
         purchases,
@@ -342,9 +336,9 @@ def signup_attribution(spark, sf_dir):
         fact_ts="p_ts",
         windows_days=[1, 7],
         metrics={
-            "n_purchases": n_purch,
-            "revenue": revenue,
-            "active_days": active_days,
+            "n_purchases": ("count",),
+            "revenue": ("sum_dec2_double", "p_value"),
+            "active_days": ("distinct_dates",),
         },
         lead_cols=["signup_event_id"],
     )
