@@ -42,10 +42,19 @@ SELECT part_key, ship_date, l_orderkey AS order_key, l_linenumber AS line_number
     AS retail_ratio
 FROM obs
 WINDOW
-  w_seq AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber),
+  -- obs_price is the LAST tiebreak: the synthetic lineitem's
+  -- (l_orderkey, l_linenumber) is NOT unique (118k dup pairs at sf0.1),
+  -- and the r8 skew axis collided dup pairs onto one hot part_key — 213
+  -- exact (part, shipdate, orderkey, linenumber) ties whose LAG/running-
+  -- max became engine-order-dependent. With the value tiebreak, rows
+  -- still tied are identical in every output column, so the OUTPUT
+  -- multiset is deterministic on both engines.
+  w_seq AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber,
+            obs_price NULLS FIRST),
   w_range AS (PARTITION BY part_key ORDER BY epoch_us(l_shipdate) NULLS FIRST
               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW),
-  w_run AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
+  w_run AS (PARTITION BY part_key ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber,
+            obs_price NULLS FIRST
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
@@ -71,7 +80,11 @@ def product_pricing_history(spark, sf_dir):
             "p_retailprice",
         )
     )
-    w_seq = Window.partitionBy("part_key").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # obs_price as last tiebreak — see the oracle's WINDOW comment (r8 skew
+    # axis: duplicate (orderkey, linenumber) pairs collide on a hot part).
+    w_seq = Window.partitionBy("part_key").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "obs_price"
+    )
     w_range = (
         Window.partitionBy("part_key")
         .orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))

@@ -47,10 +47,29 @@ class OracleTimeout(RuntimeError):
     pass
 
 
+class OracleResourceExceeded(RuntimeError):
+    """The single-node oracle hit its memory/temp-disk wall re-deriving a
+    distributed operator — same evidence class as OracleTimeout (oracle
+    COST, not engine correctness; the query stays value-certified at the
+    driver scales). First seen on the r8 skew axis: the definitional
+    as-of oracle for point_in_time_price is quadratic on a hot part key
+    and spilled >77 GB of DuckDB temp storage before dying."""
+
+
+_RESOURCE_MARKERS = (
+    "No space left on device",
+    "max_temp_directory_size",
+    "Out of Memory",
+    "OutOfMemory",
+    "could not allocate",
+)
+
+
 def run_oracle_with_timeout(con, sql: str, timeout_s: float):
     """Execute a DuckDB query, interrupting it from a watchdog thread if it
     exceeds the budget (duckdb raises InterruptException, surfaced here as
-    OracleTimeout)."""
+    OracleTimeout). Memory/temp-disk exhaustion inside DuckDB surfaces as
+    OracleResourceExceeded — bounded by the temp-size cap set in main()."""
     done = threading.Event()
     timed_out = threading.Event()
 
@@ -63,9 +82,13 @@ def run_oracle_with_timeout(con, sql: str, timeout_s: float):
     t.start()
     try:
         return con.execute(sql).df()
-    except Exception:
+    except Exception as e:
         if timed_out.is_set():
             raise OracleTimeout(f"oracle exceeded {timeout_s:.0f}s") from None
+        if any(m.lower() in str(e).lower() for m in _RESOURCE_MARKERS):
+            raise OracleResourceExceeded(
+                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            ) from None
         raise
     finally:
         done.set()
@@ -145,6 +168,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
+    # Bound the oracle's spill: an oracle whose re-derivation is super-
+    # linear on poisoned data (e.g. the definitional as-of join on a hot
+    # key) must die FAST as OracleResourceExceeded, not fill the disk for
+    # 10 minutes first and destabilize every concurrent job.
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+    con.execute("SET max_temp_directory_size='24GB'")
 
     oracle_timeout_s = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
     fails: dict[str, str] = {}
@@ -169,16 +198,20 @@ def main() -> None:
             t1 = time.perf_counter()
             try:
                 odf = run_oracle_with_timeout(con, ORACLES[name], oracle_timeout_s)
-            except OracleTimeout:
+            except (OracleTimeout, OracleResourceExceeded) as oe:
                 seconds[name] = [round(t1 - t0, 3), -1.0]
                 oracle_timeouts[name] = {
                     "spark_rows": len(sdf),
                     "spark_seconds": round(t1 - t0, 3),
                     "oracle_budget_s": oracle_timeout_s,
+                    "kind": (
+                        "timeout" if isinstance(oe, OracleTimeout) else "resource"
+                    ),
+                    "detail": str(oe)[:200],
                 }
                 print(
-                    f"ORACLE_TIMEOUT {name} (spark ok: {len(sdf)} rows in "
-                    f"{t1 - t0:.1f}s)",
+                    f"ORACLE_{'TIMEOUT' if isinstance(oe, OracleTimeout) else 'RESOURCE'}"
+                    f" {name} (spark ok: {len(sdf)} rows in {t1 - t0:.1f}s)",
                     file=sys.stderr,
                 )
                 odf = None
