@@ -62,6 +62,22 @@ ISO_NOISE_FLOOR_SEC = 0.75
 ISO_MAX_RETRIES = 2
 
 
+def iso_violates(t_now: float, t_base: float, cal_factor: float = 1.0) -> bool:
+    """The regression predicate shared by the retry loop and the gate
+    (tests/test_bench_regression.py): a query regresses only when its RAW
+    isolated time trips the tolerance AND its calibration-normalized time
+    does too. Either signal alone can be anchor artifact (r8 verdict #1:
+    a fast ~0.25 s anchor scaled clean raw times by 1.51× and
+    manufactured 16 phantom regressions; conversely a slow machine day
+    inflates raw times the normalization correctly forgives). A real
+    regression — the query itself got slower — survives both views."""
+
+    def _bad(t: float) -> bool:
+        return t > t_base * ISO_TOLERANCE and (t - t_base) > ISO_NOISE_FLOOR_SEC
+
+    return _bad(t_now) and _bad(t_now * cal_factor)
+
+
 def _warm_workers(it):
     import numpy  # noqa: F401 — pre-import heavy deps in each worker
 
@@ -75,18 +91,23 @@ def _warm_workers(it):
 # their calibrations is the ambient noise factor, so per-query deltas can
 # be noise-normalized mechanically instead of eyeballed (r6 saw a uniform
 # +20-30% drift on untouched queries and had to argue it was ambient).
+# MEDIAN of 5 runs, not min of 3 (r8 verdict #1): a one-shot ~0.25 s
+# anchor once measured 0.247 s vs the baseline's 0.373 s — single-core
+# turbo, not 32-core shuffle speed — and the resulting 1.51× factor
+# manufactured 16 phantom regressions from clean raw times. The median is
+# the central tendency of session speed; the min is its best-case tail.
 _CALIBRATION_ROWS = 20_000_000
-_CALIBRATION_RUNS = 3
+_CALIBRATION_RUNS = 5
 
 
 def calibration_seconds(spark) -> float:
-    """min-of-N seconds for the fixed calibration job: a 20M-row range →
+    """median-of-N seconds for the fixed calibration job: a 20M-row range →
     modulo-key hash aggregate through the noop sink (shuffle + codegen +
     sink, the same machinery the catalog queries exercise; 32 fixed input
     slices so the jobs are identical across sessions)."""
     from pyspark.sql import functions as F
 
-    best = None
+    runs: list[float] = []
     for _ in range(_CALIBRATION_RUNS):
         t0 = time.perf_counter()
         (
@@ -101,9 +122,9 @@ def calibration_seconds(spark) -> float:
             .mode("overwrite")
             .save()
         )
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return round(runs[len(runs) // 2], 3)
 
 
 def main() -> None:
@@ -227,8 +248,7 @@ def main() -> None:
             if t_now is None:
                 continue
             while (
-                t_now * cal_factor > t_base * ISO_TOLERANCE
-                and (t_now * cal_factor - t_base) > ISO_NOISE_FLOOR_SEC
+                iso_violates(t_now, t_base, cal_factor)
                 and isolated_retries.get(name, 0) < ISO_MAX_RETRIES
             ):
                 rerun: dict[str, float] = {}

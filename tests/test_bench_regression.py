@@ -27,8 +27,9 @@ import os
 
 import pytest
 
-from bench import ISO_NOISE_FLOOR_SEC as NOISE_FLOOR_SEC
-from bench import ISO_TOLERANCE as TOLERANCE
+from bench import ISO_NOISE_FLOOR_SEC as NOISE_FLOOR_SEC  # noqa: F401 (re-export)
+from bench import ISO_TOLERANCE as TOLERANCE  # noqa: F401 (re-export)
+from bench import iso_violates
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "bench_isolated_baseline.json")
@@ -84,6 +85,42 @@ def test_baseline_exists_and_covers_catalog():
     assert not stale, f"baseline entries for removed queries: {stale}"
 
 
+def _regressions(detail: dict, base: dict) -> list[tuple]:
+    """The gate's core: (name, baseline_s, raw_s, normalized_s) rows for
+    every query that violates on BOTH the raw isolated time and the
+    calibration-normalized one (bench.iso_violates — single source of
+    truth with bench.py's retry loop).
+
+    Requiring BOTH views closed r8 verdict #1: the r8 driver session's
+    one-shot anchor measured 0.247 s against the baseline's 0.373 s
+    (fast single-core turbo ≠ fast 32-core shuffle), so normalizing
+    clean raw times by 1.51× manufactured 16 phantom regressions —
+    while r7's opposite case (a uniformly slow machine day) shows raw
+    times alone over-flag too. A query that got genuinely slower
+    violates under any sane global scaling; one that merely rode the
+    anchor does not. Records with no calibration at all are judged on
+    raw times alone (cal_factor 1.0)."""
+    raw = detail.get("queries_isolated") or {}
+    if not raw:
+        return []
+    this_cal = detail.get("calibration_seconds")
+    base_cal = base.get("calibration_seconds")
+    factor = 1.0
+    if this_cal and base_cal:
+        # Same clamp bench.py applies: a clamp hit means the sessions are
+        # not comparable at all, so the factor saturates instead of
+        # exploding the normalized view.
+        factor = max(0.5, min(2.0, base_cal / this_cal))
+    out = []
+    for name, t_base in base["queries_isolated"].items():
+        t_now = raw.get(name)
+        if t_now is None:
+            continue
+        if iso_violates(t_now, t_base, factor):
+            out.append((name, t_base, t_now, round(t_now * factor, 3)))
+    return out
+
+
 def test_no_isolated_latency_regressions():
     if not os.path.exists(DETAIL_PATH):
         pytest.skip("no BENCH_DETAIL.json recorded yet")
@@ -93,39 +130,82 @@ def test_no_isolated_latency_regressions():
         pytest.skip(
             f"latest bench ran at sf={detail.get('sf')}, baseline is sf={base['sf']}"
         )
-    # Prefer the calibration-normalized map when the record carries one
-    # (bench.py computes it whenever both the run and the pinned baseline
-    # have a calibration anchor): it mechanically removes ambient session
-    # speed from the comparison, so the gate flags real regressions, not
-    # a slow machine day. Trust it ONLY when the record was normalized
-    # against THIS baseline's anchor — after a baseline re-pin with a new
-    # calibration, a stored map scaled by the old anchor would silently
-    # mask (or fake) regressions. In that case (and for records that
-    # predate the stored map) RE-normalize from raw times + both anchors
-    # (the same clamp bench.py applies), so a slow driver session can't
-    # read as drift (r7 verdict #8); only a record with no calibration at
-    # all is judged on raw seconds.
-    current = {}
-    if detail.get("normalized_vs_calibration") == base.get("calibration_seconds"):
-        current = detail.get("queries_isolated_normalized") or {}
-    if not current:
-        raw = detail.get("queries_isolated") or {}
-        this_cal = detail.get("calibration_seconds")
-        base_cal = base.get("calibration_seconds")
-        if raw and this_cal and base_cal:
-            factor = max(0.5, min(2.0, base_cal / this_cal))
-            current = {k: v * factor for k, v in raw.items()}
-    current = current or detail.get("queries_isolated") or {}
-    if not current:
+    if not (detail.get("queries_isolated") or {}):
         pytest.skip("latest bench ran without the isolated pass")
-    regressions = []
-    for name, t_base in base["queries_isolated"].items():
-        t_now = current.get(name)
-        if t_now is None:
-            continue
-        if t_now > t_base * TOLERANCE and (t_now - t_base) > NOISE_FLOOR_SEC:
-            regressions.append((name, t_base, t_now))
+    regressions = _regressions(detail, base)
     assert not regressions, (
-        "isolated per-query latency regressions (name, baseline_s, now_s): "
+        "isolated per-query latency regressions "
+        "(name, baseline_s, raw_s, normalized_s): "
         f"{sorted(regressions, key=lambda r: r[2] - r[1], reverse=True)}"
     )
+
+
+# --- synthetic-record unit tests for the gate itself (r8 verdict #1) --------
+
+_BASE_SYNTH = {
+    "sf": 0.1,
+    "calibration_seconds": 0.4,
+    "queries_isolated": {"q_fast": 0.2, "q_mid": 2.0, "q_slow": 8.0},
+}
+
+
+def test_gate_ignores_anchor_skew_with_clean_raw_times():
+    """A 2× anchor skew (this session's anchor half the baseline's — the
+    r8 failure shape) must not flag queries whose raw times are clean."""
+    detail = {
+        "sf": 0.1,
+        "calibration_seconds": 0.2,  # factor = 0.4/0.2 = 2.0 (clamped max)
+        "queries_isolated": {"q_fast": 0.21, "q_mid": 2.2, "q_slow": 8.4},
+    }
+    assert _regressions(detail, _BASE_SYNTH) == []
+
+
+def test_gate_ignores_slow_machine_day_with_clean_normalized_times():
+    """Uniformly 1.8× raw times with a matching 1.8× anchor is a slow
+    machine day, not a regression — the normalized view forgives it."""
+    detail = {
+        "sf": 0.1,
+        "calibration_seconds": 0.72,
+        "queries_isolated": {"q_fast": 0.36, "q_mid": 3.6, "q_slow": 14.4},
+    }
+    assert _regressions(detail, _BASE_SYNTH) == []
+
+
+def test_gate_flags_genuine_regression_under_both_views():
+    """A single query 3× its baseline with an honest anchor violates raw
+    AND normalized — exactly one flagged row, the others stay clean."""
+    detail = {
+        "sf": 0.1,
+        "calibration_seconds": 0.4,
+        "queries_isolated": {"q_fast": 0.2, "q_mid": 6.0, "q_slow": 8.1},
+    }
+    flagged = _regressions(detail, _BASE_SYNTH)
+    assert [r[0] for r in flagged] == ["q_mid"]
+
+
+def test_gate_flags_regression_without_calibration():
+    """Records predating the anchor are judged on raw times alone."""
+    detail = {"sf": 0.1, "queries_isolated": {"q_mid": 6.0}}
+    assert [r[0] for r in _regressions(detail, _BASE_SYNTH)] == ["q_mid"]
+
+
+def test_r8_driver_record_shape_is_clean():
+    """The exact r8 false-positive shape: clean raw times (within
+    tolerance), anchor 0.247 vs baseline 0.373 → factor 1.51 inflation.
+    The old normalized-only gate flagged 16 queries; the both-views gate
+    must flag none."""
+    base = {
+        "sf": 0.1,
+        "calibration_seconds": 0.373,
+        "queries_isolated": {f"q{i}": 1.0 + i * 0.5 for i in range(16)},
+    }
+    detail = {
+        "sf": 0.1,
+        "calibration_seconds": 0.247,
+        "queries_isolated": {
+            # raw within 1.4× of baseline — clean; ×1.51 pushes past 1.5×
+            f"q{i}": (1.0 + i * 0.5) * 1.4
+            for i in range(16)
+        },
+    }
+    assert _regressions(detail, base) == []
