@@ -117,7 +117,10 @@ def band_index(
 
 
 def cap_band_buckets(
-    bands: DataFrame, key_cols: list[str], bucket_cap: int
+    bands: DataFrame,
+    key_cols: list[str],
+    bucket_cap: int,
+    return_members: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Route oversized candidate buckets out of a banded self-join: returns
     (bands_within_cap, overflow) where overflow lists each skipped
@@ -128,21 +131,82 @@ def cap_band_buckets(
     verification; with a cap it is bounded by cap²/2 per bucket and the
     degradation is OBSERVABLE, never silent).
 
+    With ``return_members=True`` the overflow keeps every MEMBER ROW of
+    each oversized bucket (all input columns + ``bucket_size``) instead
+    of one distinct row per bucket — the input :func:`snm_chain_pairs`
+    needs to recover candidates from the routed-out buckets at
+    O(bucket×window) instead of dropping them (r8 RECALL_CURVE.json:
+    bucket-drop at cap 64 lost 26% of flagged docs on Zipf clone data
+    because whole clone clusters live in oversized buckets).
+
     Shape: ONE window count on the same key the self-join shuffles on —
     no groupBy+rejoin (that would re-derive the band relation a third
     time; both join sides already recompute it, the certified base
     shape). Recall loss is confined to pairs whose ONLY shared bucket is
     oversized — on real corpora an oversized band bucket is a
-    boilerplate/clone cluster better handled by exact dedup upstream."""
+    boilerplate/clone cluster better handled by exact dedup upstream (or
+    recovered via the sorted-neighborhood pass)."""
     w = Window.partitionBy(*key_cols)
     sized = bands.withColumn("_bucket_size", F.count("*").over(w))
-    overflow = (
-        sized.filter(F.col("_bucket_size") > bucket_cap)
-        .select(*key_cols, F.col("_bucket_size").alias("bucket_size"))
-        .distinct()
-    )
+    oversized = sized.filter(F.col("_bucket_size") > bucket_cap)
+    if return_members:
+        overflow = oversized.withColumnRenamed("_bucket_size", "bucket_size")
+    else:
+        overflow = oversized.select(
+            *key_cols, F.col("_bucket_size").alias("bucket_size")
+        ).distinct()
     within = sized.filter(F.col("_bucket_size") <= bucket_cap).drop("_bucket_size")
     return within, overflow
+
+
+def snm_chain_pairs(
+    members: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    order_cols: list[str],
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995, the
+    merge/purge sorted-neighborhood method) over bucket MEMBER rows: each
+    bucket's rows sort by ``order_cols`` (+ ``id_col`` tiebreak) and every
+    row pairs with its next ``window - 1`` successors — O(bucket×window)
+    candidates instead of the self-join's O(bucket²). The recovery path
+    for buckets :func:`cap_band_buckets` routes out of a banded self-join:
+    clone-cluster members are near-identical, so a sort on the fingerprint
+    value places true pairs adjacently and a small window recovers most of
+    what bucket-drop loses (measured on the Zipf clone corpus —
+    RECALL_CURVE.json).
+
+    Returns one row per candidate with struct columns ``a`` and ``b``
+    (each carrying every non-key input column, id included), oriented so
+    ``a.<id_col> < b.<id_col>``; the same pair found in several buckets
+    or at several chain offsets collapses via distinct. Verification
+    (Hamming, Jaccard, cosine — whatever the family uses) stays the
+    caller's job, exactly as with self-join candidates."""
+    if window < 2:
+        raise ValueError(f"snm_chain_pairs: window must be >= 2, got {window}")
+    value_cols = [c for c in members.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    row = F.struct(*[F.col(c) for c in value_cols])
+    # Window exprs first, generator second: Spark rejects window functions
+    # inside a Generate operator's child expressions.
+    led = members.select(
+        row.alias("_x"),
+        *[F.lead(row, j).over(w).alias(f"_n{j}") for j in range(1, window)],
+    )
+    neighbors = F.array(*[F.col(f"_n{j}") for j in range(1, window)])
+    chained = (
+        led.select("_x", F.explode(neighbors).alias("_y"))
+        .filter(F.col("_y").isNotNull())
+        .filter(F.col(f"_x.{id_col}") != F.col(f"_y.{id_col}"))
+    )
+    a_first = F.col(f"_x.{id_col}") < F.col(f"_y.{id_col}")
+    return chained.select(
+        F.when(a_first, F.col("_x")).otherwise(F.col("_y")).alias("a"),
+        F.when(a_first, F.col("_y")).otherwise(F.col("_x")).alias("b"),
+    ).distinct()
 
 
 def near_dup_pairs(

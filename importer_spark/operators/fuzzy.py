@@ -129,8 +129,13 @@ def fuzzy_match_pairs(
     if max_dist < 1:
         raise ValueError(f"fuzzy_match_pairs: max_dist must be >= 1, got {max_dist}")
     distinct = (
-        names.select(F.col(name_col).alias("_name"))
-        .filter(F.col(name_col).isNotNull())
+        # Filter BEFORE the projection renames the column: filtering on
+        # name_col after .select(...alias('_name')) resolves only through
+        # Spark's ResolveMissingReferences analyzer rule — the same
+        # fragility the asof_join docstring warns callers about (r8
+        # advice; any intervening select/cache would break it).
+        names.filter(F.col(name_col).isNotNull())
+        .select(F.col(name_col).alias("_name"))
         .distinct()
     )
     # ONE tagged key relation (role 0 = partition parts, role 1 = windowed

@@ -182,15 +182,27 @@ def range_attribution(
         totals minus the start prefix.
 
     Exactly the old contract: leads with no facts get 0s (LEFT join
-    semantics); duplicate lead rows collapse (the final groupBy keys on
-    (on, lead_ts, lead_cols) like the old aggregation did); DECIMAL sums
-    stay exact until the final double cast.
+    semantics); leads with a NULL ``lead_ts`` get 0s too (the definitional
+    correlated join's ``fact_ts >= lead_ts`` predicate is NULL for them —
+    never true; without the explicit guard the ``_all`` totals would leak
+    through because a NULL probe's prefix is 0 — r8 advice); duplicate
+    lead rows collapse (the final groupBy keys on (on, lead_ts,
+    lead_cols) like the old aggregation did); DECIMAL sums stay exact
+    until the final double cast.
     """
     if not metrics:
         raise ValueError("range_attribution: metrics must be non-empty")
     for name, spec in metrics.items():
         if spec[0] not in ("count", "sum_dec2_double", "distinct_dates"):
             raise ValueError(f"range_attribution: unknown metric spec {spec!r}")
+    # N = 0 would break the distinct_dates one-day boundary correction
+    # (the _d_last >= _plt test admits day-of-lead facts AFTER t+0) — the
+    # prefix-sum formulation is only exact for windows of >= 1 day (r8
+    # advice; the definitional join handled 0 incidentally).
+    if any(int(n) < 1 for n in windows_days):
+        raise ValueError(
+            f"range_attribution: windows_days entries must be >= 1, got {windows_days}"
+        )
     lead_cols = lead_cols or [c for c in leads.columns if c not in on and c != lead_ts]
     dec2 = "decimal(18,2)"
     sum_cols = [spec[1] for spec in metrics.values() if spec[0] == "sum_dec2_double"]
@@ -278,20 +290,114 @@ def range_attribution(
     for p in parts[1:]:
         stream = stream.unionByName(p)
 
-    run = (
-        Window.partitionBy(*on)
+    # HIERARCHICAL prefix sums (r8 verdict #7): a per-key running window
+    # is linear but ONE TASK per key — a key holding half of a 100 TB
+    # corpus is one arbitrarily long task. Two levels, both ROWS-frame
+    # running windows (the only incremental frame):
+    #
+    #   level 1 (heavy, parallel): the timeline windows by (key, DAY) —
+    #   calendar day is monotone in _ts, so equal timestamps never
+    #   straddle segments — giving each probe its IN-DAY prefix. The
+    #   longest task is now bounded by the hottest key's hottest day.
+    #
+    #   level 2 (light): the CARRY — everything before the probe's day —
+    #   changes only at day granularity, so it is a running window over
+    #   per-(key, day) FACT partials (aggregated straight from the fact
+    #   stream: probes and day rows contribute zero/derived weights)
+    #   unioned with the probe rows; per-key tasks are leads+days-sized,
+    #   facts no longer appear. Day partials of the probe's OWN day sort
+    #   after the probe (kind 1 > 0) and stay out of its carry.
+    #
+    #   global prefix at a probe = level-2 carry + level-1 in-day prefix.
+    #
+    # Nothing self-joins and the big union is evaluated ONCE (a
+    # join-back formulation was measured 3×: column pruning gives the
+    # two union consumers different schemas, so their exchanges never
+    # canonicalize equal and ReuseExchange cannot collapse them).
+    dec2w = "decimal(28,2)"  # window-sum type of a decimal(18,2) column
+    stream = stream.withColumn("_seg", F.to_date("_ts"))
+    run1 = (
+        Window.partitionBy(*on, "_seg")
         .orderBy("_ts", "_kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cums = stream.select(
+    intra = stream.select(
         *on,
+        "_seg",
         "_plt",
         *[f"_pl_{c}" for c in lead_cols],
         "_wtag",
-        F.sum("_w_cnt").over(run).alias("_c_cnt"),
-        *[F.sum(f"_w_{c}").over(run).alias(f"_c_{c}") for c in sum_cols],
-        F.sum("_w_day").over(run).alias("_c_day"),
+        F.sum("_w_cnt").over(run1).cast("bigint").alias("_i_cnt"),
+        *[
+            F.sum(f"_w_{c}").over(run1).cast(dec2w).alias(f"_i_{c}")
+            for c in sum_cols
+        ],
+        F.sum("_w_day").over(run1).cast("bigint").alias("_i_day"),
     ).filter(F.col("_wtag").isNotNull())
+    day_partials = (
+        f.groupBy(*on, F.to_date("_fts").alias("_seg"))
+        .agg(
+            F.count("*").alias("_w2_cnt"),
+            *[
+                F.sum(F.col(c).cast(dec2)).cast(dec2w).alias(f"_w2_{c}")
+                for c in sum_cols
+            ],
+        )
+        # exactly one day row per (key, fact day) entered the level-1
+        # stream, so the level-2 day weight is the constant 1
+        .withColumn("_w2_day", F.lit(1))
+    )
+    probes2 = intra.select(
+        *on,
+        "_seg",
+        F.lit(0).alias("_k2"),
+        "_plt",
+        *[f"_pl_{c}" for c in lead_cols],
+        "_wtag",
+        F.lit(0).cast("bigint").alias("_w2_cnt"),
+        *[F.lit(0).cast(dec2w).alias(f"_w2_{c}") for c in sum_cols],
+        F.lit(0).alias("_w2_day"),
+        "_i_cnt",
+        *[f"_i_{c}" for c in sum_cols],
+        "_i_day",
+    )
+    days2 = day_partials.select(
+        *on,
+        "_seg",
+        F.lit(1).alias("_k2"),
+        *null_leads,
+        F.lit(None).cast("string").alias("_wtag"),
+        "_w2_cnt",
+        *[f"_w2_{c}" for c in sum_cols],
+        "_w2_day",
+        F.lit(0).cast("bigint").alias("_i_cnt"),
+        *[F.lit(0).cast(dec2w).alias(f"_i_{c}") for c in sum_cols],
+        F.lit(0).cast("bigint").alias("_i_day"),
+    )
+    # NULL _seg (NULL-ts rows) sorts first, matching NULL _ts in the flat
+    # ordering; NULL-ts FACT partials land there too and feed every later
+    # day's carry, while same-day probes still precede them via _k2.
+    run2 = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_seg").asc_nulls_first(), F.col("_k2").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        probes2.unionByName(days2)
+        .select(
+            *on,
+            "_plt",
+            *[f"_pl_{c}" for c in lead_cols],
+            "_wtag",
+            (F.sum("_w2_cnt").over(run2) + F.col("_i_cnt")).alias("_c_cnt"),
+            *[
+                (F.sum(f"_w2_{c}").over(run2) + F.col(f"_i_{c}")).alias(f"_c_{c}")
+                for c in sum_cols
+            ],
+            (F.sum("_w2_day").over(run2) + F.col("_i_day")).alias("_c_day"),
+        )
+        .filter(F.col("_wtag").isNotNull())
+    )
 
     def _at(tag, col):  # the probe row's cumulative value, one per tag
         return F.max(F.when(F.col("_wtag") == tag, F.col(col)))
@@ -331,6 +437,7 @@ def range_attribution(
     final_cols = [*[per_lead[k] for k in on], F.col("_plt").alias(lead_ts)] + [
         F.col(f"_pl_{c}").alias(c) for c in lead_cols
     ]
+    has_ts = F.col("_plt").isNotNull()
     for name, spec in metrics.items():
         kind = spec[0]
         for t, suffix in [(str(int(n)), f"_{int(n)}d") for n in windows_days] + [
@@ -358,5 +465,10 @@ def range_attribution(
                     else F.col(f"__c_day_{t}")
                 )
                 expr = (hi - F.col("__c_day_s") + corr).cast("bigint")
-            final_cols.append(expr.alias(f"{name}{suffix}"))
+            # NULL-lead_ts guard (docstring contract): a NULL probe sorts
+            # first, so its prefixes are 0 and the _all totals would leak
+            # the full per-key sums; the correlated-join semantics this
+            # operator re-expresses return 0 for such leads.
+            zero = F.lit(0.0) if kind == "sum_dec2_double" else F.lit(0).cast("bigint")
+            final_cols.append(F.when(has_ts, expr).otherwise(zero).alias(f"{name}{suffix}"))
     return out.select(*final_cols)

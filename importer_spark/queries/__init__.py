@@ -49,138 +49,8 @@ from importer_spark.queries import timeseries  # noqa: F401,E402
 from importer_spark.queries import structs  # noqa: F401,E402
 from importer_spark.queries import windows  # noqa: F401,E402
 
-# ---------------------------------------------------------------------------
-# Registration order = external-verification sampling order. A verifier that
-# checks a prefix of the catalog should hit the queries with the least prior
-# driver evidence first: round-5 additions, then the five analytics3 queries
-# whose only green rows are the in-repo gates (r4 VERDICT gap #1), then the
-# round-4 block (driver-green in CORRECTNESS_r04), then the r3 order.
-# ---------------------------------------------------------------------------
-_PRIORITY: list[str] = [
-    # Round-6 addition + the 13 late-round-5 queries the driver's 50-query
-    # draw has never sampled (r5 VERDICT gap #1): least driver evidence
-    # first, so CORRECTNESS_r06 rows accumulate for exactly these.
-    "lang_id_ngram_nb",
-    "bm25_topk",
-    "margin_bitext_mine",
-    "hybrid_rrf_topk",
-    "retrieval_arm_ndcg",
-    "pmi_collocations",
-    "lang_id_kappa",
-    "lang_id_class_f1",
-    "quality_auc_by_source",
-    "leakage_safe_split",
-    "unimax_language_budget",
-    "chunk_overlap_pairs",
-    "chunk_overlap_pairs_incremental",
-    "embedding_near_dups_incremental",
-    "segment_dedup_removal",
-    "segment_dedup_removal_incremental",
-    # Round-5 additions sampled in CORRECTNESS_r05
-    "exact_substring_removal",
-    "ccnet_perplexity_buckets",
-    "dedup_keep_best",
-    "nb_confidence_calibration",
-    "region_spend_rank",
-    "exact_substring_removal_incremental",
-    "lang_quality_deciles",
-    "txn_skipped_revenue",
-    "nb_source_classifier",
-    "source_kl_drift",
-    "hard_negative_pairs",
-    "weighted_sample_es",
-    # analytics3 queries with in-repo gate evidence only (no driver row)
-    "discount_allocation",
-    "events_interpolate",
-    "ngram_jaccard_pairs",
-    "pareto_skyline_parts",
-    "supplier_inflight_peak",
-    # Round-4 additions (driver-green in CORRECTNESS_r04)
-    "order_volume_trend_ols",
-    "semantic_dedup_cells",
-    "copurchase_triangles",
-    "incremental_join_view",
-    "bigram_backoff_scores",
-    "gopher_quality_rules",
-    "copurchase_pagerank",
-    "point_in_time_price",
-    "dsir_importance_weights",
-    "basket_pair_lift",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "rfm_segments",
-    "near_dup_clusters_star",
-    "exact_substring_spans",
-    "exact_substring_spans_incremental",
-    "unigram_logprob_scores",
-    "tpch_q1_pricing_summary_sql",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q4_order_priority",
-    "tpch_q12_shipmode_priority",
-    "tpch_q16_supplier_part_types",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    # Everything below is driver-green across r1-r3 (r3 order retained)
-    "rolling_range_window",
-    # The 16 queries with no driver evidence after rounds 1+2
-    "product_pricing_history",
-    "inventory_deltas",
-    "session_window_native",
-    "tumbling_window_counts",
-    "events_locf",
-    "user_event_gaps",
-    "user_event_gaps_streamed",
-    "cube_status_priority",
-    "customer_profile",
-    "customer_spend_quartiles",
-    "daily_revenue_spine",
-    "key_skew_profile",
-    "lineitem_stats_by_flag",
-    "order_options_kv",
-    "priority_counts_json",
-    "revenue_share",
-    # Round-3 additions (no driver evidence yet)
-    "audio_wav_features",
-    "image_ppm_features",
-    "bloom_promo_attribution",
-    "domain_mixture_sample",
-    "asof_next_purchase",
-    "customer_retention_setops",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "order_value_outliers",
-    "rolling_median_value",
-    "cumulative_distinct_types",
-    "user_activity_streaks",
-    "sliding_window_counts",
-    "cluster_balanced_sample",
-    "metric_layer_summary",
-    "user_funnel_stages",
-    "daily_revenue_anomalies",
-    "cohort_retention_matrix",
-    "training_order_manifest",
-]
-
-_missing = [n for n in _PRIORITY if n not in QUERIES]
-if _missing:  # typo guard — fail at import, not in the driver
-    raise RuntimeError(f"priority list names unknown queries: {_missing}")
-_ordered = {n: QUERIES[n] for n in _PRIORITY}
-_ordered.update({n: f for n, f in QUERIES.items() if n not in _ordered})
-QUERIES.clear()
-QUERIES.update(_ordered)
-_ordered_oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
-ORACLES.clear()
-ORACLES.update(_ordered_oracles)
+# NOTE: the external-verification SAMPLING ORDER (the priority list a
+# driver prefix-draw follows) lives in __spark_entry__.py at the repo root.
+# It is driver protocol, not engine semantics, and keeping it here meant any
+# reorder invalidated every gate certificate (r8 verdict #4). This module's
+# registration order is stable and semantically meaningless.

@@ -554,28 +554,74 @@ def cluster_balanced_sample(spark, sf_dir):
 # --- margin-based pair mining (Artetxe & Schwenk 2019; CCMatrix) ------------
 MB_K = 4  # kNN-mean size per side of the ratio margin
 MB_THRESHOLD = 1.05  # ratio-margin cut: cos must beat the neighborhood mean
-# Bucket-count dial (DEPLOY.md): per-bucket cross-pool work is
-# (pool/2^planes)^2, so planes must GROW with the corpus to keep bucket
-# populations ~10^3 (measured at 50x: 4 planes = 633 s, 8 planes = the
-# linear regime). Env-read at import so the baked oracle SQL and the Spark
-# plan always agree; scaled gates set it, published certifications use 4.
-MB_N_PLANES = int(os.environ.get("SPARK_GRAFT_MARGIN_PLANES", "4"))
-MB_PLANES = hyperplanes(MB_N_PLANES, DIMS)
+# Bucket-count dial: per-bucket cross-pool work is (pool/2^planes)^2, so
+# planes must GROW with the corpus to keep bucket populations ~10^3
+# (measured at 50x: 4 planes = 633 s, 8 planes = the linear regime; the r8
+# sf1 gate paid 37.8 s at the fixed default). The plane count is therefore
+# CORPUS-ADAPTIVE by default (r8 verdict #2): the smallest p in
+# [MB_MIN_PLANES, MB_MAX_PLANES] with COUNT(*) <= MB_TARGET_BUCKET << p —
+# a pure-INTEGER ladder both engines evaluate from the same count (no
+# log2/ceil float edge cases), emitted into the oracle SQL as a CASE
+# ladder over the same plane literals (prefix-stable: plane j depends only
+# on j, so a p-plane bucket is the low-p-bits prefix of the max-plane
+# bucket). SPARK_GRAFT_MARGIN_PLANES pins a fixed p on BOTH engines
+# (import-read, as before) for reproducing old certifications.
+MB_MIN_PLANES = 4
+MB_MAX_PLANES = 14  # 16384 buckets — linear-regime pops up to ~4M vectors
+# 250/bucket, not 10^3: the 100x sweep measured p=9 (~195/bucket) beating
+# p=8 (~390/bucket) 85.1 s vs 159.4 s at 200k vectors — the per-bucket
+# quadratic still dominates at 10^3. 250 keeps every driver/bench scale
+# (<= 4000 vectors) at the certified p=4 while the sf1 gate gets p=7.
+MB_TARGET_BUCKET = 250
+_MB_ENV_PLANES = os.environ.get("SPARK_GRAFT_MARGIN_PLANES")
+MB_PLANES_POOL = hyperplanes(MB_MAX_PLANES, DIMS)
+
+
+def _mb_adaptive_planes(n: int) -> int:
+    """Smallest p in [MB_MIN_PLANES, MB_MAX_PLANES] with n <= target<<p —
+    integer comparisons only, the exact ladder `_margin_sql` bakes."""
+    if _MB_ENV_PLANES is not None:
+        return int(_MB_ENV_PLANES)
+    p = MB_MIN_PLANES
+    while p < MB_MAX_PLANES and n > (MB_TARGET_BUCKET << p):
+        p += 1
+    return p
+
+
+def _mb_planes_case_sql() -> str:
+    """The same ladder as a DuckDB CASE over COUNT(*) — or the pinned
+    constant when the env override is set (both engines honor it)."""
+    if _MB_ENV_PLANES is not None:
+        return str(int(_MB_ENV_PLANES))
+    rungs = " ".join(
+        f"WHEN cnt <= {MB_TARGET_BUCKET << p} THEN {p}"
+        for p in range(MB_MIN_PLANES, MB_MAX_PLANES)
+    )
+    return f"(CASE {rungs} ELSE {MB_MAX_PLANES} END)"
+
+
 # Recall dial: the source side additionally probes the 1-bit-flip buckets
 # of its first MB_PROBE_BITS planes (embedding_ann_lsh's multi-probe),
 # multiplying candidates by (1 + probes) and recall with them — the knob
-# that buys back what a larger MB_N_PLANES costs. 0 = exact-bucket only
+# that buys back what a larger plane count costs. 0 = exact-bucket only
 # (the published certifications); measured at sf0.001: probes 0 -> recall
-# 0.122 of the exhaustive mutual-best truth, probes 4 -> 0.46.
+# 0.122 of the exhaustive mutual-best truth, probes 4 -> 0.46. Capped at
+# MB_MIN_PLANES so the probe set is static under the adaptive ladder
+# (p >= MB_MIN_PLANES always).
 MB_PROBE_BITS = min(
-    int(os.environ.get("SPARK_GRAFT_MARGIN_PROBES", "0")), MB_N_PLANES
+    int(os.environ.get("SPARK_GRAFT_MARGIN_PROBES", "0")), MB_MIN_PLANES
 )
 
 
 def _margin_sql() -> str:
+    # Every plane term is gated by `j < np` where np comes from the COUNT(*)
+    # ladder — identical integer arithmetic to the Spark side's
+    # _mb_adaptive_planes, so the two engines bucket identically at any
+    # corpus size without a float log2 in sight.
     bucket_expr = " + ".join(
-        f"(CASE WHEN list_dot_product(emb, {_plane_literal(p)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(MB_PLANES)
+        f"(CASE WHEN {j} < np AND list_dot_product(emb, {_plane_literal(p)}) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(MB_PLANES_POOL)
     )
     probe_buckets = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(MB_PROBE_BITS)]
@@ -585,7 +631,8 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
-b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e),
+params AS (SELECT {_mb_planes_case_sql()} AS np FROM (SELECT COUNT(*) AS cnt FROM e)),
+b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e, params),
 sp AS (
   SELECT vec_id, emb,
     UNNEST([{probe_buckets}]) AS search_bucket
@@ -656,9 +703,12 @@ def margin_bitext_mine(spark, sf_dir):
     the SAME LSH bucket equi-join the ANN path uses — one shuffle on bucket,
     never a cross-pool cartesian; the per-side kNN means are bounded-K
     window top-Ks followed by map-partial aggs; mutual-best is two windows
-    over the candidate relation. Raise MB_N_PLANES / SPARK_GRAFT_MARGIN_PLANES (or swap in the IVF
-    quantizer's cells) to keep per-bucket population bounded as the corpus
-    grows.
+    over the candidate relation. The plane count is corpus-adaptive
+    (_mb_adaptive_planes: smallest p with COUNT(*) <= 1000·2^p, the same
+    integer ladder the oracle bakes as SQL — r8 verdict #2: the fixed
+    4-plane default went per-bucket-quadratic at only 10× driver scale),
+    so per-bucket population stays ~10^3 as the corpus grows;
+    SPARK_GRAFT_MARGIN_PLANES pins a fixed p on both engines.
 
     Float determinism: cosines are rounded to 9dp and summed as
     DECIMAL(18,9) (the BM25 convention — order can never flip a rank);
@@ -669,7 +719,10 @@ def margin_bitext_mine(spark, sf_dir):
     e = t.embeddings.filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
-    b = e.withColumn("bucket", lsh_bucket(F.col("emb"), MB_PLANES))
+    # One COUNT over the pruned (vec_id, embedding-null) scan — the same
+    # count the oracle's params CTE computes, so both ladders agree.
+    n_planes = _mb_adaptive_planes(e.count())
+    b = e.withColumn("bucket", lsh_bucket(F.col("emb"), MB_PLANES_POOL[:n_planes]))
     search_buckets = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(MB_PROBE_BITS)],

@@ -163,28 +163,43 @@ WITH daily AS (
   WHERE l_shipdate IS NOT NULL
   GROUP BY 1, 2
 ),
-versions AS (
-  SELECT part_key, valid_from, price,
-         LEAD(valid_from) OVER (
-           PARTITION BY part_key ORDER BY valid_from
-         ) AS valid_to
-  FROM daily
+facts AS (
+  SELECT o.o_orderkey, l.l_partkey AS part_key, o.o_orderdate
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
--- point-in-time: the version whose [valid_from, valid_to) covers the order
-pit AS (
-  SELECT o.o_orderkey, l.l_partkey, o.o_orderdate, v.price
-  FROM orders o
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  JOIN versions v
-    ON v.part_key = l.l_partkey
-   AND v.valid_from <= o.o_orderdate
-   AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+-- union-and-window as-of (SURVEY §2.4 J8), replacing the definitional
+-- interval join: the former oracle's versions-range join is quadratic on
+-- a hot part_key (the r8 skew gate's DuckDB side spilled 22 GiB and died
+-- on one key while the engine finished 5.8M rows in 44 s). Version rows
+-- (kind 0) sort before fact rows (kind 1) at equal dates — a version is
+-- valid ON its from-date — and each fact reads the latest carried
+-- version STRUCT (struct, not bare price: a NULL-price version still
+-- covers the date and must surface as pit_price NULL, never fall through
+-- to an older version). Linear per key, same as the engine's asof_join.
+tl AS (
+  SELECT part_key, valid_from AS ts, 0 AS kind,
+         {'p': price, 'vf': valid_from} AS v,
+         NULL::BIGINT AS o_orderkey, NULL::DATE AS o_orderdate
+  FROM daily
+  UNION ALL
+  SELECT part_key, o_orderdate AS ts, 1 AS kind, NULL AS v,
+         o_orderkey, o_orderdate
+  FROM facts
+),
+filled AS (
+  SELECT part_key, kind, o_orderkey, o_orderdate,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY part_key ORDER BY ts, kind
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS pv
+  FROM tl
 )
 SELECT o_orderkey AS order_key,
-       l_partkey AS part_key,
+       part_key,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       CAST(price AS DOUBLE) AS pit_price
-FROM pit
+       CAST(struct_extract(pv, 'p') AS DOUBLE) AS pit_price
+FROM filled
+WHERE kind = 1 AND pv IS NOT NULL
 """
 
 
@@ -201,10 +216,15 @@ def point_in_time_price(spark, sf_dir):
     lookup is the repo's single-shuffle AS-OF operator (union-and-fill,
     operators/joins.py) — the latest version ≤ order date IS the version
     whose [valid_from, next_valid_from) interval covers it, so the as-of
-    rewrite is semantics-identical to the oracle's interval join while
+    rewrite is semantics-identical to the definitional interval join while
     doing LINEAR in-partition work instead of scanning every version of a
     part per fact row (26.4 s → 9.5 s at sf1). Orders whose date precedes
-    a part's first version drop (inner semantics), matching the oracle."""
+    a part's first version drop (inner semantics), matching the oracle.
+    The ORACLE uses the same union-and-window form since r9 (its original
+    interval join was quadratic on a hot part_key — the r8 skew gate's
+    DuckDB side spilled 22 GiB and died; parity against the definitional
+    form was certified through r8, so the as-of oracle is transitively
+    anchored to it)."""
     from importer_spark.operators.joins import asof_join
 
     t = Tables(spark, sf_dir)

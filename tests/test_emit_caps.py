@@ -199,3 +199,54 @@ def test_minhash_incremental_bucket_cap_bounds_probe(spark):
     # The clone bucket (31 members incl. the batch doc) is skipped: the
     # probe emits nothing instead of 30 quadratic-bucket pairs.
     assert capped.count() == 0
+
+
+def test_simhash_snm_recovery_restores_capped_clone_clusters(spark, tmp_path):
+    """r8 verdict #3: bucket-DROP at a binding cap loses whole clone
+    clusters (26% of flagged docs at cap 64 on the Zipf corpus). The
+    sorted-neighborhood pass re-mines the routed-out buckets at
+    O(bucket×window): clones sort adjacently by fingerprint value, so the
+    chain pairs flag every clone doc again. Pins (a) capped+SNM stays a
+    SUBSET of uncapped (recovered candidates pass the same Hamming
+    verify), (b) plain-capped ⊆ capped+SNM, and (c) doc-flag recall: SNM
+    recovers every clone doc that bucket-drop lost."""
+    import random
+
+    from importer_spark.queries.llm_text import _simhash_pairs
+
+    rng = random.Random(7)
+    rows = []
+    # Three clone clusters with DISJOINT vocabularies (a shared small vocab
+    # makes everything simhash-collide — r8 note), each far above the cap.
+    for c in range(3):
+        vocab = [f"w{c}_{i}" for i in range(40)]
+        base_text = " ".join(rng.choices(vocab, k=60))
+        for d in range(30):
+            rows.append((c * 1000 + d, base_text))
+    # Background singletons so the corpus isn't all clones.
+    for i in range(50):
+        vocab = [f"bg{i}_{j}" for j in range(30)]
+        rows.append((9000 + i, " ".join(rng.choices(vocab, k=60))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    base, _ = _simhash_pairs(spark, sf_dir, bucket_cap=None)
+    plain, _ = _simhash_pairs(spark, sf_dir, bucket_cap=16, snm_window=0)
+    snm, _ = _simhash_pairs(spark, sf_dir, bucket_cap=16, snm_window=8)
+    base_set = {(r.id_a, r.id_b) for r in base.collect()}
+    plain_set = {(r.id_a, r.id_b) for r in plain.collect()}
+    snm_set = {(r.id_a, r.id_b) for r in snm.collect()}
+    assert plain_set <= snm_set <= base_set
+
+    def flagged(pairs):
+        return {i for p in pairs for i in p}
+
+    base_docs, plain_docs, snm_docs = map(flagged, (base_set, plain_set, snm_set))
+    clone_ids = {c * 1000 + d for c in range(3) for d in range(30)}
+    # The cap must actually bind on the clone clusters for this test to
+    # mean anything: bucket-drop alone loses clone docs...
+    assert clone_ids <= base_docs
+    assert not (clone_ids <= plain_docs)
+    # ...and the sorted-neighborhood pass recovers every one of them.
+    assert clone_ids <= snm_docs

@@ -272,7 +272,8 @@ def test_margin_bitext_matches_python_reference(spark):
     from importer_spark.queries.llm_similarity import (
         MB_K,
         MB_THRESHOLD,
-        MB_PLANES,
+        MB_PLANES_POOL,
+        _mb_adaptive_planes,
     )
 
     rows = [
@@ -280,6 +281,7 @@ def test_margin_bitext_matches_python_reference(spark):
         for r in Tables(spark, SF_DIR).embeddings.collect()
         if r["vec_id"] is not None and r["embedding"] is not None
     ]
+    planes = MB_PLANES_POOL[: _mb_adaptive_planes(len(rows))]
 
     def dot(a, b):
         acc = 0.0
@@ -288,7 +290,7 @@ def test_margin_bitext_matches_python_reference(spark):
         return acc
 
     def bucket(emb):
-        return sum(1 << j for j, p in enumerate(MB_PLANES) if dot(emb, p) > 0)
+        return sum(1 << j for j, p in enumerate(planes) if dot(emb, p) > 0)
 
     def cos9(a, b):
         c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))

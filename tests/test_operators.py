@@ -1012,3 +1012,119 @@ def test_training_paths_survive_nonfinite_vectors(spark):
     q = finite_vectors(df, "emb").withColumn("m", max_abs(F.col("emb")))
     q = q.withColumn("qv", quantize_int8(F.col("emb"), F.col("m"))).collect()
     assert {r.vec_id for r in q} == {i for i in range(1, 21)}
+
+
+def test_range_attribution_null_lead_ts_zeroes_all_metrics(spark):
+    """A lead with NULL lead_ts has no position on the attribution axis:
+    the definitional correlated join (fact_ts >= lead_ts is NULL → never
+    true) returns 0 for every metric, including the _all totals — the
+    prefix-sum formulation must not leak the per-key totals through a
+    NULL probe whose start prefix is 0 (r8 advice)."""
+    from importer_spark.operators import range_attribution
+
+    leads = spark.createDataFrame(
+        [("k1", "2024-01-05 00:00:00", "a"), ("k1", None, "b")],
+        "k string, lt string, tag string",
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"), "tag")
+    facts = spark.createDataFrame(
+        [("k1", "2024-01-06 00:00:00", 10.0), ("k1", "2024-01-20 00:00:00", 5.0)],
+        "k string, ft string, amt double",
+    ).select("k", F.col("ft").cast("timestamp").alias("ft"), "amt")
+    out = {
+        r.tag: r
+        for r in range_attribution(
+            leads,
+            facts,
+            on=["k"],
+            lead_ts="lt",
+            fact_ts="ft",
+            windows_days=[7],
+            metrics={
+                "n": ("count",),
+                "rev": ("sum_dec2_double", "amt"),
+                "days": ("distinct_dates",),
+            },
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_7d, a.n_all, a.rev_7d, a.rev_all, a.days_7d, a.days_all) == (
+        1, 2, 10.0, 15.0, 1, 2,
+    )
+    assert (b.n_7d, b.n_all, b.rev_7d, b.rev_all, b.days_7d, b.days_all) == (
+        0, 0, 0.0, 0.0, 0, 0,
+    )
+
+
+def test_range_attribution_rejects_nonpositive_windows(spark):
+    """The distinct_dates day-boundary correction is only exact for
+    windows >= 1 day (r8 advice: N=0 would overcount day-of-lead facts
+    occurring after t)."""
+    from importer_spark.operators import range_attribution
+
+    df = spark.createDataFrame([("k", "2024-01-01 00:00:00")], "k string, ts string")
+    df = df.select("k", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="windows_days"):
+        range_attribution(
+            df, df, on=["k"], lead_ts="ts", fact_ts="ts",
+            windows_days=[0], metrics={"n": ("count",)},
+        )
+
+
+def test_range_attribution_hierarchical_matches_bruteforce(spark):
+    """The r9 hierarchical prefix-sum form (level-1 in-day window +
+    level-2 day-partial carry) against a brute-force per-lead Python
+    derivation of the definitional correlated join, over a shape chosen
+    to cross every seam: multi-day spans, same-day lead+facts on both
+    sides of the lead's timestamp, a probe on a factless day, ties at
+    exact window ends, and a NULL-ts fact (which the correlated join
+    never matches)."""
+    from datetime import datetime, timedelta
+
+    from importer_spark.operators import range_attribution
+
+    facts_py = [
+        ("k", datetime(2024, 1, 1, 6), 10.0),
+        ("k", datetime(2024, 1, 1, 12), 20.0),
+        ("k", datetime(2024, 1, 3, 9), 30.0),
+        ("k", datetime(2024, 1, 3, 9), 40.0),   # duplicate-ts fact
+        ("k", datetime(2024, 1, 10, 0), 50.0),
+        ("k", datetime(2024, 1, 12, 12), 60.0),
+        ("k", None, 99.0),                       # NULL ts: never matches
+        ("z", datetime(2024, 1, 2, 0), 7.0),
+    ]
+    leads_py = [
+        ("k", datetime(2024, 1, 1, 9), "mid-day"),
+        ("k", datetime(2024, 1, 3, 9), "tie-with-facts"),
+        ("k", datetime(2024, 1, 5, 0), "factless-day"),
+        ("k", datetime(2024, 1, 11, 12), "exact-1d-end"),  # t+1d == fact ts
+        ("z", datetime(2024, 1, 1, 0), "other-key"),
+        ("q", datetime(2024, 1, 1, 0), "no-facts-key"),
+    ]
+    leads = spark.createDataFrame(leads_py, "k string, lt timestamp, tag string")
+    facts = spark.createDataFrame(facts_py, "k string, ft timestamp, amt double")
+    out = {
+        r.tag: r
+        for r in range_attribution(
+            leads, facts, on=["k"], lead_ts="lt", fact_ts="ft",
+            windows_days=[1, 7],
+            metrics={
+                "n": ("count",),
+                "rev": ("sum_dec2_double", "amt"),
+                "days": ("distinct_dates",),
+            },
+        ).collect()
+    }
+    for k, lt, tag in leads_py:
+        matched = [
+            (ft, amt) for kk, ft, amt in facts_py
+            if kk == k and ft is not None and ft >= lt
+        ]
+        for n_days, sfx in [(1, "_1d"), (7, "_7d"), (None, "_all")]:
+            sub = (
+                matched if n_days is None
+                else [(ft, a) for ft, a in matched if ft <= lt + timedelta(days=n_days)]
+            )
+            row = out[tag]
+            assert getattr(row, f"n{sfx}") == len(sub), (tag, sfx)
+            assert getattr(row, f"rev{sfx}") == round(sum(a for _, a in sub), 2), (tag, sfx)
+            assert getattr(row, f"days{sfx}") == len({ft.date() for ft, _ in sub}), (tag, sfx)

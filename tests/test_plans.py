@@ -252,3 +252,25 @@ def test_no_complex_output_columns(spark):
         if complex_cols:
             offenders[name] = complex_cols
     assert not offenders, offenders
+
+
+def test_range_attribution_heavy_window_is_day_bounded(spark):
+    """r9 hierarchical prefix sums: the window that scans the fact-sized
+    timeline must partition by (key, DAY) — never by key alone, which is
+    one task per key and arbitrarily long on a hot key (r8 skew axis).
+    The per-key-only window is allowed ONLY at level 2, whose input is
+    day-partials + probes (leads+days-sized). Pins both: the _w_cnt
+    running sum partitions on (user_id, _seg, ...ts order), and the only
+    key-alone windowspec is the level-2 _w2_cnt carry."""
+    import re
+
+    df = QUERIES["signup_attribution"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lvl1 = re.findall(r"sum\(_w_cnt#\d+\) windowspecdefinition\(([^)]*)\)", plan)
+    assert lvl1, "level-1 running sum missing from the plan"
+    for spec in lvl1:
+        assert re.match(r"user_id#\d+L?, _seg#\d+, _ts#\d+", spec), spec
+    lvl2 = re.findall(r"sum\(_w2_cnt#\d+L?\) windowspecdefinition\(([^)]*)\)", plan)
+    assert lvl2, "level-2 carry sum missing from the plan"
+    for spec in lvl2:
+        assert re.match(r"user_id#\d+L?, _seg#\d+ ASC NULLS FIRST", spec), spec

@@ -109,6 +109,18 @@ def main() -> None:
         print("simhash", cap, json.dumps(st), flush=True)
     result["simhash_bucket_capped"] = sh_curve
 
+    # r9: the sorted-neighborhood recovery pass over the routed-out
+    # buckets (dedup.snm_chain_pairs, window 8 — the production default
+    # simhash_bucket_capped ships with). Same truth, same caps: the delta
+    # vs the curve above is what SNM buys back at O(bucket×window).
+    snm_curve = {}
+    for cap in CAPS:
+        pairs, _ = _simhash_pairs(spark, data_dir, bucket_cap=cap, snm_window=8)
+        st = pair_stats(truth_sh, pairs)
+        snm_curve[str(cap)] = st
+        print("simhash+snm8", cap, json.dumps(st), flush=True)
+    result["simhash_snm_recovered"] = snm_curve
+
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps({"out": out_path}))

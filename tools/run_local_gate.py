@@ -171,8 +171,13 @@ def main() -> None:
     # Bound the oracle's spill: an oracle whose re-derivation is super-
     # linear on poisoned data (e.g. the definitional as-of join on a hot
     # key) must die FAST as OracleResourceExceeded, not fill the disk for
-    # 10 minutes first and destabilize every concurrent job.
-    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+    # 10 minutes first and destabilize every concurrent job. The dir is
+    # env-overridable so republish_gates.sh can run two gate lanes
+    # concurrently without sharing one spill directory.
+    con.execute(
+        "SET temp_directory="
+        f"'{os.environ.get('SPARK_GRAFT_DUCK_TMP', '/tmp/duckdb_gate_spill')}'"
+    )
     con.execute("SET max_temp_directory_size='24GB'")
 
     oracle_timeout_s = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
@@ -292,6 +297,25 @@ def main() -> None:
         assert prior.get("sf_dir") == sf_dir, (
             f"artifact {out_path} is for {prior.get('sf_dir')}, not {sf_dir}"
         )
+        # A --only merge re-stamps the WHOLE artifact at the current tree,
+        # so it is sound ONLY when the product tree is UNCHANGED since the
+        # prior full run — otherwise one re-run query would re-certify
+        # every merged row against code none of them executed (r8 advice:
+        # the 'additive changes only' restriction was enforced by a
+        # comment). Any product edit means a full republish
+        # (tools/republish_gates.sh); to retarget a stale artifact,
+        # delete it and run the gate without --only.
+        from importer_spark.cert import product_tree_hash
+
+        prior_tree = (prior.get("cert") or {}).get("tree")
+        cur_tree = product_tree_hash()
+        if prior_tree != cur_tree:
+            raise SystemExit(
+                f"--only merge refused: {out_path} was certified at product "
+                f"tree {prior_tree}, but the working tree is {cur_tree}. "
+                "Product code changed since the prior full run — republish "
+                "the whole gate (tools/republish_gates.sh) instead."
+            )
         rerun = set(names)  # a re-run name's NEW outcome replaces its old one
         fails = {
             **{k: v for k, v in prior.get("fails", {}).items() if k not in rerun},
