@@ -188,8 +188,12 @@ tl AS (
 ),
 filled AS (
   SELECT part_key, kind, o_orderkey, o_orderdate,
+    -- NULLS FIRST explicitly: Spark's ASC default is nulls-first, DuckDB's
+    -- is nulls-LAST — without it a NULL-date fact (the NULL fuzz axis)
+    -- sorts after every version and picks up the newest price, where the
+    -- engine and the definitional interval join both drop it
     LAST_VALUE(v IGNORE NULLS) OVER (
-      PARTITION BY part_key ORDER BY ts, kind
+      PARTITION BY part_key ORDER BY ts NULLS FIRST, kind
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) AS pv
   FROM tl
