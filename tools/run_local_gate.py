@@ -156,6 +156,27 @@ def main() -> None:
         else f"LOCAL_GATE_{os.path.basename(sf_dir.rstrip('/'))}.json"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    if only is not None and os.path.exists(out_path):
+        # FAIL FAST, before any query runs: a --only merge re-stamps the
+        # WHOLE artifact at the current tree, so it is sound ONLY when the
+        # product tree is UNCHANGED since the prior full run — otherwise
+        # one re-run query would re-certify every merged row against code
+        # none of them executed (r8 advice: the 'additive changes only'
+        # restriction was enforced by a comment). Any product edit means a
+        # full republish (tools/republish_gates.sh); to retarget a stale
+        # artifact, delete it and run the gate without --only.
+        from importer_spark.cert import product_tree_hash
+
+        with open(out_path) as fh:
+            _prior_cert = (json.load(fh).get("cert") or {}).get("tree")
+        _cur_tree = product_tree_hash()
+        if _prior_cert != _cur_tree:
+            raise SystemExit(
+                f"--only merge refused: {out_path} was certified at product "
+                f"tree {_prior_cert}, but the working tree is {_cur_tree}. "
+                "Product code changed since the prior full run — republish "
+                "the whole gate (tools/republish_gates.sh) instead."
+            )
 
     from importer_spark.queries import ORACLES, QUERIES
     from importer_spark.session import get_spark
@@ -297,25 +318,6 @@ def main() -> None:
         assert prior.get("sf_dir") == sf_dir, (
             f"artifact {out_path} is for {prior.get('sf_dir')}, not {sf_dir}"
         )
-        # A --only merge re-stamps the WHOLE artifact at the current tree,
-        # so it is sound ONLY when the product tree is UNCHANGED since the
-        # prior full run — otherwise one re-run query would re-certify
-        # every merged row against code none of them executed (r8 advice:
-        # the 'additive changes only' restriction was enforced by a
-        # comment). Any product edit means a full republish
-        # (tools/republish_gates.sh); to retarget a stale artifact,
-        # delete it and run the gate without --only.
-        from importer_spark.cert import product_tree_hash
-
-        prior_tree = (prior.get("cert") or {}).get("tree")
-        cur_tree = product_tree_hash()
-        if prior_tree != cur_tree:
-            raise SystemExit(
-                f"--only merge refused: {out_path} was certified at product "
-                f"tree {prior_tree}, but the working tree is {cur_tree}. "
-                "Product code changed since the prior full run — republish "
-                "the whole gate (tools/republish_gates.sh) instead."
-            )
         rerun = set(names)  # a re-run name's NEW outcome replaces its old one
         fails = {
             **{k: v for k, v in prior.get("fails", {}).items() if k not in rerun},
