@@ -81,6 +81,9 @@ heavy_lane() {
   say "heavy: AQE skew-split evidence merge"
   python tools/measure_skew_join.py /tmp/skew1 SKEW_GATE.json \
     > "$LOGDIR/skew_aqe.log" 2>&1
+  say "heavy: attribution task-balance evidence merge"
+  python tools/measure_attribution_tasks.py /tmp/skew1 SKEW_GATE.json \
+    > "$LOGDIR/skew_attr_tasks.log" 2>&1
   say "heavy: SIMILARITY sf1 closure"
   python tools/verify_scaled_similarity.py /root/testdata/sf0.1 /tmp/sf1 \
     SIMILARITY_GATE_sf1.json > "$LOGDIR/similarity.log" 2>&1
