@@ -25,226 +25,229 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 # Export order = external-verification sampling order. A verifier that draws
 # a prefix of the catalog should hit the queries with the LEAST prior driver
-# evidence first. Round-9 order: queries whose product code this round
-# touched lead (range_attribution guards → signup_attribution; the r8 window
-# tiebreak → product_pricing_history; the skew-gate oracle rewrite →
-# point_in_time_price; corpus-adaptive planes → margin_bitext_mine; the
-# _simhash_pairs SNM plumbing → simhash_near_dups; the fuzzy NULL-filter
-# reorder → part_name_fuzzy_matches), then every other query ascending by
-# the round of its last green driver CORRECTNESS row (r1 first, r8 last;
-# recomputed from CORRECTNESS_r01–r08 at round-9 start, stable within each
-# freshness group).
+# evidence first. Round-10 order: the round's touched queries lead (the
+# newly certified simhash_bucket_capped, the PIT oracle-form split, the
+# margin dial hardening), then every other query ascending by the round of
+# its last green driver CORRECTNESS row — recomputed from
+# CORRECTNESS_r01–r09 at round-10 start (36 r2-stale queries lead; a
+# 50-query driver sample clears every query older than r3), stable within
+# each freshness group.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # Touched by round-9 product edits
-    "signup_attribution",
-    "product_pricing_history",
+    # Touched by round-10 product edits (simhash_bucket_capped is the
+    # newly oracle-certified production config — zero prior driver
+    # evidence; point_in_time_price's default oracle is again the
+    # definitional interval join; margin_bitext_mine's dial clamps
+    # were hardened)
+    "simhash_bucket_capped",
     "point_in_time_price",
     "margin_bitext_mine",
-    "simhash_near_dups",
-    "part_name_fuzzy_matches",
-    # Last driver-green in round 1
-    "mode_deterministic",
-    "trailing_period_metrics",
-    "multi_grain_union",
-    "rollup_revenue",
-    "having_duplicates",
-    "ar_aging",
-    "weighted_discount_ratio",
-    "marketing_attribution",
-    "unpivot_balances",
-    "order_reconciliation",
-    "multi_alias_join",
-    "cross_join_scalar",
-    "explode_ordinality",
-    "asof_last_view",
-    "customers_without_orders",
-    "parts_with_returns",
-    "order_value_percentiles",
-    "salted_segment_revenue",
-    "docs_exact_dedup",
-    "minhash_signatures",
-    "near_dup_pairs",
-    "benchmark_contamination",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "modality_alignment",
-    "embedding_cosine_topk",
-    "embedding_ann_lsh",
-    "embedding_ivf_topk",
-    "text_token_stats",
-    "lang_id",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "simhash_fingerprints",
-    "doc_repetition",
     # Last driver-green in round 2
-    "promo_period_revenue",
-    "bloom_pruned_revenue",
-    "near_dup_pairs_incremental",
-    "embedding_quantized_topk",
-    "doc_winnowing_fingerprints",
-    "doc_chunks",
-    "frequent_tokens",
-    "tfidf_weights",
-    "near_dup_clusters",
-    "stratified_sample",
-    "pii_redaction",
-    "sequence_packing",
-    "top_terms_per_doc",
-    "language_capped_sample",
-    "doc_length_histogram",
-    "curation_pipeline",
-    "mart_customer_health",
-    "mart_segment_summary",
-    "mart_product_period_spending",
-    "union_distinct_values",
-    "price_grid_clustering",
-    "order_cadence",
-    "dq_orders_suite",
-    "dq_curation_suite",
-    "customer_hierarchy_depth",
-    "string_functions",
-    "regex_functions",
-    "surrogate_keys",
-    "json_extraction",
-    "date_functions",
     "case_scoring",
-    "null_blank_cleaning",
-    "sql_nation_revenue",
-    "json_build_roundtrip",
-    "nested_child_table",
-    "embedding_centroids",
-    "embedding_near_dups",
-    "embedding_dup_clusters",
-    "variant_payload_extract",
+    "curation_pipeline",
+    "customer_hierarchy_depth",
+    "date_functions",
     "dedup_latest",
-    "priority_dedup",
-    "lag_growth",
-    "percent_rank_customers",
+    "doc_length_histogram",
+    "dq_curation_suite",
+    "dq_orders_suite",
+    "embedding_centroids",
+    "embedding_dup_clusters",
+    "embedding_near_dups",
     "first_value_repr",
     "group_size_window",
+    "json_build_roundtrip",
+    "json_extraction",
+    "lag_growth",
+    "language_capped_sample",
+    "mart_customer_health",
+    "mart_product_period_spending",
+    "mart_segment_summary",
+    "nested_child_table",
+    "null_blank_cleaning",
+    "order_cadence",
+    "percent_rank_customers",
+    "pii_redaction",
+    "price_grid_clustering",
+    "priority_dedup",
+    "regex_functions",
     "running_max",
+    "sequence_packing",
+    "sql_nation_revenue",
+    "string_functions",
+    "surrogate_keys",
+    "top_terms_per_doc",
+    "union_distinct_values",
+    "variant_payload_extract",
     # Last driver-green in round 3
-    "lineitem_stats_by_flag",
-    "order_options_kv",
-    "priority_counts_json",
-    "revenue_share",
-    "audio_wav_features",
-    "image_ppm_features",
-    "bloom_promo_attribution",
-    "domain_mixture_sample",
     "asof_next_purchase",
-    "customer_retention_setops",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "order_value_outliers",
-    "rolling_median_value",
-    "cumulative_distinct_types",
-    "user_activity_streaks",
-    "sliding_window_counts",
+    "audio_wav_features",
+    "bloom_promo_attribution",
     "cluster_balanced_sample",
-    "metric_layer_summary",
-    "user_funnel_stages",
-    "daily_revenue_anomalies",
     "cohort_retention_matrix",
-    "training_order_manifest",
     "company_consolidation",
     "company_representatives",
-    "pricing_summary",
-    "orders_fact",
-    "top_customers",
-    "region_revenue",
-    "email_domain_stats",
     "country_normalization",
+    "cumulative_distinct_types",
+    "customer_retention_setops",
+    "daily_revenue_anomalies",
+    "domain_mixture_sample",
+    "email_domain_stats",
+    "image_ppm_features",
+    "lineitem_stats_by_flag",
+    "metric_layer_summary",
+    "order_options_kv",
+    "order_value_outliers",
+    "orders_fact",
     "percent_parse",
-    "union_projection_alignment",
-    "sessionization",
     "pivot_revenue",
+    "pricing_summary",
+    "priority_counts_json",
+    "region_revenue",
+    "revenue_share",
+    "rolling_median_value",
+    "sessionization",
+    "sliding_window_counts",
     "string_agg_sorted",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "rolling_range_window",
-    "inventory_deltas",
-    "session_window_native",
-    "tumbling_window_counts",
-    "events_locf",
-    "user_event_gaps",
-    "user_event_gaps_streamed",
+    "top_customers",
+    "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "training_order_manifest",
+    "union_projection_alignment",
+    "user_activity_streaks",
+    "user_funnel_stages",
+    # Last driver-green in round 4
     "cube_status_priority",
     "customer_profile",
     "customer_spend_quartiles",
     "daily_revenue_spine",
+    "events_locf",
+    "inventory_deltas",
     "key_skew_profile",
-    # Last driver-green in round 4
+    "rolling_range_window",
+    "session_window_native",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tumbling_window_counts",
+    "user_event_gaps",
+    "user_event_gaps_streamed",
+    # Last driver-green in round 5
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_types",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
     "tpch_q1_pricing_summary_sql",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
     "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q4_order_priority",
-    "tpch_q12_shipmode_priority",
-    "tpch_q16_supplier_part_types",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # Last driver-green in round 5
-    "lang_id_ngram_nb",
+    # Last driver-green in round 8
+    "basket_pair_lift",
+    "bigram_backoff_scores",
     "bm25_topk",
-    "hybrid_rrf_topk",
-    "retrieval_arm_ndcg",
-    "pmi_collocations",
-    "lang_id_kappa",
-    "lang_id_class_f1",
-    "quality_auc_by_source",
-    "leakage_safe_split",
-    "unimax_language_budget",
+    "ccnet_perplexity_buckets",
     "chunk_overlap_pairs",
     "chunk_overlap_pairs_incremental",
-    "embedding_near_dups_incremental",
-    "segment_dedup_removal",
-    "segment_dedup_removal_incremental",
-    # Last driver-green in round 8
-    "exact_substring_removal",
-    "ccnet_perplexity_buckets",
-    "dedup_keep_best",
-    "nb_confidence_calibration",
-    "region_spend_rank",
-    "exact_substring_removal_incremental",
-    "lang_quality_deciles",
-    "txn_skipped_revenue",
-    "nb_source_classifier",
-    "source_kl_drift",
-    "hard_negative_pairs",
-    "weighted_sample_es",
-    "discount_allocation",
-    "events_interpolate",
-    "ngram_jaccard_pairs",
-    "pareto_skyline_parts",
-    "supplier_inflight_peak",
-    "order_volume_trend_ols",
-    "semantic_dedup_cells",
-    "copurchase_triangles",
-    "incremental_join_view",
-    "bigram_backoff_scores",
-    "gopher_quality_rules",
     "copurchase_pagerank",
+    "copurchase_triangles",
+    "dedup_keep_best",
+    "discount_allocation",
     "dsir_importance_weights",
-    "basket_pair_lift",
+    "embedding_near_dups_incremental",
     "event_transition_matrix",
-    "time_weighted_value",
-    "rfm_segments",
-    "near_dup_clusters_star",
+    "events_interpolate",
+    "exact_substring_removal",
+    "exact_substring_removal_incremental",
     "exact_substring_spans",
     "exact_substring_spans_incremental",
+    "gopher_quality_rules",
+    "hard_negative_pairs",
+    "hybrid_rrf_topk",
+    "incremental_join_view",
+    "lang_id_class_f1",
+    "lang_id_kappa",
+    "lang_id_ngram_nb",
+    "lang_quality_deciles",
+    "leakage_safe_split",
+    "nb_confidence_calibration",
+    "nb_source_classifier",
+    "near_dup_clusters_star",
+    "ngram_jaccard_pairs",
+    "order_volume_trend_ols",
+    "pareto_skyline_parts",
+    "pmi_collocations",
+    "quality_auc_by_source",
+    "region_spend_rank",
+    "retrieval_arm_ndcg",
+    "rfm_segments",
+    "segment_dedup_removal",
+    "segment_dedup_removal_incremental",
+    "semantic_dedup_cells",
+    "source_kl_drift",
+    "supplier_inflight_peak",
+    "time_weighted_value",
+    "txn_skipped_revenue",
     "unigram_logprob_scores",
+    "unimax_language_budget",
+    "weighted_sample_es",
+    # Last driver-green in round 9
+    "ar_aging",
+    "asof_last_view",
+    "benchmark_contamination",
+    "bloom_pruned_revenue",
+    "cross_join_scalar",
+    "customers_without_orders",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_repetition",
+    "doc_winnowing_fingerprints",
+    "docs_exact_dedup",
+    "embedding_ann_lsh",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "embedding_quantized_topk",
+    "explode_ordinality",
+    "frequent_tokens",
+    "having_duplicates",
+    "lang_id",
+    "marketing_attribution",
+    "minhash_signatures",
+    "modality_alignment",
+    "mode_deterministic",
+    "multi_alias_join",
+    "multi_grain_union",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "near_dup_clusters",
+    "near_dup_pairs",
+    "near_dup_pairs_incremental",
+    "order_reconciliation",
+    "order_value_percentiles",
+    "part_name_fuzzy_matches",
+    "parts_with_returns",
+    "product_pricing_history",
+    "promo_period_revenue",
+    "rollup_revenue",
+    "salted_segment_revenue",
+    "signup_attribution",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "stratified_sample",
+    "text_token_stats",
+    "tfidf_weights",
+    "trailing_period_metrics",
+    "unpivot_balances",
+    "weighted_discount_ratio",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -78,6 +78,22 @@ def iso_violates(t_now: float, t_base: float, cal_factor: float = 1.0) -> bool:
     return _bad(t_now) and _bad(t_now * cal_factor)
 
 
+def iso_suspect(t_now: float, t_base: float, cal_factor: float = 1.0) -> bool:
+    """EXACTLY ONE of the two views (raw, calibration-normalized) trips the
+    tolerance — not a gate failure, but not silent either (r9 ADVICE: on a
+    session ~2× faster than the pinned baseline, a genuine regression can
+    hide under a clean raw time while the normalized view flags it; the
+    two-sided gate would pass without a trace). Suspects are recorded in
+    BENCH_DETAIL's ``iso_suspects`` and surfaced as a warning by
+    tests/test_bench_regression.py so fast-host-masked regressions stay
+    visible across rounds."""
+
+    def _bad(t: float) -> bool:
+        return t > t_base * ISO_TOLERANCE and (t - t_base) > ISO_NOISE_FLOOR_SEC
+
+    return _bad(t_now) != _bad(t_now * cal_factor)
+
+
 def _warm_workers(it):
     import numpy  # noqa: F401 — pre-import heavy deps in each worker
 
@@ -259,6 +275,25 @@ def main() -> None:
                 t_now = min(t_now, rerun[name])
             times_isolated[name] = t_now
 
+    # One-sided raw/normalized disagreements: recorded, never silent
+    # (see iso_suspect). Computed AFTER the retry loop so a suspect that
+    # was re-measured is judged on its best (min) time.
+    iso_suspects: dict[str, dict] = {}
+    for name, t_base in baseline_map.items():
+        t_now = times_isolated.get(name)
+        if t_now is not None and iso_suspect(t_now, t_base, cal_factor):
+            iso_suspects[name] = {
+                "baseline": t_base,
+                "isolated": t_now,
+                "normalized": round(t_now * cal_factor, 3),
+            }
+    if iso_suspects:
+        print(
+            f"BENCH_SUSPECTS ({len(iso_suspects)} one-sided raw/normalized "
+            f"disagreements): {json.dumps(iso_suspects, sort_keys=True)}",
+            file=sys.stderr,
+        )
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -269,6 +304,7 @@ def main() -> None:
         "queries_isolated": times_isolated,
         "isolated_wall_seconds": isolated_wall,
         "isolated_retries": isolated_retries,
+        "iso_suspects": iso_suspects,
         "calibration_seconds": calibration,
         "errors": errors,
         "sf": sf,

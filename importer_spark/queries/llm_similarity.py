@@ -574,6 +574,16 @@ MB_MAX_PLANES = 14  # 16384 buckets — linear-regime pops up to ~4M vectors
 # (<= 4000 vectors) at the certified p=4 while the sf1 gate gets p=7.
 MB_TARGET_BUCKET = 250
 _MB_ENV_PLANES = os.environ.get("SPARK_GRAFT_MARGIN_PLANES")
+if _MB_ENV_PLANES is not None:
+    # Validated at import (r9 ADVICE): an out-of-range pin would silently
+    # produce probe buckets no row can occupy (p below the probe count) or
+    # plane indices past the pool (p above MB_MAX_PLANES).
+    _MB_ENV_PLANES = int(_MB_ENV_PLANES)
+    if not (1 <= _MB_ENV_PLANES <= MB_MAX_PLANES):
+        raise ValueError(
+            f"SPARK_GRAFT_MARGIN_PLANES must be in [1, {MB_MAX_PLANES}], "
+            f"got {_MB_ENV_PLANES}"
+        )
 MB_PLANES_POOL = hyperplanes(MB_MAX_PLANES, DIMS)
 
 
@@ -605,11 +615,14 @@ def _mb_planes_case_sql() -> str:
 # multiplying candidates by (1 + probes) and recall with them — the knob
 # that buys back what a larger plane count costs. 0 = exact-bucket only
 # (the published certifications); measured at sf0.001: probes 0 -> recall
-# 0.122 of the exhaustive mutual-best truth, probes 4 -> 0.46. Capped at
-# MB_MIN_PLANES so the probe set is static under the adaptive ladder
-# (p >= MB_MIN_PLANES always).
+# 0.122 of the exhaustive mutual-best truth, probes 4 -> 0.46. Clamped to
+# the EFFECTIVE plane floor (r9 ADVICE: clamping to the constant
+# MB_MIN_PLANES let a pinned p < 4 produce probe buckets no row can
+# occupy): the adaptive ladder guarantees p >= MB_MIN_PLANES, and an env
+# pin fixes p exactly, so the floor is whichever applies.
+_MB_FLOOR_PLANES = _MB_ENV_PLANES if _MB_ENV_PLANES is not None else MB_MIN_PLANES
 MB_PROBE_BITS = min(
-    int(os.environ.get("SPARK_GRAFT_MARGIN_PROBES", "0")), MB_MIN_PLANES
+    max(0, int(os.environ.get("SPARK_GRAFT_MARGIN_PROBES", "0"))), _MB_FLOOR_PLANES
 )
 
 
@@ -704,8 +717,8 @@ def margin_bitext_mine(spark, sf_dir):
     never a cross-pool cartesian; the per-side kNN means are bounded-K
     window top-Ks followed by map-partial aggs; mutual-best is two windows
     over the candidate relation. The plane count is corpus-adaptive
-    (_mb_adaptive_planes: smallest p with COUNT(*) <= 1000·2^p, the same
-    integer ladder the oracle bakes as SQL — r8 verdict #2: the fixed
+    (_mb_adaptive_planes: smallest p with COUNT(*) <= MB_TARGET_BUCKET·2^p,
+    target 250/bucket — r8 verdict #2: the fixed
     4-plane default went per-bucket-quadratic at only 10× driver scale),
     so per-bucket population stays ~10^3 as the corpus grows;
     SPARK_GRAFT_MARGIN_PLANES pins a fixed p on both engines.

@@ -4,6 +4,8 @@ operators: language-ID, quality scoring, token counting, fingerprinting).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
@@ -336,6 +338,75 @@ WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SIMHASH_HAM_K}
 """
 
 
+# Production dial values (r9 verdict #1): the bucket cap + SNM window are
+# read at IMPORT time (the margin-planes convention in llm_similarity) so
+# the Spark plan and the oracle SQL baked at registration can never
+# disagree about the dial — a per-call env read could desync the two
+# engines between registration and execution.
+_SH_CAP = int(os.environ.get("SPARK_GRAFT_SIMHASH_BUCKET_CAP", "64"))
+_SH_SNM = int(os.environ.get("SPARK_GRAFT_SIMHASH_SNM_WINDOW", "8"))
+if _SH_CAP < 1:
+    raise ValueError(f"SPARK_GRAFT_SIMHASH_BUCKET_CAP must be >= 1, got {_SH_CAP}")
+if _SH_SNM != 0 and _SH_SNM < 2:
+    raise ValueError(
+        f"SPARK_GRAFT_SIMHASH_SNM_WINDOW must be 0 (disable) or >= 2, got {_SH_SNM}"
+    )
+
+
+def _simhash_capped_sql() -> str:
+    """DuckDB oracle for the capped+SNM production config: the same banded
+    plan as `_SIMHASH_PAIRS_SQL` restricted to within-cap buckets, plus a
+    sorted-neighborhood chain over the routed-out buckets (row_number
+    self-join on rn+1..rn+window-1). The chained pair set depends only on
+    the (simhash, doc_id) TOTAL order inside each bucket — no engine tie
+    ambiguity — so DuckDB re-derives it independently of Spark's
+    lead()-struct formulation (operators.dedup.snm_chain_pairs).
+    Orientation matches snm_chain_pairs: id_a = min(doc_id)."""
+    snm_cand = ""
+    union = ""
+    if _SH_SNM >= 2:
+        snm_cand = f""",
+snm_rows AS (
+  SELECT band, band_val, doc_id, simhash,
+         ROW_NUMBER() OVER (PARTITION BY band, band_val
+                            ORDER BY simhash, doc_id) AS rn
+  FROM sized WHERE bucket_size > {_SH_CAP}
+),
+snm_cand AS (
+  SELECT CASE WHEN x.doc_id < y.doc_id THEN x.doc_id ELSE y.doc_id END AS id_a,
+         CASE WHEN x.doc_id < y.doc_id THEN x.simhash ELSE y.simhash END AS ha,
+         CASE WHEN x.doc_id < y.doc_id THEN y.doc_id ELSE x.doc_id END AS id_b,
+         CASE WHEN x.doc_id < y.doc_id THEN y.simhash ELSE x.simhash END AS hb
+  FROM snm_rows x JOIN snm_rows y
+    ON x.band = y.band AND x.band_val = y.band_val
+   AND y.rn > x.rn AND y.rn <= x.rn + {_SH_SNM - 1}
+)"""
+        union = "\n    UNION ALL SELECT id_a, ha, id_b, hb FROM snm_cand"
+    return f"""
+WITH sh AS ({{base}}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_val
+  FROM sh, (SELECT UNNEST(range(4)) AS band) b
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bucket_size
+  FROM bands
+),
+within AS (SELECT * FROM sized WHERE bucket_size <= {_SH_CAP}){snm_cand},
+cand AS (
+  SELECT DISTINCT id_a, ha, id_b, hb FROM (
+    SELECT a.doc_id AS id_a, a.simhash AS ha, c.doc_id AS id_b, c.simhash AS hb
+    FROM within a JOIN within c
+      ON a.band = c.band AND a.band_val = c.band_val AND a.doc_id < c.doc_id{union}
+  )
+)
+SELECT id_a, id_b,
+  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SIMHASH_HAM_K}
+"""
+
+
 def _simhash_pairs(spark, sf_dir, bucket_cap: int | None = None, snm_window: int = 0):
     """Banded SimHash pair generation shared by the certified catalog query
     (``bucket_cap=None`` — the identity path, plan untouched) and the
@@ -424,31 +495,36 @@ def simhash_near_dups(spark, sf_dir):
     return pairs
 
 
-@query("simhash_bucket_capped", catalog=False)
+@query(
+    "simhash_bucket_capped",
+    oracle=_simhash_capped_sql().format(base=_simhash_sql().strip()),
+)
 def simhash_bucket_capped(spark, sf_dir):
-    """The production bucket-cap dial over the same banded SimHash probe
-    (r6 verdict #2): the 100× exponent 1.51 was measured as candidate-
-    BUCKET growth (clone buckets grow quadratically in members), so a
-    duplicate-heavy shard pays unbounded candidate verification. With the
-    cap (SPARK_GRAFT_SIMHASH_BUCKET_CAP, read per call, default 64) any
+    """The PRODUCTION bucket-cap configuration over the same banded SimHash
+    probe (r6 verdict #2): the 100× exponent 1.51 was measured as
+    candidate-BUCKET growth (clone buckets grow quadratically in members),
+    so a duplicate-heavy shard pays unbounded candidate verification. With
+    the cap (SPARK_GRAFT_SIMHASH_BUCKET_CAP, import-read, default 64) any
     (band, band_val) bucket holding more docs is routed to the overflow
     relation instead of the self-join — candidate work bounded by cap²/2
     per bucket — and the sorted-neighborhood recovery pass
-    (SPARK_GRAFT_SIMHASH_SNM_WINDOW, default 8; 0 disables) re-mines the
-    routed-out buckets at O(bucket×window), closing most of the recall
-    hole bucket-drop opened (r8 RECALL_CURVE.json: 26% of flagged docs
-    lost at cap 64 on Zipf clone data; clones sort adjacently by
-    fingerprint value so a small window recovers them). Diagnostic (no
-    oracle): the capped answer stays a SUBSET of the uncapped
-    `simhash_near_dups` (recovered candidates pass the same Hamming
-    verify), which remains the certified catalog entry;
-    tests/test_emit_caps.py pins subset + overflow-accounting + recovery
-    semantics."""
-    import os
+    (SPARK_GRAFT_SIMHASH_SNM_WINDOW, import-read, default 8; 0 disables)
+    re-mines the routed-out buckets at O(bucket×window), closing most of
+    the recall hole bucket-drop opened (RECALL_CURVE.json: doc-flag recall
+    0.988 at cap 64 vs 0.258 bucket-drop on Zipf clone data; clones sort
+    adjacently by fingerprint value so a small window recovers them).
 
-    cap = int(os.environ.get("SPARK_GRAFT_SIMHASH_BUCKET_CAP", "64"))
-    snm = int(os.environ.get("SPARK_GRAFT_SIMHASH_SNM_WINDOW", "8"))
-    pairs, _overflow = _simhash_pairs(spark, sf_dir, bucket_cap=cap, snm_window=snm)
+    Oracle-certified since r10 (r9 verdict #1: the config a 100-TB user
+    must run deserves a value oracle, not just the subset test): the SNM
+    chain is deterministic — sort by (simhash, doc_id), pair each row with
+    its next window-1 successors — so the DuckDB oracle re-derives it as a
+    row_number self-join over the same total order. The capped answer also
+    stays a SUBSET of the uncapped `simhash_near_dups` (recovered
+    candidates pass the same Hamming verify); tests/test_emit_caps.py pins
+    subset + overflow-accounting + recovery semantics."""
+    pairs, _overflow = _simhash_pairs(
+        spark, sf_dir, bucket_cap=_SH_CAP, snm_window=_SH_SNM
+    )
     return pairs
 
 

@@ -7,6 +7,8 @@ fct_inventory_history.sql:39-47).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -153,7 +155,51 @@ def inventory_deltas(spark, sf_dir):
     )
 
 
-_PIT_SQL = """
+# Definitional interval-join oracle — the INDEPENDENT formulation (version
+# validity intervals via LEAD, facts join the covering interval). Default
+# on every axis where it is affordable (r9 ADVICE, medium): an oracle that
+# shares the engine's as-of algorithm would certify a shared conceptual
+# bug silently. Quadratic on a hot part_key, so the SKEW axis selects the
+# as-of form below via SPARK_GRAFT_PIT_ORACLE=asof (the r8 skew gate's
+# DuckDB side spilled 22 GiB on this form and died while the engine
+# finished 5.8M rows in 44 s). tests/test_pit_oracle_crosscheck.py proves
+# the two oracle forms identical in DuckDB at the driver scales each
+# round, so the as-of form stays anchored to the definitional one.
+_PIT_SQL_INTERVAL = """
+WITH daily AS (
+  SELECT l_partkey AS part_key, l_shipdate AS valid_from,
+         MIN(ROUND(l_extendedprice / l_quantity, 8)) AS price
+  FROM lineitem
+  -- a version without a date has no place on the validity axis (and the
+  -- engines' as-of/interval NULL conventions differ) — dates required
+  WHERE l_shipdate IS NOT NULL
+  GROUP BY 1, 2
+),
+versions AS (
+  SELECT part_key, valid_from, price,
+         LEAD(valid_from) OVER (
+           PARTITION BY part_key ORDER BY valid_from
+         ) AS valid_to
+  FROM daily
+),
+-- point-in-time: the version whose [valid_from, valid_to) covers the order
+pit AS (
+  SELECT o.o_orderkey, l.l_partkey, o.o_orderdate, v.price
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN versions v
+    ON v.part_key = l.l_partkey
+   AND v.valid_from <= o.o_orderdate
+   AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+)
+SELECT o_orderkey AS order_key,
+       l_partkey AS part_key,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(price AS DOUBLE) AS pit_price
+FROM pit
+"""
+
+_PIT_SQL_ASOF = """
 WITH daily AS (
   SELECT l_partkey AS part_key, l_shipdate AS valid_from,
          MIN(ROUND(l_extendedprice / l_quantity, 8)) AS price
@@ -206,6 +252,16 @@ FROM filled
 WHERE kind = 1 AND pv IS NOT NULL
 """
 
+# Oracle selection per axis (import-read, like the margin-planes pin): the
+# definitional interval join is the default independent check; the skew
+# axis sets SPARK_GRAFT_PIT_ORACLE=asof in tools/republish_gates.sh
+# because the interval join is quadratic on a hot part key.
+_PIT_SQL = (
+    _PIT_SQL_ASOF
+    if os.environ.get("SPARK_GRAFT_PIT_ORACLE", "interval") == "asof"
+    else _PIT_SQL_INTERVAL
+)
+
 
 @query("point_in_time_price", oracle=_PIT_SQL)
 def point_in_time_price(spark, sf_dir):
@@ -224,11 +280,13 @@ def point_in_time_price(spark, sf_dir):
     doing LINEAR in-partition work instead of scanning every version of a
     part per fact row (26.4 s → 9.5 s at sf1). Orders whose date precedes
     a part's first version drop (inner semantics), matching the oracle.
-    The ORACLE uses the same union-and-window form since r9 (its original
-    interval join was quadratic on a hot part_key — the r8 skew gate's
-    DuckDB side spilled 22 GiB and died; parity against the definitional
-    form was certified through r8, so the as-of oracle is transitively
-    anchored to it)."""
+    TWO oracle forms (r9 ADVICE): the definitional interval join is the
+    default — an algorithm-independent check — and the union-and-window
+    as-of twin runs only on the skew axis (SPARK_GRAFT_PIT_ORACLE=asof),
+    where the interval join is quadratic on a hot part_key (the r8 skew
+    gate's DuckDB side spilled 22 GiB and died). The two forms are proven
+    identical in DuckDB at the driver scales each pytest run
+    (tests/test_pit_oracle_crosscheck.py)."""
     from importer_spark.operators.joins import asof_join
 
     t = Tables(spark, sf_dir)

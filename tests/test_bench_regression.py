@@ -138,6 +138,20 @@ def test_no_isolated_latency_regressions():
         "(name, baseline_s, raw_s, normalized_s): "
         f"{sorted(regressions, key=lambda r: r[2] - r[1], reverse=True)}"
     )
+    # One-sided raw/normalized disagreements are recorded by bench.py
+    # (iso_suspects) and surfaced here as a WARNING, never a failure (r9
+    # ADVICE: on a fast host the two-sided gate is one-sided lenient —
+    # the disagreement must stay visible, not silent).
+    suspects = detail.get("iso_suspects") or {}
+    if suspects:
+        import warnings
+
+        warnings.warn(
+            f"bench recorded {len(suspects)} one-sided raw/normalized "
+            f"disagreement(s) — not gate failures, but review them: "
+            f"{sorted(suspects)}",
+            stacklevel=1,
+        )
 
 
 # --- synthetic-record unit tests for the gate itself (r8 verdict #1) --------
@@ -209,3 +223,23 @@ def test_r8_driver_record_shape_is_clean():
         },
     }
     assert _regressions(detail, base) == []
+
+
+def test_one_sided_disagreement_is_suspect_not_regression():
+    """The r9 ADVICE shape: a session ~2× FASTER than the baseline anchor
+    (factor clamps to 2.0), a query whose raw time is clean but whose
+    normalized time trips tolerance. The gate must not fail — but
+    bench.iso_suspect must flag it so it lands in iso_suspects."""
+    from bench import iso_suspect
+
+    detail = {
+        "sf": 0.1,
+        "calibration_seconds": 0.2,  # factor = 0.4/0.2 = 2.0
+        # raw 2.2 < 2.0*1.5 → clean; normalized 4.4 > 3.0 and +2.4s → bad
+        "queries_isolated": {"q_mid": 2.2},
+    }
+    assert _regressions(detail, _BASE_SYNTH) == []
+    assert iso_suspect(2.2, 2.0, cal_factor=2.0)
+    # both views agreeing (clean or bad) is never a suspect
+    assert not iso_suspect(2.0, 2.0, cal_factor=1.0)
+    assert not iso_suspect(6.0, 2.0, cal_factor=1.0)

@@ -66,6 +66,10 @@ def main() -> None:
                 f"/stages/{sid}/{att['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0",
             )
             dur = q.get("duration") or [0, 0, 0]
+            # Missing REST fields surface as null, never a silent 0 (r9
+            # ADVICE): a 0 reads as "measured, nothing moved", which
+            # under-reports the evidence.
+            mb = lambda v: round(v / 1e6, 2) if v is not None else None  # noqa: E731
             stages.append(
                 {
                     "stage_id": sid,
@@ -73,12 +77,12 @@ def main() -> None:
                     "task_ms_min": round(dur[0], 1),
                     "task_ms_median": round(dur[1], 1),
                     "task_ms_max": round(dur[2], 1),
-                    "shuffle_read_mb": round(att.get("shuffleReadBytes", 0) / 1e6, 2),
-                    "input_mb": round(att.get("inputBytes", 0) / 1e6, 2),
+                    "shuffle_read_mb": mb(att.get("shuffleReadBytes")),
+                    "input_mb": mb(att.get("inputBytes")),
                 }
             )
     stages.sort(key=lambda s: -s["task_ms_max"])
-    wall_ms = sum(j.get("numTasks", 0) for j in jobs)  # provenance only
+    n_tasks_total = sum(j.get("numTasks", 0) for j in jobs)  # provenance only
     summary = {
         "skew_dir": skew_dir,
         "worst_stage": stages[0] if stages else {},
@@ -89,7 +93,7 @@ def main() -> None:
             "spread over per-day tasks — compare task_ms_max vs the r8 "
             "one-window form where the hot key was ONE task"
         ),
-        "_n_tasks_total": wall_ms,
+        "_n_tasks_total": n_tasks_total,
     }
     print(json.dumps(summary, indent=1))
     if os.path.exists(artifact):

@@ -121,6 +121,64 @@ def main() -> None:
         print("simhash+snm8", cap, json.dumps(st), flush=True)
     result["simhash_snm_recovered"] = snm_curve
 
+    # r10 (r9 verdict #2): cluster-LEVEL effect of capped recovery on the
+    # keep-best survivor pick. Pair recall under cap+SNM is sparse (0.07
+    # at cap 64) while doc-flag recall is 0.988 — if the recovered pair
+    # graph FRAGMENTS a clone cluster, keep-best keeps one survivor PER
+    # FRAGMENT: silent over-retention of duplicates, the exact failure
+    # mode this curve machinery exists to expose. Measured directly:
+    # the removed-doc sets of the keep-best policy (quality desc, doc_id
+    # tiebreak — queries/llm_refine.dedup_keep_best) under uncapped vs
+    # capped+SNM pairs. Capped pairs ⊆ uncapped pairs ⇒ capped components
+    # REFINE uncapped components ⇒ an uncapped survivor is still the best
+    # of whichever fragment contains it, so removed_capped ⊆
+    # removed_uncapped (asserted) and over-retention is exactly the
+    # set difference.
+    from pyspark.sql import Window
+
+    from importer_spark.operators.graph import connected_components
+    from importer_spark.queries.llm_text import doc_quality_scores
+
+    quality = doc_quality_scores(spark, data_dir).select("doc_id", "quality_score")
+
+    def removed_docs(pairs):
+        labels = connected_components(pairs, out_id="doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id")
+        )
+        return (
+            labels.join(quality, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id")
+        )
+
+    removed_u = removed_docs(truth_sh).persist()
+    n_removed_u = removed_u.count()
+    kb_curve = {}
+    for cap in CAPS:
+        pairs, _ = _simhash_pairs(spark, data_dir, bucket_cap=cap, snm_window=8)
+        removed_c = removed_docs(pairs).persist()
+        n_removed_c = removed_c.count()
+        extra = removed_c.join(removed_u, "doc_id", "left_anti").count()
+        assert extra == 0, (
+            f"cap {cap}: capped keep-best removed {extra} docs the uncapped "
+            "policy retained — refinement invariant broken"
+        )
+        over = n_removed_u - n_removed_c
+        kb_curve[str(cap)] = {
+            "dups_removed_uncapped": n_removed_u,
+            "dups_removed_capped_snm": n_removed_c,
+            "over_retained_docs": over,
+            "dup_removal_retention": (
+                round(n_removed_c / n_removed_u, 4) if n_removed_u else 1.0
+            ),
+        }
+        removed_c.unpersist()
+        print("keep_best", cap, json.dumps(kb_curve[str(cap)]), flush=True)
+    removed_u.unpersist()
+    result["keep_best_retention"] = kb_curve
+
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps({"out": out_path}))
