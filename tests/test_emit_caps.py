@@ -250,3 +250,40 @@ def test_simhash_snm_recovery_restores_capped_clone_clusters(spark, tmp_path):
     assert not (clone_ids <= plain_docs)
     # ...and the sorted-neighborhood pass recovers every one of them.
     assert clone_ids <= snm_docs
+
+
+def test_keep_best_refinement_under_capped_snm_pairs(spark):
+    """The keep_best_retention measurement (tools/recall_curve.py, r9
+    verdict #2) rests on one invariant: capped+SNM pairs ⊆ uncapped pairs
+    ⇒ capped components REFINE uncapped components ⇒ every uncapped
+    survivor is still the best of whichever fragment contains it, so the
+    capped policy can only UNDER-remove, never remove a doc the uncapped
+    policy keeps. Pin it on the real sf0.001 corpus with a binding cap."""
+    from importer_spark.operators.graph import connected_components
+    from importer_spark.queries.llm_text import _simhash_pairs, doc_quality_scores
+    from pyspark.sql import Window
+
+    sf = "/root/testdata/sf0.001"
+    quality = doc_quality_scores(spark, sf).select("doc_id", "quality_score")
+
+    def removed(pairs):
+        labels = connected_components(pairs, out_id="doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id")
+        )
+        return {
+            r.doc_id
+            for r in labels.join(quality, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id")
+            .collect()
+        }
+
+    uncapped, _ = _simhash_pairs(spark, sf, bucket_cap=None)
+    capped, _ = _simhash_pairs(spark, sf, bucket_cap=3, snm_window=8)
+    removed_u, removed_c = removed(uncapped), removed(capped)
+    assert removed_c <= removed_u
+    # the binding cap must actually bind on this corpus for the test to
+    # exercise the interesting case
+    assert capped.count() < uncapped.count()
