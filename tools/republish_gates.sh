@@ -49,6 +49,10 @@ python tools/make_float_special_data.py /root/testdata/sf0.01 /tmp/fspec > "$LOG
 python tools/make_zipf_dup_data.py /tmp/zipfdup > "$LOGDIR/make_zipf.log" 2>&1
 # (unicode dirs are regenerated inside run_unicode_gates.sh)
 
+# ---- phase 1.5: fail-fast seams (seconds, vs an abort mid-cycle) ------------
+say "pre-flight: PIT oracle-form cross-check (clean + NULL axes)"
+python -m pytest tests/test_pit_oracle_crosscheck.py -q > "$LOGDIR/preflight_pit.log" 2>&1
+
 # ---- phase 2: the gates, in two independent lanes ---------------------------
 quick_lane() {
   export SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_DUCK_TMP=/tmp/duckdb_gate_spill_q
