@@ -172,7 +172,13 @@ def main() -> None:
     warm = Tables(spark, sf_dir)
     for t in TABLES:
         try:
-            getattr(warm, t).count()
+            # Materialize EVERY column through the noop sink — count()
+            # column-prunes to nothing, so it warms footers but not data
+            # pages, and the first concurrent pass after datagen churn ran
+            # cold (r10: three cold-inflated pins before the record
+            # settled). Full-column reads prime the OS page cache for the
+            # ~60 MB bench dir at negligible cost.
+            getattr(warm, t).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
     # Warm the Python worker pool too (fork + numpy/pandas import per core is
