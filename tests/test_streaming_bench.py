@@ -14,14 +14,33 @@ MERGE_FLOOR = 2000
 SESSIONS_FLOOR = 4000
 
 
+def _best_of(bench_fn, floor, retries=2):
+    """bench.py's retry discipline for absolute throughput floors (r10:
+    the ssjoin floor tripped at 3869 vs 5000 rows/s inside a full-suite
+    run on a session whose calibration read the shared host ~2× slow,
+    then cleared 5000 immediately in isolation). Noise only ever
+    DEFLATES throughput, so keep the best of up to ``retries + 1`` runs
+    and stop early once the floor clears; a genuine collapse — the
+    floors sit 4-5× under the recorded numbers — fails every attempt.
+    Clean sessions still pay exactly one run."""
+    best = bench_fn()
+    for _ in range(retries):
+        if best["rows_per_s"] >= floor:
+            break
+        r = bench_fn()
+        if r["rows_per_s"] > best["rows_per_s"]:
+            best = r
+    return best
+
+
 def test_exactly_once_merge_throughput(spark):
-    r = bench_exactly_once_merge(spark, SF_DIR, n_batches=5)
+    r = _best_of(lambda: bench_exactly_once_merge(spark, SF_DIR, n_batches=5), MERGE_FLOOR)
     assert r["rows"] == 100_000
     assert r["rows_per_s"] >= MERGE_FLOOR, r
 
 
 def test_stateful_sessions_throughput(spark):
-    r = bench_stateful_sessions(spark, SF_DIR)
+    r = _best_of(lambda: bench_stateful_sessions(spark, SF_DIR), SESSIONS_FLOOR)
     assert r["rows"] == 100_000
     assert r["sessions_emitted"] > 0
     assert r["rows_per_s"] >= SESSIONS_FLOOR, r
@@ -36,7 +55,7 @@ SDEDUP_FLOOR = 20000
 def test_stream_stream_join_throughput(spark):
     from tools.bench_streaming import bench_stream_stream_join
 
-    r = bench_stream_stream_join(spark, SF_DIR)
+    r = _best_of(lambda: bench_stream_stream_join(spark, SF_DIR), SSJOIN_FLOOR)
     assert r["rows"] == 100_000
     assert r["pairs_emitted"] > 0
     assert r["rows_per_s"] >= SSJOIN_FLOOR, r
@@ -45,7 +64,7 @@ def test_stream_stream_join_throughput(spark):
 def test_stream_dedup_throughput(spark):
     from tools.bench_streaming import bench_stream_dedup
 
-    r = bench_stream_dedup(spark, SF_DIR)
+    r = _best_of(lambda: bench_stream_dedup(spark, SF_DIR), SDEDUP_FLOOR)
     assert r["rows"] == 200_000
     assert r["unique_emitted"] == 100_000  # dedup exactly halves the stream
     assert r["rows_per_s"] >= SDEDUP_FLOOR, r
