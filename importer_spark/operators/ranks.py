@@ -34,13 +34,21 @@ def global_row_number(
     out_col: str = "rn",
     n_buckets: int = 32,
     first_col_ascending: bool = True,
+    with_count: bool = False,
 ) -> DataFrame:
     """Add exact global row_number ``out_col`` under ``order_cols`` (must be
     a total order; ``first_col`` is the leading NUMERIC order column used
     for value bucketing — rows tied on it share a bucket, so bucketing
     never splits an order-equivalence class across workers).
     ``first_col_ascending`` must match the sort direction of ``first_col``
-    inside ``order_cols`` so bucket offsets accumulate in rank order."""
+    inside ``order_cols`` so bucket offsets accumulate in rank order.
+
+    ``with_count=True`` additionally attaches ``_n`` (the total row count)
+    derived from the SAME n_buckets-sized count relation that produces the
+    offsets — a second tiny window over rows already in hand, instead of
+    the separate full aggregation over ``df`` the r9 form paid (one fewer
+    evaluation of the whole upstream per rank call — guide §2.4, don't
+    recompute what a sibling branch already aggregated)."""
     qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     # EXACT percentile, deliberately: the cuts subtree is evaluated by more
     # than one plan branch, and an approximate sketch whose merge is
@@ -76,8 +84,13 @@ def global_row_number(
         bucketed.groupBy("_gb")
         .agg(F.count("*").alias("_bn"))
         .withColumn("_goff", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)))
-        .drop("_bn")
     )
+    if with_count:
+        w_all = Window.orderBy(gb_order).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offs = offs.withColumn("_n", F.sum("_bn").over(w_all))
+    offs = offs.drop("_bn")
     return (
         bucketed.join(F.broadcast(offs), "_gb")
         .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
@@ -93,6 +106,7 @@ def grouped_row_number(
     out_col: str = "rn",
     n_buckets: int = 32,
     first_col_ascending: bool = True,
+    with_count: bool = False,
 ) -> DataFrame:
     """Partition-aware twin of ``global_row_number``: exact ROW_NUMBER()
     OVER (PARTITION BY part_cols ORDER BY order_cols) without funneling any
@@ -119,7 +133,13 @@ def grouped_row_number(
     cheaper; use it directly there."""
     if not part_cols:
         return global_row_number(
-            df, first_col, order_cols, out_col, n_buckets, first_col_ascending
+            df,
+            first_col,
+            order_cols,
+            out_col,
+            n_buckets,
+            first_col_ascending,
+            with_count=with_count,
         )
     qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     cuts_df = df.groupBy(*part_cols).agg(
@@ -148,8 +168,14 @@ def grouped_row_number(
         bucketed.groupBy(*part_cols, "_gb")
         .agg(F.count("*").alias("_bn"))
         .withColumn("_goff", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)))
-        .drop("_bn")
     )
+    if with_count:
+        # Per-key totals from the keys×buckets count rows already in hand
+        # (see global_row_number): no separate full aggregation over df.
+        offs = offs.withColumn(
+            "_n", F.sum("_bn").over(Window.partitionBy(*part_cols))
+        )
+    offs = offs.drop("_bn")
     return (
         null_safe_key_join(bucketed, F.broadcast(offs), part_cols, extra=["_gb"])
         .withColumn(out_col, F.row_number().over(w_in) + F.col("_goff"))
@@ -196,11 +222,26 @@ def with_grouped_rank_stats(
     order_cols: list[Column],
     n_buckets: int = 32,
     first_col_ascending: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(df + _rn + _n) per partition key: grouped row_number plus each
     key's row count — feed ``percent_rank_col()`` / ``ntile_col(k)`` for
-    partitioned PERCENT_RANK / NTILE at dominant-group scale."""
-    ranked = grouped_row_number(
+    partitioned PERCENT_RANK / NTILE at dominant-group scale.
+
+    ``_n`` rides the offsets relation (``with_count=True``) instead of a
+    separate count aggregation + rejoin — two fewer evaluations of ``df``
+    than the r9 form (the totals pass and its null-safe join are gone).
+    ``materialize=True`` additionally localCheckpoints ``df`` first
+    (eager, graph.py convention): the remaining plan branches — quantile
+    cuts, the bucketed main pass, the per-bucket counts — then read one
+    materialized relation instead of each recomputing the upstream
+    pipeline (guide §3.3: materialize an intermediate that many branches
+    share). Opt in when ``df`` is more than a trivial scan; ranking
+    inputs are aggregated relations, so the checkpoint is
+    decision-table-sized, never raw-fact-sized."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    return grouped_row_number(
         df,
         part_cols,
         first_col,
@@ -208,12 +249,8 @@ def with_grouped_rank_stats(
         out_col="_rn",
         n_buckets=n_buckets,
         first_col_ascending=first_col_ascending,
+        with_count=True,
     )
-    if not part_cols:
-        total = df.agg(F.count("*").alias("_n"))
-        return ranked.crossJoin(F.broadcast(total))
-    totals = df.groupBy(*part_cols).agg(F.count("*").alias("_n"))
-    return null_safe_key_join(ranked, F.broadcast(totals), part_cols)
 
 
 def with_global_rank_stats(
@@ -222,21 +259,26 @@ def with_global_rank_stats(
     order_cols: list[Column],
     n_buckets: int = 32,
     first_col_ascending: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(df + _rn + _n): global row_number plus the total row count (in-plan
     broadcast, no extra action) — the ingredients for percent_rank
     ((rn−1)/(n−1)) and ntile (floor(k·(rn−1)/n)+1, the closed form of SQL
-    NTILE's uneven-bucket rule)."""
-    ranked = global_row_number(
+    NTILE's uneven-bucket rule). ``_n`` and ``materialize`` as in
+    :func:`with_grouped_rank_stats` — the count rides the offsets
+    relation, and the eager checkpoint collapses the remaining branch
+    recomputation when the upstream is worth materializing."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    return global_row_number(
         df,
         first_col,
         order_cols,
         out_col="_rn",
         n_buckets=n_buckets,
         first_col_ascending=first_col_ascending,
+        with_count=True,
     )
-    total = df.agg(F.count("*").alias("_n"))
-    return ranked.crossJoin(F.broadcast(total))
 
 
 def percent_rank_col() -> Column:

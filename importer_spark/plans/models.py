@@ -107,7 +107,10 @@ def mart_customer_health(ctx):
     # distributed percentile (no single-task global window) — the customer
     # relation is the mart's full grain
     ranked = with_global_rank_stats(
-        joined, "_rev0", [F.col("_rev0").asc(), F.col("cust_key").asc()]
+        joined,
+        "_rev0",
+        [F.col("_rev0").asc(), F.col("cust_key").asc()],
+        materialize=True,  # joined = dim ⋈ per-customer metrics: compute once
     )
     pct = F.round(percent_rank_col(), 6)
     score = F.round(

@@ -263,12 +263,26 @@ def rfm_segments(spark, sf_dir):
     """RFM customer segmentation (scores 1 = best): recency vs the data-max
     anchor date (frozen-now convention, F14), order frequency, exact-decimal
     monetary total; each scored into quintiles and mapped to lifecycle
-    segments. All three NTILE(5)s run through the distributed global-rank
-    operator (`operators/ranks.py`) with (metric, cust_key) total orders —
-    no single-task window even with hundreds of millions of customers; the
-    three score relations re-join on the customer key (AQE broadcasts them
-    while they fit)."""
-    from importer_spark.operators.ranks import ntile_col, with_global_rank_stats
+    segments.
+
+    r10 shape: ONE melted pass through the distributed rank operator
+    instead of three. The r9 form called `with_global_rank_stats` once per
+    metric on a differently-pruned projection of `cust`, so the orders
+    aggregation was re-evaluated ~13× (static plan: 53 Exchanges / 64
+    scans; runtime exchange reuse could not collapse the branches because
+    column pruning made every partial aggregate distinct). Now `cust`
+    melts to (cust_key, metric, sort_val, display values) — 3 skinny rows
+    per customer — and ONE `with_grouped_rank_stats(part=metric)` call
+    ranks all three metrics in parallel; scores pivot back with a single
+    groupBy(cust_key). `sort_val` encodes each metric's direction and
+    NULL placement into a plain ascending double: recency ASC NULLS FIRST
+    → (value, NULL→-inf); frequency/monetary DESC NULLS LAST → (-value,
+    NULL→+inf). The metrics themselves can never be ±inf (datediff /
+    count / decimal-sum-cast-to-double), so the encodings cannot collide,
+    and equal metric values stay equal under negation, so NTILE
+    tie-breaking by cust_key is unchanged. No single-task window at any
+    scale, exactly as before."""
+    from importer_spark.operators.ranks import ntile_col, with_grouped_rank_stats
 
     t = Tables(spark, sf_dir)
     anchor = t.orders.agg(F.max("o_orderdate").alias("max_date"))
@@ -289,23 +303,64 @@ def rfm_segments(spark, sf_dir):
             out_double(F.col("monetary_dec")).alias("monetary"),
         )
     )
+    neg_inf = F.lit(float("-inf"))
+    pos_inf = F.lit(float("inf"))
+    null_long = F.lit(None).cast("bigint")
+    null_double = F.lit(None).cast("double")
 
-    def score(metric: str, ascending: bool, out: str):
-        ranked = with_global_rank_stats(
-            cust.select("cust_key", metric),
-            metric,
-            [
-                F.col(metric).asc() if ascending else F.col(metric).desc(),
-                F.col("cust_key").asc(),
-            ],
-            first_col_ascending=ascending,
+    def m_row(metric: str, sort_val, disp_long, disp_double):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            sort_val.alias("sort_val"),
+            disp_long.alias("disp_long"),
+            disp_double.alias("disp_double"),
         )
-        return ranked.select("cust_key", ntile_col(5).alias(out))
 
-    r = score("recency_days", True, "r_score")
-    f_ = score("frequency", False, "f_score")
-    m = score("monetary", False, "m_score")
-    scored = cust.join(r, "cust_key").join(f_, "cust_key").join(m, "cust_key")
+    melted = cust.select(
+        "cust_key",
+        F.explode(
+            F.array(
+                m_row(
+                    "r",
+                    F.coalesce(F.col("recency_days").cast("double"), neg_inf),
+                    F.col("recency_days"),
+                    null_double,
+                ),
+                m_row(
+                    "f",
+                    F.coalesce(-F.col("frequency").cast("double"), pos_inf),
+                    F.col("frequency"),
+                    null_double,
+                ),
+                m_row(
+                    "m",
+                    F.coalesce(-F.col("monetary"), pos_inf),
+                    null_long,
+                    F.col("monetary"),
+                ),
+            )
+        ).alias("_m"),
+    ).select(
+        "cust_key", "_m.metric", "_m.sort_val", "_m.disp_long", "_m.disp_double"
+    )
+    ranked = with_grouped_rank_stats(
+        melted,
+        ["metric"],
+        "sort_val",
+        [F.col("sort_val").asc(), F.col("cust_key").asc()],
+        materialize=True,  # melted rides the orders agg: compute once
+    )
+    score = ntile_col(5)
+    pivoted = ranked.groupBy("cust_key").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("disp_long"))).alias(
+            "recency_days"
+        ),
+        F.max(F.when(F.col("metric") == "f", F.col("disp_long"))).alias("frequency"),
+        F.max(F.when(F.col("metric") == "m", F.col("disp_double"))).alias("monetary"),
+        F.max(F.when(F.col("metric") == "r", score)).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", score)).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", score)).alias("m_score"),
+    )
     seg = (
         F.when(
             (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
@@ -316,7 +371,7 @@ def rfm_segments(spark, sf_dir):
         .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("lost"))
         .otherwise(F.lit("regular"))
     )
-    return scored.select(
+    return pivoted.select(
         "cust_key",
         "recency_days",
         "frequency",
@@ -441,15 +496,26 @@ def copurchase_pagerank(spark, sf_dir):
     # repeats the basket pair-generation six times and the optimizer pays
     # for a 100+-exchange plan. The edge list is the iteration's working
     # set — small relative to lineitem (pairs bought together >= 2 times).
-    # Repartition (NOT coalesce) to few partitions before the checkpoint:
-    # the edge list is tiny relative to lineitem, and every one of the 6
-    # iteration rounds schedules stages over its partitioning — fewer,
-    # fuller partitions cut the per-round scheduling overhead. coalesce
-    # would collapse the upstream pair aggregation to the same 8 tasks
-    # (measured OOM at sf1); repartition keeps it parallel behind its own
-    # exchange.
-    edges = edges.repartition(8).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Repartition (NOT coalesce) before the checkpoint: the edge list is
+    # tiny relative to lineitem, and every one of the 6 iteration rounds
+    # schedules stages over its partitioning — fewer, fuller partitions cut
+    # the per-round scheduling overhead. coalesce would collapse the
+    # upstream pair aggregation to the same tasks (measured OOM at sf1);
+    # repartition keeps it parallel behind its own exchange. The width is
+    # the session's shuffle-partition setting, NOT a constant (r10: the
+    # hard-coded 8 was a local-mode dial — bench derives shuffle
+    # partitions from input bytes, so this is byte-for-byte identical at
+    # bench scale and scale-adaptive on a cluster).
+    edge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(edge_parts).localCheckpoint(eager=True)
+    # deg is referenced by every iteration round too — checkpoint the tiny
+    # nodes-sized relation once instead of re-running the groupBy per
+    # round's plan branch (r10; same rationale as edges above).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     n = deg.agg(F.count("*").alias("n_nodes"))
     rank = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),

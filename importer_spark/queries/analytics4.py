@@ -228,7 +228,12 @@ def copurchase_triangles(spark, sf_dir):
     # The oriented edge set feeds THREE self-join arms; checkpointing it
     # keeps the plan constant-size instead of re-inlining the whole
     # items-self-join lineage per arm (same move as copurchase_pagerank).
-    oriented = oriented.repartition(8, "src").localCheckpoint(eager=True)
+    # Width = the session's shuffle-partition setting (r10: was a
+    # hard-coded 8 — identical at bench scale where the derived setting IS
+    # 8, scale-adaptive on a cluster).
+    oriented = oriented.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("m1"), F.col("dst_deg").alias("g1")
     )

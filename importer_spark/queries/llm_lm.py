@@ -18,6 +18,7 @@ so unseen bigrams/tokens actually occur and the backoff path is exercised
 from __future__ import annotations
 
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from importer_spark.io import Tables
@@ -264,20 +265,39 @@ def dsir_importance_weights(spark, sf_dir):
         F.slice(toks, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    # r10: the raw and target distributions come out of ONE aggregation
+    # over ONE feature stream — the r9 form joined the stream against an
+    # en-doc id relation (a second full tokenize+explode pass plus an SMJ
+    # that shuffled every feature row) and then aggregated raw and target
+    # in separate branches. Carrying the is-target flag on the stream
+    # (computed from `lang` before the explode) makes the target count a
+    # conditional aggregate of the same pass: two fewer evaluations of the
+    # corpus-wide feature pipeline and no feature-stream join at all. The
+    # totals ride a single-partition window over the ≤_N_BUCKETS count
+    # rows (bounded model state, same pattern as operators/ranks offsets)
+    # instead of two more aggregation branches + a nested-loop cross join.
     feats = t.documents.select(
-        "doc_id", F.explode(F.concat(toks, bigrams)).alias("feat")
-    ).select("doc_id", bucket_of(F.col("feat")).alias("bucket"))
-    en_docs = t.documents.filter(F.col("lang") == "en").select("doc_id")
-    raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_cnt = feats.join(en_docs, "doc_id").groupBy("bucket").agg(
-        F.count("*").alias("ct")
+        "doc_id",
+        (F.col("lang") == "en").alias("_en"),
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select("doc_id", "_en", bucket_of(F.col("feat")).alias("bucket"))
+    cnt = feats.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("_en"), F.lit(1))).alias("ct0"),
     )
-    tots = raw_cnt.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ratio = (
-        raw_cnt.join(tgt_cnt, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
+        cnt.select(
+            "bucket",
+            "cr",
+            # ct=NULL never reaches the log: the r9 left join produced NULL
+            # for en-empty buckets and coalesced to 0; the conditional
+            # count produces 0 directly. NULLIF restores the exact r9
+            # column so the expression below is character-identical.
+            F.nullif(F.col("ct0"), F.lit(0)).alias("ct"),
+            F.sum("cr").over(w_all).alias("tr"),
+            F.coalesce(F.sum(F.col("ct0")).over(w_all), F.lit(0)).alias("tt"),
+        )
         .select(
             "bucket",
             F.round(

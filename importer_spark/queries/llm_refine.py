@@ -352,6 +352,7 @@ def lang_quality_deciles(spark, sf_dir):
         "avg_logprob",
         [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
         first_col_ascending=False,
+        materialize=True,  # labeled rides the full unigram-LM scoring pass
     )
     return ranked.select(
         "doc_id", "lang", "avg_logprob", ntile_col(10).alias("decile")

@@ -135,7 +135,10 @@ def percent_rank_customers(spark, sf_dir):
         out_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue")
     )
     ranked = with_global_rank_stats(
-        rev, "revenue", [F.col("revenue").asc(), F.col("cust_key").asc()]
+        rev,
+        "revenue",
+        [F.col("revenue").asc(), F.col("cust_key").asc()],
+        materialize=True,  # rev is an orders-wide agg: compute once, rank branches read it
     )
     return ranked.select(
         "cust_key", "revenue", F.round(percent_rank_col(), 6).alias("revenue_percentile")
@@ -304,6 +307,7 @@ def customer_spend_quartiles(spark, sf_dir):
         "total_spend",
         [F.desc("total_spend"), F.asc("cust_key")],
         first_col_ascending=False,
+        materialize=True,  # spend is an orders-wide agg: compute once
     )
     return ranked.select(
         "cust_key", "total_spend", ntile_col(4).alias("spend_quartile")
@@ -480,6 +484,7 @@ def region_spend_rank(spark, sf_dir):
         "_spd",
         [F.col("sp").desc(), F.col("c_custkey").asc()],
         first_col_ascending=False,
+        materialize=True,  # spend = agg + 3 dim joins: compute once
     )
     return ranked.select(
         "c_custkey",
