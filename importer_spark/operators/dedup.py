@@ -424,9 +424,21 @@ def position_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:
     """(id, pos, _k1, _k2): position-stamped n-grams under the two-longs
-    128-bit key (see duplicate_ngram_spans). One window pass per document."""
+    128-bit key (see duplicate_ngram_spans). One window pass per document.
+
+    The explicit ``id_col IS NOT NULL`` is a plan-shape invariant, not a
+    semantic one (r10, guide §2.4): every consumer re-derives this relation
+    in 2–3 plan branches, and the branch under a doc_id-keyed join gets
+    IsNotNull(doc_id) INFERRED into its scan while sibling branches do not —
+    the exchange subtrees then stop canonicalizing as equal and runtime
+    ReusedExchange never fires (measured: exact_substring_spans ran the
+    token-window pass twice, ReusedExchange×0). Filtering here makes every
+    branch identical. Results are unchanged: a NULL-id doc's grams could
+    only reach an output through a doc_id equi-join (never matches),
+    countDistinct(id)/min(id) (NULLs ignored), or a window keyed on id
+    whose rows die in the same joins."""
     toks = F.split(F.col(text_col), " ")
-    tok = df.filter(F.size(toks) >= n).select(
+    tok = df.filter((F.size(toks) >= n) & F.col(id_col).isNotNull()).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "_tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")

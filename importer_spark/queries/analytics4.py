@@ -191,17 +191,30 @@ def copurchase_triangles(spark, sf_dir):
     the naive id-ordered chain join; identical triangle sets, independent
     derivations."""
     t = Tables(spark, sf_dir)
-    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # Edge derivation via per-order basket arrays (r10, guide §2.4/§3):
+    # one shuffle builds sorted distinct-part baskets, pairs are generated
+    # LOCALLY by a nested array transform — the same pass basket_pair_lift
+    # and copurchase_pagerank run. The previous items-self-join form paid
+    # two extra shuffles of (orderkey, partkey) plus a SortMergeJoin whose
+    # fan-out is the same basket² blowup, just shuffled first. Identical
+    # edge set: collect_set = DISTINCT parts per order; ordered pairs
+    # (a < b) counted once per order; HAVING COUNT(*) >= 2 unchanged.
+    baskets = t.lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")

@@ -106,8 +106,23 @@ def _nb_scores(spark, sf_dir):
     # equality). The oracle carries the same source IS NOT NULL guard.
     train = toks.filter(F.col("is_train") & F.col("source").isNotNull())
 
-    # Model scalars (bounded driver state: C classes + 1 vocab size).
-    v_size = train.select("tok").distinct().count()
+    # ONE token pass for the whole model (r10, guide §2.3/§2.4 — the
+    # _build_lang_nb_model convention): the (cls, tok, c) count relation is
+    # model-sized (C × vocab), localCheckpointed eagerly, and every model
+    # scalar derives from it — v_size and per-class totals come out of one
+    # rollup over counts already in hand. The r9 form paid three separate
+    # full evaluations of the exploded token stream (distinct-count,
+    # per-class totals, and the lp build) before scoring even started.
+    cnt = (
+        train.groupBy(F.col("source").alias("cls"), "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    roll = cnt.rollup("cls").agg(
+        F.sum("c").alias("t"), F.countDistinct("tok").alias("vg")
+    ).collect()
+    v_size = next(int(r["vg"]) for r in roll if r["cls"] is None)
+    tot = {r["cls"]: int(r["t"]) for r in roll if r["cls"] is not None}
     tr_docs = (
         docs.filter(is_train & F.col("source").isNotNull())
         .groupBy("source")
@@ -116,12 +131,6 @@ def _nb_scores(spark, sf_dir):
     classes = sorted(r["source"] for r in tr_docs)
     nd = {r["source"]: r["nd"] for r in tr_docs}
     ndt = sum(nd.values())
-    tot = {
-        r["cls"]: r["t"]
-        for r in train.groupBy(F.col("source").alias("cls"))
-        .agg(F.count("*").alias("t"))
-        .collect()
-    }
 
     def _lndec(num: int | float, den: int) -> F.Column:
         # round(ln(num/den), 9) computed IN the engine (identical double
@@ -130,10 +139,8 @@ def _nb_scores(spark, sf_dir):
             F.log(F.lit(float(num)) / F.lit(float(den))), 9
         ).cast(_DEC)
 
-    # Per-(class, tok) smoothed log-probs, pivoted to one row per token.
-    cnt = train.groupBy(F.col("source").alias("cls"), "tok").agg(
-        F.count("*").alias("c")
-    )
+    # Per-(class, tok) smoothed log-probs, pivoted to one row per token —
+    # read from the checkpointed cnt, not a fresh token pass.
     den = F.when(
         F.col("cls") == classes[0], F.lit(float(tot[classes[0]] + v_size))
     )

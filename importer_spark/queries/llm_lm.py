@@ -132,7 +132,15 @@ def bigram_backoff_scores(spark, sf_dir):
     )
     train = seq.filter("is_train")
 
-    uni = train.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("c1"))
+    # ONE train-side aggregation feeds both LM orders (r10, guide §2.3):
+    # every train row appears in exactly one (prev, cur) group — NULL prev
+    # (pos 1) is its own group — so the unigram counts are the (prev, cur)
+    # counts folded by cur, and the bigram table is the same relation with
+    # the NULL-prev group dropped. The r9 form re-ran the corpus explode
+    # for each of uni and big; now the explode feeding a train-side count
+    # runs once and uni is a model-sized fold of it.
+    cnt2 = train.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    uni = cnt2.groupBy(F.col("cur").alias("tok")).agg(F.sum("c2").alias("c1"))
     tot = uni.agg(F.sum("c1").alias("t"))
     lp_uni = uni.crossJoin(F.broadcast(tot)).select(
         "tok",
@@ -141,11 +149,7 @@ def bigram_backoff_scores(spark, sf_dir):
         .cast("decimal(18,9)")
         .alias("lpu"),
     )
-    big = (
-        train.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.count("*").alias("c2"))
-    )
+    big = cnt2.filter(F.col("prev").isNotNull())
     lp_big = big.join(
         lp_uni.select(F.col("tok").alias("prev"), "c_prev"), "prev"
     ).select(

@@ -35,15 +35,18 @@ FROM tf JOIN df USING (term) CROSS JOIN n
 
 @query("tfidf_weights", oracle=_TFIDF_SQL)
 def tfidf_weights(spark, sf_dir):
-    """TF-IDF: term frequency per doc × ln(N/df). Two aggregations over the
-    exploded token stream (tf keyed on doc+term, df on term) + a broadcast
-    scalar N; the df side is vocabulary-sized, so its join broadcasts."""
+    """TF-IDF: term frequency per doc × ln(N/df). One aggregation over the
+    exploded token stream (tf keyed on doc+term); df folds tf by term + a
+    broadcast scalar N; the df side is vocabulary-sized, so its join
+    broadcasts."""
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (rows per term = distinct docs containing it), not
+    # a second explode of the corpus — see _bm25_ranked (r10, guide §2.3).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = t.documents.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
@@ -214,8 +217,15 @@ def _bm25_ranked(spark, sf_dir):
     docs = t.documents.filter(F.col("text").isNotNull())
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # dl and df derive from tf, not from fresh token passes (r10, guide
+    # §2.3 "aggregate before you shuffle" / §2.4): Σ tf per doc IS the doc
+    # length, and tf's row count per term IS the distinct-doc frequency —
+    # so the corpus is exploded once and everything downstream aggregates
+    # the (doc, term, tf) relation. The r9 form re-ran split+explode for
+    # each of dl and df (and the tf exchange is shared at runtime by
+    # ReusedExchange once the subtrees are identical).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
