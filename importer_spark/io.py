@@ -9,6 +9,7 @@ rewrite below is the storage-agnostic equivalent).
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.errors import AnalysisException
@@ -31,6 +32,42 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+# Estimated scan-split size: the default spark.sql.files.maxPartitionBytes.
+_WIDEN_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def widen_narrow_scan(df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan-parallelism guard (optimization guide §2.5:
+    an unsplittable input is repartitioned immediately after the read).
+
+    A bench-scale table ships ONE parquet row group, so its scan stage is
+    one task no matter the plan — any pipeline that (correctly, for
+    shuffle volume) runs heavy per-row work BEFORE its first exchange
+    serializes that work on one core. Production inputs split into
+    thousands of scan tasks and must NOT pay a blanket repartition, so
+    the round-robin spread applies only when the on-disk size says the
+    scan cannot reach the session's parallelism on its own
+    (bytes / 128 MB-split estimate < defaultParallelism). Deterministic
+    and value-neutral: repartition() round-robin sorts its input first
+    (SPARK-23207), and only row placement changes, never row content."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    if max(1, size // _WIDEN_SPLIT_BYTES) >= target:
+        return df
+    return df.repartition(target)
 
 
 def normalize_column_name(name: str) -> str:
@@ -72,6 +109,19 @@ class Tables:
                 df = self.spark.read.parquet(path)
             self._dfs[name] = df
         return self._dfs[name]
+
+    def wide(self, name: str) -> DataFrame:
+        """The table with the scan-parallelism guard applied (see
+        widen_narrow_scan) — for pipelines whose heavy per-row work runs
+        in the scan stage (shingling, fingerprint hashing, LSH bucket
+        dot-products) rather than after their first exchange. Cached per
+        instance like the plain scans so branches share one subtree."""
+        key = f"__wide_{name}"
+        if key not in self._dfs:
+            self._dfs[key] = widen_narrow_scan(
+                getattr(self, name), f"{self.sf_dir}/{name}.parquet"
+            )
+        return self._dfs[key]
 
     def _read_events(self, path: str) -> DataFrame:
         """events.ts has shipped as parquet TIMESTAMP(MICROS) with and

@@ -26,22 +26,48 @@ def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
     """(id, shingle) rows of k-word shingles (with multiplicity). Documents
-    shorter than k tokens contribute their whole text as one shingle."""
+    shorter than k tokens contribute their whole text as one shingle.
+
+    Zero-shuffle shape (r10): explode a 1..n-k+1 position sequence and
+    read the k adjacent tokens with element_at inside the same codegen
+    stage — one scan, no exchange, no sort. The previous posexplode +
+    window-lead form shuffled and sorted the whole exploded TOKEN stream
+    on id before any consumer aggregation (plus a second scan unioned in
+    for short docs), so every MinHash/shingle-set consumer paid a
+    corpus-token-sized exchange; now the first exchange a consumer sees
+    is its own aggregation, which partial-aggregates map-side to per-doc
+    rows first. (Array HOF lambdas stay out — transform() is interpreted
+    per element; element_at/concat_ws here are codegen expressions.)
+    NULL text drops in both forms: sequence(1, NULL) is NULL and explode
+    of NULL emits nothing, exactly as the old size(NULL)>=k filter did."""
     toks = F.split(F.col(text_col), " ")
-    tok = df.filter(F.size(toks) >= shingle_k).select(
-        F.col(id_col), F.posexplode(toks).alias("_pos", "_tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, shingle_k)]
-    grams = tok.select(
+    full = F.size(F.col("_t")) >= shingle_k
+    exploded = df.select(
+        F.col(id_col), toks.alias("_t"), F.col(text_col).alias("_text")
+    ).select(
         F.col(id_col),
-        F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].isNotNull().alias("_full"),
-    ).filter(F.col("_full")).drop("_full")
-    short = df.filter(F.size(toks) < shingle_k).select(
-        F.col(id_col), F.col(text_col).alias("shingle")
+        "_t",
+        "_text",
+        F.explode(
+            # NULL text must DROP (old form's size(NULL)>=k filter): no
+            # otherwise() — a NULL size falls through both whens to a NULL
+            # sequence bound and explode(NULL) emits nothing.
+            F.sequence(
+                F.lit(1),
+                F.when(
+                    F.size(F.col("_t")) >= shingle_k,
+                    F.size(F.col("_t")) - (shingle_k - 1),
+                ).when(F.size(F.col("_t")) < shingle_k, F.lit(1)),
+            )
+        ).alias("_i"),
     )
-    return grams.unionByName(short)
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_t"), F.col("_i") + j) for j in range(shingle_k)]
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.when(full, gram).otherwise(F.col("_text")).alias("shingle"),
+    )
 
 
 def shingle_sets(

@@ -227,8 +227,11 @@ def supplier_inflight_peak(spark, sf_dir):
     parallelize across the supplier dimension — no global single-task
     window, no interval self-join (which is quadratic per supplier)."""
     t = Tables(spark, sf_dir)
+    # wide(): the probe side of the broadcast join + the boundary explode +
+    # the map-side partial agg all run in the scan stage now that the
+    # two-branch union is gone; a one-row-group bench input serializes them.
     iv = (
-        t.lineitem.join(
+        t.wide("lineitem").join(
             t.orders, F.col("l_orderkey") == F.col("o_orderkey")
         )
         .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
@@ -238,13 +241,21 @@ def supplier_inflight_peak(spark, sf_dir):
             F.to_date("l_shipdate").alias("d1"),
         )
     )
+    # ±1 boundary deltas via explode over ONE pass of iv: a self-union of
+    # two selects executes the lineitem⋈orders join twice (the graph.py
+    # bidirectional-edge lesson — measured 2× the upstream cost); the
+    # array-of-structs explode emits both endpoints from a single scan+join.
     b = (
-        iv.select("l_suppkey", F.col("d0").alias("d"), F.lit(1).alias("delta"))
-        .unionByName(
-            iv.select(
-                "l_suppkey", F.col("d1").alias("d"), F.lit(-1).alias("delta")
-            )
+        iv.select(
+            "l_suppkey",
+            F.explode(
+                F.array(
+                    F.struct(F.col("d0").alias("d"), F.lit(1).alias("delta")),
+                    F.struct(F.col("d1").alias("d"), F.lit(-1).alias("delta")),
+                )
+            ).alias("_e"),
         )
+        .select("l_suppkey", "_e.d", "_e.delta")
         .groupBy("l_suppkey", "d")
         .agg(F.sum("delta").alias("delta"))
     )
@@ -321,7 +332,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     Scale path beyond this: near_dup_pairs (LSH banding) generates
     candidates without touching df>cap grams at all."""
     t = Tables(spark, sf_dir)
-    grams = shingle_rows(t.documents, "doc_id", "text").distinct()
+    grams = shingle_rows(t.wide("documents"), "doc_id", "text").distinct()
     rare = grams.select(
         "doc_id",
         "shingle",

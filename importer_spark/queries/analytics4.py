@@ -146,7 +146,7 @@ def semantic_dedup_cells(spark, sf_dir):
     from importer_spark.operators.semdedup import semantic_dedup
 
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     return semantic_dedup(e, "vec_id", "emb", n_seeds=_N_SEEDS, tau=_SEM_TAU)

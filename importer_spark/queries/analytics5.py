@@ -344,7 +344,7 @@ def hard_negative_pairs(spark, sf_dir):
     )
 
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     seeds = lowest_id_seeds(e, "vec_id", "emb", 8)

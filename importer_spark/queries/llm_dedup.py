@@ -76,7 +76,7 @@ def minhash_signatures_q(spark, sf_dir):
     """MinHash signatures (16 components over 3-word shingles) — the
     permutation-stable sketch that powers LSH dedup."""
     t = Tables(spark, sf_dir)
-    return minhash_signatures(t.documents, "doc_id", "text")
+    return minhash_signatures(t.wide("documents"), "doc_id", "text")
 
 
 # Ground-truth near-dup pairs via an inverted shingle index, NOT an
@@ -120,7 +120,7 @@ def near_dup_pairs_q(spark, sf_dir):
     for every shingle-sharing pair — value agreement certifies LSH recall
     AND precision on this data."""
     t = Tables(spark, sf_dir)
-    return near_dup_pairs(t.documents, "doc_id", "text")
+    return near_dup_pairs(t.wide("documents"), "doc_id", "text")
 
 
 _INCR_NEAR_DUP_SQL = (
@@ -139,9 +139,10 @@ def near_dup_pairs_incremental_q(spark, sf_dir):
     slice of the full answer (deterministic banding), at batch cost."""
     t = Tables(spark, sf_dir)
     is_new = F.col("doc_id") % 5 == 0
-    store = band_index(t.documents.filter(~is_new), "doc_id", "text")
+    docs = t.wide("documents")
+    store = band_index(docs.filter(~is_new), "doc_id", "text")
     pairs, _new_bands = near_dup_pairs_incremental(
-        t.documents, t.documents.filter(is_new), store, "doc_id", "text"
+        docs, docs.filter(is_new), store, "doc_id", "text"
     )
     return pairs
 
@@ -178,7 +179,7 @@ def benchmark_contamination(spark, sf_dir):
     cross-corpus shuffle. The standard pre-training hygiene op (report
     per-doc overlap; drop at `contaminated`)."""
     t = Tables(spark, sf_dir)
-    sh = shingle_rows(t.documents, "doc_id", "text").distinct()
+    sh = shingle_rows(t.wide("documents"), "doc_id", "text").distinct()
     is_eval = F.col("doc_id") % 100 == 0
     # Mark eval membership with a broadcast LEFT join, then totals and hits
     # come out of ONE aggregation — a separate hit-count branch would

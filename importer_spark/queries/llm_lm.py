@@ -117,7 +117,7 @@ def bigram_backoff_scores(spark, sf_dir):
         % 2
         == 0
     )
-    seq = t.documents.select(
+    seq = t.wide("documents").select(
         "doc_id",
         is_train.alias("is_train"),
         F.posexplode(F.arrays_zip(toks.alias("cur"), prevs.alias("prev"))).alias(
@@ -280,7 +280,7 @@ def dsir_importance_weights(spark, sf_dir):
     # totals ride a single-partition window over the ≤_N_BUCKETS count
     # rows (bounded model state, same pattern as operators/ranks offsets)
     # instead of two more aggregation branches + a nested-loop cross join.
-    feats = t.documents.select(
+    feats = t.wide("documents").select(
         "doc_id",
         (F.col("lang") == "en").alias("_en"),
         F.explode(F.concat(toks, bigrams)).alias("feat"),

@@ -291,7 +291,7 @@ def dedup_keep_best(spark, sf_dir):
     from importer_spark.queries.llm_text import doc_quality_scores
 
     t = Tables(spark, sf_dir)
-    pairs = near_dup_pairs(t.documents, "doc_id", "text")
+    pairs = near_dup_pairs(t.wide("documents"), "doc_id", "text")
     labels = connected_components(pairs, out_id="doc_id")
     quality = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(

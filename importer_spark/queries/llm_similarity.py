@@ -63,7 +63,7 @@ def embedding_cosine_topk(spark, sf_dir):
     Sequential double accumulation is bitwise-identical across engines
     (verified), so full-precision ranking agrees."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb"), "label"
     )
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
@@ -128,7 +128,7 @@ def embedding_ann_lsh(spark, sf_dir):
     near-uniform, so recall ≈ the searched corpus fraction — the structural
     bound, not an implementation defect)."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb"), "label"
     ).withColumn("bucket", lsh_bucket(F.col("emb"), PLANES))
     search_buckets = F.array(
@@ -251,7 +251,7 @@ def embedding_ivf_topk(spark, sf_dir):
     embedding_ivf_trained_topk (diagnostics — an iterative fixpoint has no
     SQL oracle); the trained-vs-seeded recall comparison lives in tests."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     stride = _ivf_stride(e.count())
@@ -277,6 +277,8 @@ def embedding_ivf_trained_topk(spark, sf_dir):
     from importer_spark.operators.clustering import kmeans_fit
 
     t = Tables(spark, sf_dir)
+    # NOT wide(): kmeans_fit's Lloyd rounds re-read the scan per round, so
+    # a widen repartition is re-paid per iteration (the kmeans lesson).
     e = t.embeddings.select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
@@ -300,7 +302,11 @@ def kmeans_embeddings(spark, sf_dir):
     from importer_spark.operators.clustering import kmeans_assignments
 
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    # NOT wide(): each Lloyd round is its own action re-reading the scan —
+    # a widen repartition would be re-paid per round (measured 1.33×).
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
     return kmeans_assignments(e, "vec_id", "emb", k=8, iters=3)
 
 
@@ -368,6 +374,8 @@ def embedding_quantized_topk(spark, sf_dir):
     )
 
     t = Tables(spark, sf_dir)
+    # NOT wide(): this plan's pinned property is that the corpus never
+    # shuffles (probe-broadcast ANN, test_shuffle_budget ceiling 2).
     e = finite_vectors(
         t.embeddings.select(
             "vec_id", as_double_array(F.col("embedding")).alias("emb")
@@ -443,6 +451,8 @@ def embedding_pq_topk(spark, sf_dir):
     from importer_spark.operators.quantization import pq_adc_topk, pq_encode, pq_train
 
     t = Tables(spark, sf_dir)
+    # NOT wide(): pq_train's per-subspace Lloyd rounds re-read the scan
+    # per iteration (the kmeans lesson).
     e = t.embeddings.select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
@@ -525,7 +535,11 @@ def cluster_balanced_sample(spark, sf_dir):
     from importer_spark.operators.clustering import nearest_cells_cosine
 
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
+    # NOT wide(): count + centroid collect + assignment are three separate
+    # actions, each re-paying a widen repartition.
+    e = t.embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
     stride = _ivf_stride(e.count())
     cent_rows = (
         e.filter(F.col("vec_id") % stride == 0).orderBy("vec_id").collect()
@@ -729,7 +743,9 @@ def margin_bitext_mine(spark, sf_dir):
     so ranking and the threshold comparison agree bitwise across engines.
     """
     t = Tables(spark, sf_dir)
-    e = t.embeddings.filter(
+    # wide(): the per-row plane dot-products (lsh_bucket) run in the scan
+    # stage; a one-row-group bench input would serialize them on one task.
+    e = t.wide("embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", as_double_array(F.col("embedding")).alias("emb"))
     # One COUNT over the pruned (vec_id, embedding-null) scan — the same
@@ -755,6 +771,14 @@ def margin_bitext_mine(spark, sf_dir):
         .cast("decimal(18,9)")
         .alias("cos9"),
     )
+    # The candidate relation feeds THREE consumers (sk, tk, m). Without a
+    # cut, each re-executes the bucket join AND the dim-length cosine fold —
+    # the query's dominant per-row cost — from the reused shuffle (runtime
+    # final plan: the cosine project appeared 3×). localCheckpoint pays the
+    # cosine once into candidate-sized blocks ((src, tgt, cos9) rows, bounded
+    # by the ~MB_TARGET_BUCKET/bucket ladder, never embedding-sized); AQE
+    # still sizes the sk/tk broadcast joins from runtime stats above it.
+    cand = cand.localCheckpoint(eager=True)
     w_src = Window.partitionBy("src_id").orderBy(
         F.col("cos9").desc_nulls_last(), F.col("tgt_id").asc()
     )

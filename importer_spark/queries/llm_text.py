@@ -223,7 +223,7 @@ def simhash_fingerprints(spark, sf_dir):
     conditional sums: one shuffle on doc_id; bit decoding via hex-char strpos
     so the arithmetic is portable (no 64-bit overflow semantics)."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.select(
+    tok = t.wide("documents").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).select("doc_id", simhash_prefix_long(F.md5("tok")).alias("m"))
     bits = tok.groupBy("doc_id").agg(
@@ -278,7 +278,7 @@ def doc_winnowing_fingerprints(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     toks = F.split("text", " ")
-    tok = t.documents.filter(F.size(toks) >= _WIN_K).select(
+    tok = t.wide("documents").filter(F.size(toks) >= _WIN_K).select(
         "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
     w_lead = Window.partitionBy("doc_id").orderBy("pos")
@@ -307,7 +307,7 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     long_docs = sel.groupBy("doc_id", "n_grams").agg(
         F.array_sort(F.collect_set("fp")).alias("fps")
     )
-    short_docs = t.documents.filter(F.size(toks) < _WIN_K).select(
+    short_docs = t.wide("documents").filter(F.size(toks) < _WIN_K).select(
         "doc_id", F.lit(1).alias("n_grams"), F.array(F.md5("text")).alias("fps")
     )
     return long_docs.unionByName(short_docs).select(
@@ -561,7 +561,7 @@ def doc_repetition(spark, sf_dir):
     from importer_spark.operators.dedup import shingle_rows
 
     t = Tables(spark, sf_dir)
-    grams = shingle_rows(t.documents, "doc_id", "text", shingle_k=2)
+    grams = shingle_rows(t.wide("documents"), "doc_id", "text", shingle_k=2)
     per = grams.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
     agg = per.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),
@@ -678,6 +678,8 @@ def frequent_tokens(spark, sf_dir):
     from importer_spark.operators.sketch import frequent_items
 
     t = Tables(spark, sf_dir)
+    # NOT wide(): frequent_items is two actions (sketch pass + recount) —
+    # each would re-pay the widen repartition (the kmeans lesson).
     toks = t.documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return frequent_items(toks, "tok", HH_DEN)
 
@@ -727,7 +729,7 @@ def unigram_logprob_scores(spark, sf_dir):
     from importer_spark.operators.text import unigram_avg_logprob
 
     t = Tables(spark, sf_dir)
-    per = unigram_avg_logprob(t.documents, "doc_id", "text")
+    per = unigram_avg_logprob(t.wide("documents"), "doc_id", "text")
     return per.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -785,7 +787,7 @@ def gopher_quality_rules(spark, sf_dir):
             F.filter(toks, lambda x: x.isin(*_GOPHER_STOPS))
         )
     )
-    base = t.documents.select(
+    base = t.wide("documents").select(
         "doc_id",
         "lang",
         n_words.alias("n_words"),
@@ -1481,11 +1483,11 @@ def pmi_collocations(spark, sf_dir):
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
     )
-    seq = t.documents.select(F.explode(toks).alias("cur"))
+    seq = t.wide("documents").select(F.explode(toks).alias("cur"))
     uni = seq.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("c1"))
     tot = uni.agg(F.sum("c1").alias("t"))
     big = (
-        t.documents.select(F.explode(pairs).alias("p"))
+        t.wide("documents").select(F.explode(pairs).alias("p"))
         .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("c2"))

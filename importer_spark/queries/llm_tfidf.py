@@ -95,7 +95,9 @@ def near_dup_clusters(spark, sf_dir):
     an entirely different evaluation strategy reaching the same fixpoint."""
     from importer_spark.operators.graph import connected_components
 
-    pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
+    pairs = near_dup_pairs(
+        Tables(spark, sf_dir).wide("documents"), "doc_id", "text"
+    )
     return connected_components(pairs, out_id="doc_id")
 
 
@@ -109,7 +111,9 @@ def near_dup_clusters_star(spark, sf_dir):
     three independent evaluation strategies, one fixpoint."""
     from importer_spark.operators.graph import connected_components
 
-    pairs = near_dup_pairs(Tables(spark, sf_dir).documents, "doc_id", "text")
+    pairs = near_dup_pairs(
+        Tables(spark, sf_dir).wide("documents"), "doc_id", "text"
+    )
     return connected_components(pairs, out_id="doc_id", max_local_edges=0)
 
 
@@ -343,7 +347,7 @@ def hybrid_rrf_topk(spark, sf_dir):
         r["doc_id"]
         for r in docs.select("doc_id").orderBy("doc_id").limit(_BM25_N_QUERIES).collect()
     ]
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     probes = e.filter(F.col("vec_id").isin(qids)).select(
@@ -487,7 +491,7 @@ def retrieval_arm_ndcg(spark, sf_dir):
     ]
     from importer_spark.operators.similarity import as_double_array, cosine_topk
 
-    e = t.embeddings.select(
+    e = t.wide("embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     probes = e.filter(F.col("vec_id").isin(qids)).select(
