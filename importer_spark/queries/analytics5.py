@@ -97,10 +97,21 @@ def _nb_scores(spark, sf_dir):
         % 2
         == 0
     )
-    toks = docs.select(
-        "doc_id", "source", is_train.alias("is_train"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    )
+    def _toks(rel):
+        return rel.select(
+            "doc_id", "source", is_train.alias("is_train"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+
+    # Two toks INSTANCES, one per action (r10, the _nb_base_toks wide-split
+    # lesson): the train stream feeds the model checkpoint action and stays
+    # unwidened (a shared widened toks re-paid the repartition per action —
+    # measured 2× regression, OPTIMIZATION_r10.md §E); the scoring stream
+    # below feeds exactly ONE action per consumer and gets the
+    # scan-parallelism guard so the corpus-sized explode + model join run
+    # at session parallelism instead of one task per parquet row group.
+    toks = _toks(docs)
+    score_toks = _toks(t.wide("documents").select("doc_id", "source", "text"))
     # NULL-labelled docs cannot train (no class to credit) but are still
     # scored; their is_correct comes out NULL on both engines (3VL
     # equality). The oracle carries the same source IS NOT NULL guard.
@@ -154,7 +165,7 @@ def _nb_scores(spark, sf_dir):
     )
     lp_wide = lp_long.groupBy("tok").pivot("cls", classes).agg(F.first("lp"))
 
-    joined = toks.join(F.broadcast(lp_wide), "tok", "left")
+    joined = score_toks.join(F.broadcast(lp_wide), "tok", "left")
     score_cols = [
         (
             F.sum(F.coalesce(F.col(f"`{c}`"), _lndec(1, tot[c] + v_size)))

@@ -270,51 +270,46 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     keep the MINIMUM hash of each sliding window of 4 gram hashes, distinct
     the selections. Any shared substring of ≥ w+k−1 words between two docs
     guarantees a shared fingerprint (the winnowing guarantee, property-
-    tested on the planted near-dups). Spark shape: posexplode + lead build
-    the gram stream, the rolling min is a bounded rows-window — all
-    codegen, one shuffle on doc_id; the output digests the fingerprint set
-    so the relation stays one row per doc at any corpus size."""
-    from pyspark.sql import Window
-
+    tested on the planted near-dups). Spark shape: the gram-hash stream
+    and the rolling window minima are per-document ARRAY transforms
+    (transform(sequence) + array_min(slice)) in ONE codegen stage over
+    the scan — no explode, no window, ZERO shuffles at any corpus size
+    (the r9 form exploded the token stream and paid an exchange + sort on
+    doc_id for the lead/rolling-min windows plus a second scan for short
+    docs). Positions are the sequence indices, so the w-window min over
+    adjacent grams is slice(hs, i, w) directly; the short-doc branch is a
+    CASE, not a union. The output digests the fingerprint set so the
+    relation stays one row per doc."""
     t = Tables(spark, sf_dir)
-    toks = F.split("text", " ")
-    tok = t.wide("documents").filter(F.size(toks) >= _WIN_K).select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    # 0-based SQL array indexing: gram at 1-based start i covers tokens
+    # t[i-1] .. t[i+k-2]; i ranges over 1 .. n-k+1 so every index exists.
+    gram_parts = ", ".join(f"t[i + {j - 1}]" for j in range(_WIN_K))
+    hs = (
+        f"CASE WHEN size(t) >= {_WIN_K} THEN "
+        f"transform(sequence(1, size(t) - {_WIN_K - 1}), "
+        f"i -> md5(concat_ws(' ', {gram_parts}))) "
+        f"ELSE array(md5(text)) END"
     )
-    w_lead = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w_lead) for j in range(1, _WIN_K)]
-    grams = (
-        tok.select(
+    # window-start indices 1 .. max(n_grams - w + 1, 1); slice() clamps to
+    # the array end, so a doc with fewer than w grams yields one window
+    # over all of them — the oracle's greatest(len(hs) - w + 1, 1) twin
+    fps = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(hs) - {_WIN_W - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {_WIN_W}))))"
+    )
+    return (
+        t.wide("documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.size("hs").alias("n_grams"), F.expr(fps).alias("fps"))
+        .select(
             "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            parts[-1].isNotNull().alias("_full"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.md5(F.concat_ws(",", F.array_sort("fps"))).alias("fp_digest"),
         )
-        .filter(F.col("_full"))
-    )
-    w_roll = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    )
-    w_cnt = Window.partitionBy("doc_id")
-    sel = (
-        grams.withColumn("n_grams", F.count("*").over(w_cnt))
-        .withColumn("fp", F.min("h").over(w_roll))
-        # windows exist for start positions 0..max(n-w, 0); gram positions
-        # are 0-based and contiguous from 0 (token 0 always opens a full
-        # gram after the length filter), so pos itself is the start index
-        .filter(F.col("pos") < F.greatest(F.col("n_grams") - (_WIN_W - 1), F.lit(1)))
-    )
-    long_docs = sel.groupBy("doc_id", "n_grams").agg(
-        F.array_sort(F.collect_set("fp")).alias("fps")
-    )
-    short_docs = t.wide("documents").filter(F.size(toks) < _WIN_K).select(
-        "doc_id", F.lit(1).alias("n_grams"), F.array(F.md5("text")).alias("fps")
-    )
-    return long_docs.unionByName(short_docs).select(
-        "doc_id",
-        F.col("n_grams").cast("bigint").alias("n_grams"),
-        F.size("fps").cast("bigint").alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
     )
 
 
@@ -907,16 +902,21 @@ pred AS (
 )"""
 
 
-def _nb_base_toks(spark, sf_dir, where: str | None = None):
+def _nb_base_toks(spark, sf_dir, where: str | None = None, wide: bool = False):
     """(base, toks) relations for the NB classifier — the labeled-doc
     projection and its exploded char-trigram stream. Lazy plans rebuilt
     per call (corpus-sized state is never cached — see `_lang_nb_model`).
     ``where`` (a SQL expression string, e.g. ``"doc_id % 5 != 0"``)
     restricts the doc set — the train/score split of the incremental
-    twin (`lang_id_incremental`)."""
+    twin (`lang_id_incremental`). ``wide`` applies the scan-parallelism
+    guard (io.widen_narrow_scan) — ONLY for single-action consumers (the
+    scoring pass): the model build evaluates toks via several actions
+    (checkpoint + rollup) and would re-pay the repartition per action
+    (measured 2× regression — see OPTIMIZATION_r10.md §E)."""
     t = Tables(spark, sf_dir)
+    docs = t.wide("documents") if wide else t.documents
     base = (
-        t.documents.filter(
+        docs.filter(
             F.col("lang").isNotNull()
             & F.col("text").isNotNull()
             & (F.length("text") >= 1)
@@ -1115,7 +1115,12 @@ def _lang_nb_pred(spark, sf_dir, model=None, score_where: str | None = None):
     classes, tot, nd, ndt, v_size = (
         m["classes"], m["tot"], m["nd"], m["ndt"], m["v_size"],
     )
-    _, toks = _nb_base_toks(spark, sf_dir, where=score_where)
+    # wide=True: the scoring pass is ONE action for every consumer (the
+    # argmax join, the collected cells of kappa/F1, the incremental batch)
+    # and its per-row work — a length(p)-sized trigram explode per doc —
+    # runs in the scan stage; the guard parallelizes it when the input is
+    # a single split (bench scale) and no-ops at production input sizes.
+    _, toks = _nb_base_toks(spark, sf_dir, where=score_where, wide=True)
 
     def _lndec(num, den):
         # round(ln(num/den), 9) computed IN the engine over identical
@@ -1475,7 +1480,17 @@ def pmi_collocations(spark, sf_dir):
     TakeOrderedAndProject (never a single-task window). PMI doubles come
     from ONE expression over exact integer counts (products bounded by
     tokens² — swap to DECIMAL past ~10^9 tokens), so ranking and the
-    emitted values agree bitwise across engines."""
+    emitted values agree bitwise across engines.
+
+    r10 note: the bigram_backoff fold (NULL-prev padded pair stream, one
+    corpus explode, unigram counts folded as Σ_prev c2 off the reused
+    exchange) was tried, oracle-verified, and REVERTED on measurement:
+    interleaved A/B mins 1.02 vs 0.93 s and 1.07 vs 0.81 s at sf0.1, and
+    2.89 vs 1.71 s at 10× — the serialized agg chain costs more than the
+    second explode branch at every measured scale (the two branches
+    overlap in the scheduler; map-side partial agg already collapses each
+    shuffle to vocab/bigram-type partials, so the fold saves CPU only,
+    not shuffle bytes)."""
     t = Tables(spark, sf_dir)
     toks = tokens(F.col("text"))
     pairs = F.zip_with(
