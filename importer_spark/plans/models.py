@@ -110,7 +110,10 @@ def mart_customer_health(ctx):
         joined,
         "_rev0",
         [F.col("_rev0").asc(), F.col("cust_key").asc()],
-        materialize=True,  # joined = dim ⋈ per-customer metrics: compute once
+        materialize=False,  # r11: the eager checkpoint cost more than the
+        # branch sharing saved here (A/B 2.94 s → 1.67 s without it; the
+        # r10 ratchet trip) — ReusedExchange already shares the join's
+        # shuffle across the cuts/bucketed/offsets branches
     )
     pct = F.round(percent_rank_col(), 6)
     score = F.round(

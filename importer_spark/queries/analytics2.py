@@ -348,7 +348,8 @@ def rfm_segments(spark, sf_dir):
         ["metric"],
         "sort_val",
         [F.col("sort_val").asc(), F.col("cust_key").asc()],
-        materialize=True,  # melted rides the orders agg: compute once
+        materialize=True,  # melted rides the orders agg consumed by 3 metric
+        # branches: compute once (r11 A/B kept True: 1.26 s vs 1.43 s plain)
     )
     score = ntile_col(5)
     pivoted = ranked.groupBy("cust_key").agg(

@@ -352,7 +352,8 @@ def lang_quality_deciles(spark, sf_dir):
         "avg_logprob",
         [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
         first_col_ascending=False,
-        materialize=True,  # labeled rides the full unigram-LM scoring pass
+        materialize=False,  # r11 A/B: 1.35 s vs 1.53 s materialized — the
+        # LM-scoring upstream shares its exchange across branches already
     )
     return ranked.select(
         "doc_id", "lang", "avg_logprob", ntile_col(10).alias("decile")

@@ -138,7 +138,8 @@ def percent_rank_customers(spark, sf_dir):
         rev,
         "revenue",
         [F.col("revenue").asc(), F.col("cust_key").asc()],
-        materialize=True,  # rev is an orders-wide agg: compute once, rank branches read it
+        materialize=False,  # r11 A/B: flat without the checkpoint (0.97 s
+        # both ways) — the orders agg exchange is already shared
     )
     return ranked.select(
         "cust_key", "revenue", F.round(percent_rank_col(), 6).alias("revenue_percentile")
@@ -307,7 +308,7 @@ def customer_spend_quartiles(spark, sf_dir):
         "total_spend",
         [F.desc("total_spend"), F.asc("cust_key")],
         first_col_ascending=False,
-        materialize=True,  # spend is an orders-wide agg: compute once
+        materialize=False,  # r11 A/B: 0.85 s vs 0.90 s materialized
     )
     return ranked.select(
         "cust_key", "total_spend", ntile_col(4).alias("spend_quartile")
@@ -484,7 +485,7 @@ def region_spend_rank(spark, sf_dir):
         "_spd",
         [F.col("sp").desc(), F.col("c_custkey").asc()],
         first_col_ascending=False,
-        materialize=True,  # spend = agg + 3 dim joins: compute once
+        materialize=False,  # r11 A/B: 1.19 s vs 1.31 s materialized
     )
     return ranked.select(
         "c_custkey",
