@@ -450,36 +450,39 @@ def position_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:
     """(id, pos, _k1, _k2): position-stamped n-grams under the two-longs
-    128-bit key (see duplicate_ngram_spans). One window pass per document.
+    128-bit key (see duplicate_ngram_spans). Zero-shuffle (r11): explode a
+    0..size−n position sequence and read the n adjacent tokens with
+    element_at in the same codegen stage — the shingle_rows shape, with
+    the explode index doubling as the 0-based gram position. The previous
+    posexplode + Window((n−1) leads) form shuffled AND sorted the whole
+    token stream on id before any consumer aggregation — a corpus-sized
+    exchange at any scale, paid once per plan branch's window evaluation
+    (ReusedExchange shares the shuffle, not the post-shuffle lead/concat
+    work). Now the first exchange a consumer sees is its own map-side
+    partial aggregate (guide §2.3/§2.4). The token array never crosses a
+    stage boundary, so nothing materializes per exploded row.
 
-    The explicit ``id_col IS NOT NULL`` is a plan-shape invariant, not a
-    semantic one (r10, guide §2.4): every consumer re-derives this relation
-    in 2–3 plan branches, and the branch under a doc_id-keyed join gets
-    IsNotNull(doc_id) INFERRED into its scan while sibling branches do not —
-    the exchange subtrees then stop canonicalizing as equal and runtime
-    ReusedExchange never fires (measured: exact_substring_spans ran the
-    token-window pass twice, ReusedExchange×0). Filtering here makes every
-    branch identical. Results are unchanged: a NULL-id doc's grams could
-    only reach an output through a doc_id equi-join (never matches),
-    countDistinct(id)/min(id) (NULLs ignored), or a window keyed on id
-    whose rows die in the same joins."""
+    The explicit ``id_col IS NOT NULL`` keeps every consumer branch
+    textually identical (r10 canonicalization lesson) and is semantics-
+    preserving: a NULL-id doc's grams could only reach an output through
+    a doc_id equi-join (never matches), countDistinct(id)/min(id) (NULLs
+    ignored), or a window keyed on id whose rows die in the same joins."""
     toks = F.split(F.col(text_col), " ")
-    tok = df.filter((F.size(toks) >= n) & F.col(id_col).isNotNull()).select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "_tok")
+    base = df.filter((F.size(toks) >= n) & F.col(id_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
-    gram = F.concat_ws(" ", *parts)
-    return (
-        tok.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.xxhash64(gram).alias("_k1"),
-            F.xxhash64(F.lit("g2"), gram).alias("_k2"),
-            parts[-1].isNotNull().alias("_full"),
-        )
-        .filter(F.col("_full"))
-        .drop("_full")
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_t"), F.col("pos") + j + 1) for j in range(n)]
+    )
+    return base.select(
+        F.col(id_col),
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.size("_t") - n)).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(gram).alias("_k1"),
+        F.xxhash64(F.lit("g2"), gram).alias("_k2"),
     )
 
 
