@@ -67,7 +67,16 @@ def widen_narrow_scan(df: DataFrame, path: str) -> DataFrame:
         return df
     if max(1, size // _WIDEN_SPLIT_BYTES) >= target:
         return df
-    return df.repartition(target)
+    # Half the session's parallelism, not all of it (r11, guide §2.2/§2.6):
+    # the spread exists so heavy per-row scan work stops serializing on one
+    # task, and a width-W sweep (W ∈ {4,8,16,32} on the five heaviest wide
+    # consumers, isolated min-of-4) measured parallelism/2 flat with full
+    # parallelism (dsir 0.88 vs 0.89 s, minhash 0.57 vs 0.56 s) while W ≤ 4
+    # lost 15-40%. Full-width stages only finish in one wave when the query
+    # runs ALONE; under the engine's concurrent scheduler they run in waves
+    # anyway, so the extra tasks are pure per-task/shuffle-block overhead
+    # (M×R block growth). Still session-derived — never a local constant.
+    return df.repartition(max(2, target // 2))
 
 
 def normalize_column_name(name: str) -> str:
