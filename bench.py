@@ -380,6 +380,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "errors": len(errors),
+                # Fixed-anchor seconds for THIS run (r10 verdict #2): lets a
+                # tail-only capture normalize totals across hosts/rounds —
+                # without it, ambient host drift masquerades as (or masks)
+                # code deltas. Additions-only to the output contract.
+                "calibration": calibration,
             }
         )
     )

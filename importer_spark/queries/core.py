@@ -48,7 +48,9 @@ def pricing_summary(spark, sf_dir):
     int_quickbooks__customer_revenue.sql:10-23). Single scan, map-side partial
     agg, 2-key hash agg — Catalyst pushes the shipdate filter to parquet."""
     t = Tables(spark, sf_dir)
-    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+    # wide: the exact-decimal partial agg is the whole query and runs in the
+    # scan stage (single split at bench scale) — see tpch_q1's twin note.
+    li = t.wide("lineitem").filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -211,8 +213,10 @@ def region_revenue(spark, sf_dir):
     for the final agg)."""
     t = Tables(spark, sf_dir)
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # wide: orders and the dims broadcast, so the join probes + the
+    # countDistinct partial agg all run in the lineitem scan stage.
     return (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        t.wide("lineitem").join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -61,9 +61,12 @@ def mart_product_period_spending(spark, sf_dir):
     # integer); the /100 happens only AFTER the exact sum is cast to double,
     # so both engines perform the identical single IEEE division.
     net100 = dec(F.col("l_extendedprice")) * (100 - dec(F.col("l_discount")) * 100)
+    # wide: orders broadcasts, so the join probe + trailing-window partial
+    # aggs run in the lineitem scan stage (single split at bench scale).
+    li = t.wide("lineitem")
     fact = (
-        t.lineitem.join(
-            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+        li.join(
+            t.orders, li.l_orderkey == t.orders.o_orderkey
         )
         .crossJoin(F.broadcast(anchor))
         .select(

@@ -498,8 +498,14 @@ def tpch_q1_pricing_summary_sql(spark, sf_dir):
     so no rounding mode is ever consulted; the cents total is back under
     2^53 and converts exactly."""
     t = Tables(spark, sf_dir)
-    _register_tpch_views(t)
-    return spark.sql(_Q1_TEXT)
+    # Parameterized table ref instead of the shared temp view: Q1 is the one
+    # pure full-scan aggregate in the SQL family, and its exact-decimal agg
+    # work serializes on the single-split bench scan (r11 A/B: 2.01 → 1.30 s
+    # with the widened scan; the SAME widening measured 1.4–1.8× SLOWER on
+    # the join-heavy family — q3/q9/q17/q21 — so the views stay plain). The
+    # {li} substitution is per-call and thread-local, so the concurrent
+    # bench never sees a racy view redefinition. Oracle text is unchanged.
+    return spark.sql(_Q1_TEXT.replace("FROM lineitem", "FROM {li}"), li=t.wide("lineitem"))
 
 
 _Q6_TEXT = """
